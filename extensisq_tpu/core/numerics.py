@@ -17,6 +17,8 @@ def norm(x):
     ``sqrt(real(x . conj(x)) / n)``.
     """
     x = jnp.asarray(x)
+    if x.size == 0:
+        return jnp.asarray(0.0)
     return jnp.sqrt(jnp.real(jnp.vdot(x, x)) / x.size)
 
 

@@ -13,3 +13,8 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import sys
 sys.path.insert(0, os.path.dirname(__file__))
+
+# The axon TPU plugin ignores JAX_PLATFORMS; force CPU via the config.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
