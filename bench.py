@@ -1,0 +1,102 @@
+"""Benchmark: 4096-member Van der Pol ensemble vs scipy+extensisq 1-core.
+
+North-star metric from BASELINE.json: wall-clock speedup of a vmapped
+4096-member Van der Pol ensemble on one TPU chip over scipy's solve_ivp
+driving the reference extensisq BS5 on one CPU core, at identical
+rtol/atol.  Prints ONE JSON line.
+
+The scipy side times a sample of members and extrapolates linearly
+(members are independent solves; scipy cost is linear in member count).
+"""
+import json
+import sys
+import time
+
+import numpy as np
+
+
+MU = 3.0
+T_END = 10.0
+RTOL, ATOL = 1e-6, 1e-9
+N_MEMBERS = 4096
+SCIPY_SAMPLE = 64
+
+
+def tpu_side():
+    import jax
+    import jax.numpy as jnp
+    from extensisq_tpu.solve import solve_ensemble
+    from extensisq_tpu import BS5
+
+    def vdp(t, y):
+        return jnp.stack([y[1], MU * (1 - y[0] ** 2) * y[1] - y[0]])
+
+    y0 = jnp.stack([jnp.linspace(1.5, 2.5, N_MEMBERS),
+                    jnp.zeros(N_MEMBERS)], axis=1)
+    run = jax.jit(lambda Y: solve_ensemble(
+        vdp, (0.0, T_END), Y, method=BS5, rtol=RTOL, atol=ATOL))
+    # warm-up: compile + 2 full runs (the axon tunnel's
+    # block_until_ready can under-synchronize; a host fetch of the
+    # result forces completion)
+    for _ in range(2):
+        out = run(y0)
+        np.asarray(out.y)
+    n_rep = 10
+    t0 = time.perf_counter()
+    for _ in range(n_rep):
+        out = run(y0)
+        np.asarray(out.y)
+    dt = (time.perf_counter() - t0) / n_rep
+    assert bool(jnp.all(out.status == 1)), "ensemble did not finish"
+    total_steps = int(out.nsteps.sum())
+    total_fev = int(out.nfev.sum())
+    yf = np.asarray(out.y)
+    return dt, total_steps, total_fev, yf
+
+
+def scipy_side(yf_tpu):
+    sys.path.insert(0, "/root/reference")
+    from scipy.integrate import solve_ivp as scipy_solve
+    from extensisq import BS5 as refBS5
+
+    def vdp(t, y):
+        return np.array([y[1], MU * (1 - y[0] ** 2) * y[1] - y[0]])
+
+    x0 = np.linspace(1.5, 2.5, N_MEMBERS)
+    idx = np.linspace(0, N_MEMBERS - 1, SCIPY_SAMPLE).astype(int)
+    t0 = time.perf_counter()
+    max_err = 0.0
+    for i in idx:
+        r = scipy_solve(vdp, (0.0, T_END), [x0[i], 0.0], method=refBS5,
+                        rtol=RTOL, atol=ATOL)
+        assert r.success
+        max_err = max(max_err, float(np.max(np.abs(r.y[:, -1]
+                                                   - yf_tpu[i]))))
+    dt_sample = time.perf_counter() - t0
+    dt_full = dt_sample * (N_MEMBERS / len(idx))
+    return dt_full, max_err
+
+
+def main():
+    tpu_dt, total_steps, total_fev, yf = tpu_side()
+    scipy_dt, max_err = scipy_side(yf)
+    speedup = scipy_dt / tpu_dt
+    print(json.dumps({
+        "metric": "vdp4096_ensemble_speedup_vs_scipy_1core",
+        "value": round(speedup, 2),
+        "unit": "x",
+        "vs_baseline": round(speedup / 100.0, 3),
+        "detail": {
+            "tpu_wall_s": round(tpu_dt, 6),
+            "scipy_wall_s_extrapolated": round(scipy_dt, 3),
+            "steps_per_s": round(total_steps / tpu_dt, 1),
+            "rhs_evals_per_s": round(total_fev / tpu_dt, 1),
+            "members": N_MEMBERS,
+            "endpoint_agreement_max_abs": max_err,
+            "rtol": RTOL, "atol": ATOL,
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

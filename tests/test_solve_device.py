@@ -1,0 +1,113 @@
+"""Device-loop solver tests: full-trajectory jit, vmap ensembles,
+t_eval on device, and sharded execution on the virtual CPU mesh."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from extensisq_tpu import solve_ivp, BS5, Ts5, CK5
+from extensisq_tpu.solve import solve, solve_ensemble
+
+
+def vdp(t, y):
+    return jnp.stack([y[1], 3.0 * (1 - y[0] ** 2) * y[1] - y[0]])
+
+
+def test_device_matches_host():
+    s = jax.jit(lambda y0: solve(vdp, (0.0, 10.0), y0, method=BS5,
+                                 rtol=1e-6, atol=1e-9))(
+        jnp.array([2.0, 0.0]))
+    r = solve_ivp(vdp, (0, 10), [2.0, 0.0], method=BS5, rtol=1e-6,
+                  atol=1e-9)
+    assert int(s.status) == 1
+    assert int(s.nsteps) == r.nsteps
+    assert int(s.nfev) == r.nfev
+    np.testing.assert_allclose(np.asarray(s.y), r.y[:, -1], rtol=1e-12)
+
+
+def test_device_backward():
+    s = solve(lambda t, y: -y, (2.0, 0.0), jnp.array([1.0]), method=Ts5,
+              rtol=1e-8, atol=1e-10)
+    assert int(s.status) == 1
+    np.testing.assert_allclose(float(s.y[0]), np.exp(2.0), rtol=1e-6)
+
+
+def test_device_t_eval():
+    te = jnp.linspace(0.0, 10.0, 9)
+    s = jax.jit(lambda y0: solve(vdp, (0.0, 10.0), y0, method=BS5,
+                                 rtol=1e-6, atol=1e-9, t_eval=te))(
+        jnp.array([2.0, 0.0]))
+    r = solve_ivp(vdp, (0, 10), [2.0, 0.0], method=BS5, rtol=1e-6,
+                  atol=1e-9, t_eval=np.asarray(te), interpolant="free")
+    np.testing.assert_allclose(np.asarray(s.y_eval).T, r.y, atol=1e-7)
+
+
+def test_device_save_steps():
+    s = solve(vdp, (0.0, 5.0), jnp.array([2.0, 0.0]), method=CK5,
+              rtol=1e-6, atol=1e-9, save_steps=True)
+    nst = int(s.nsteps)
+    ts = np.asarray(s.ts)[:nst]
+    ys = np.asarray(s.ys)[:nst]
+    assert np.all(np.diff(ts) > 0)
+    assert ts[-1] == 5.0
+    np.testing.assert_allclose(ys[-1], np.asarray(s.y), rtol=1e-10)
+
+
+def test_ensemble_vmap():
+    B = 32
+    Y0 = jnp.stack([jnp.linspace(1.5, 2.5, B), jnp.zeros(B)], axis=1)
+    out = jax.jit(lambda Y: solve_ensemble(vdp, (0.0, 10.0), Y,
+                                           method=BS5, rtol=1e-6,
+                                           atol=1e-9))(Y0)
+    assert bool(jnp.all(out.status == 1))
+    # per-member adaptive stepping: step counts differ across members
+    assert int(out.nsteps.max()) > int(out.nsteps.min())
+    # spot-check one member against the host driver
+    r = solve_ivp(vdp, (0, 10), np.asarray(Y0[7]), method=BS5,
+                  rtol=1e-6, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(out.y[7]), r.y[:, -1],
+                               rtol=1e-10, atol=1e-12)
+
+
+def test_ensemble_batched_params():
+    def fun(t, y, p):
+        return jnp.stack([y[1], p * (1 - y[0] ** 2) * y[1] - y[0]])
+
+    B = 8
+    Y0 = jnp.tile(jnp.array([2.0, 0.0]), (B, 1))
+    mus = jnp.linspace(1.0, 4.0, B)
+    out = solve_ensemble(fun, (0.0, 5.0), Y0, params_batch=mus,
+                         method=BS5, rtol=1e-6, atol=1e-9)
+    assert bool(jnp.all(out.status == 1))
+    mu3 = float(mus[3])
+    r = solve_ivp(lambda t, y: fun(t, y, mu3), (0, 5),
+                  [2.0, 0.0], method=BS5, rtol=1e-6, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(out.y[3]), r.y[:, -1],
+                               rtol=1e-10, atol=1e-12)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_sharded_ensemble_step():
+    """Graft-entry style: ensemble x space sharded solver step."""
+    import __graft_entry__ as g
+    g.dryrun_multichip(8)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_sharded_full_solve():
+    """Full device solve with ensemble axis sharded over the mesh."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    B = 64
+    Y0 = jnp.stack([jnp.linspace(1.5, 2.5, B), jnp.zeros(B)], axis=1)
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ("ensemble",))
+    Y0s = jax.device_put(Y0, NamedSharding(mesh, P("ensemble", None)))
+    out = jax.jit(lambda Y: solve_ensemble(vdp, (0.0, 10.0), Y,
+                                           method=BS5, rtol=1e-6,
+                                           atol=1e-9))(Y0s)
+    jax.block_until_ready(out)
+    assert bool(jnp.all(out.status == 1))
+    ref = solve_ivp(vdp, (0, 10), np.asarray(Y0[0]), method=BS5,
+                    rtol=1e-6, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(out.y[0]), ref.y[:, -1],
+                               rtol=1e-9, atol=1e-12)
