@@ -180,6 +180,12 @@ class Stepper:
 
         self._impl = _get_stepper(method, fun_wrapped, cache_key, self.n,
                                   dtype, options)
+        if hasattr(self._impl, "validate_problem"):
+            # host-side structural probes (uncounted RHS evals, like the
+            # reference's raw-fun probes at common.py:1248-1267)
+            self._impl.validate_problem(
+                lambda t, y: np.asarray(fun_wrapped(t, jnp.asarray(y))),
+                t0, y0)
         self.params = IVPParams(
             t_bound=jnp.asarray(self.t_bound),
             direction=jnp.asarray(self.direction),

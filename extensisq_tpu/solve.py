@@ -49,16 +49,8 @@ class Solution(NamedTuple):
 
 def _record_segment(stepper, state):
     """Free-interpolant coefficients of the last accepted step."""
-    h = state.h_previous
-    tab = getattr(stepper, "tab", None)
-    if tab is not None and getattr(tab, "P", None) is not None \
-            and stepper.family == "erk":
-        Q = (state.K.T @ jnp.asarray(np.asarray(tab.P))) * h
-    else:
-        from .core.interpolate import hermite_cubic_coefficients
-        Q = hermite_cubic_coefficients(h, state.y_old, state.y,
-                                       state.f_old, state.f)
-    return state.t_old, h, state.y_old, Q
+    return (state.t_old, state.h_previous, state.y_old,
+            stepper.record_coefficients(state))
 
 
 def solve(fun, t_span, y0, method=None, rtol=1e-3, atol=1e-6,

@@ -182,11 +182,11 @@ class ERKStepper:
 
     def _attempt(self, params, t, y, f, state, c):
         h = c.h_abs * params.direction
-        zero_y = jnp.zeros((self.n,), self.dtype)
-        K_shape = (self.s + 1, self.n)
+        zero_y = jnp.zeros_like(f)
+        K_shape = (self.s + 1,) + f.shape
         nfev = c.nfev
 
-        if self.tab.E_pre is not None:
+        if getattr(self.tab, "E_pre", None) is not None:
             npre = self.tab.n_pre
             K_rows = [f]
             nfev += self._run_stages(t, y, h, 1, npre, K_rows)
@@ -298,7 +298,7 @@ class ERKStepper:
             max_factor=state.max_factor,
             y_new=y,
             error_norm=state.error_norm_old,
-            K=jnp.zeros((self.s + 1, self.n), self.dtype),
+            K=jnp.zeros_like(state.K),
             nfev=state.nfev,
             nfailed=state.nfailed,
             jflstp=state.jflstp,
@@ -360,6 +360,16 @@ class ERKStepper:
             havg=havg)
 
     # -- dense output ----------------------------------------------------------
+
+    def record_coefficients(self, state):
+        """Free-interpolant Q of the last accepted step, for on-device
+        trajectory recording (no extra RHS evals)."""
+        h = state.h_previous
+        if self.tab.P is not None:
+            return (state.K.T @ jnp.asarray(np.asarray(self.tab.P))) * h
+        from ..core.interpolate import hermite_cubic_coefficients
+        return hermite_cubic_coefficients(h, state.y_old, state.y,
+                                          state.f_old, state.f)
 
     def dense_segments(self, state, interpolant=None):
         """Dense-output segment(s) for the last accepted step.
