@@ -1,0 +1,141 @@
+"""SSV2stab (RKC) conformance and sharded-PDE tests."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from extensisq_tpu import solve_ivp, SSV2stab
+from extensisq_tpu.solve import solve
+from extensisq_tpu.parallel import (heat_1d_rhs, heat_2d_rhs,
+                                    brusselator_2d_rhs,
+                                    make_mesh, shard_state)
+from jax.sharding import PartitionSpec as P
+
+N = 64
+
+
+def heat_dirichlet(t, y):
+    yp = jnp.pad(y, 1)
+    return (yp[:-2] - 2.0 * y + yp[2:]) * (N + 1) ** 2
+
+
+def heat_exact(x, t, modes=((1, 1.0), (5, 0.5))):
+    """Exact solution of the *discrete* Dirichlet Laplacian system."""
+    out = 0.0
+    for k, a in modes:
+        lam = -4.0 * (N + 1) ** 2 * np.sin(k * np.pi / (2 * (N + 1))) ** 2
+        out = out + a * np.sin(k * np.pi * x) * np.exp(lam * t)
+    return out
+
+
+def _y0():
+    x = np.linspace(1 / (N + 1), N / (N + 1), N)
+    return x, np.sin(np.pi * x) + 0.5 * np.sin(5 * np.pi * x)
+
+
+def test_heat_accuracy_and_counters():
+    x, y0 = _y0()
+    res = solve_ivp(heat_dirichlet, (0, 0.1), y0, method=SSV2stab,
+                    rtol=1e-4, atol=1e-7)
+    assert res.success
+    # mildly stiff problem solved with few steps despite rho*T ~ 1600
+    assert res.nsteps < 80
+    assert res.nfev < 500
+    exact = heat_exact(x, 0.1)
+    assert np.max(np.abs(res.y[:, -1] - exact)) < 1e-4
+    # Laplacian eigenvalues are not exactly (N+1)^2*4 but close; the
+    # exact solution uses the continuous operator; allow discretization
+    # error via a weak bound above.
+
+
+def test_rho_jac_callback():
+    x, y0 = _y0()
+    sprad = 4.0 * (N + 1) ** 2
+
+    res = solve_ivp(heat_dirichlet, (0, 0.1), y0, method=SSV2stab,
+                    rtol=1e-4, atol=1e-7, rho_jac=lambda t, y: sprad)
+    assert res.success
+    res_pi = solve_ivp(heat_dirichlet, (0, 0.1), y0, method=SSV2stab,
+                       rtol=1e-4, atol=1e-7)
+    # callback avoids power-iteration evals; trajectories agree
+    assert np.max(np.abs(res.y[:, -1] - res_pi.y[:, -1])) < 1e-5
+
+
+def test_const_jac():
+    x, y0 = _y0()
+    res = solve_ivp(heat_dirichlet, (0, 0.1), y0, method=SSV2stab,
+                    rtol=1e-4, atol=1e-7, const_jac=True)
+    assert res.success
+    exact = heat_exact(x, 0.1)
+    assert np.max(np.abs(res.y[:, -1] - exact)) < 1e-4
+
+
+def test_dense_output():
+    x, y0 = _y0()
+    res = solve_ivp(heat_dirichlet, (0, 0.1), y0, method=SSV2stab,
+                    rtol=1e-5, atol=1e-8, dense_output=True)
+    tc = np.linspace(0.0, 0.1, 11)
+    yc = np.asarray(res.sol(tc))
+    for i, t in enumerate(tc):
+        assert np.max(np.abs(yc[:, i] - heat_exact(x, t))) < 2e-4
+
+
+def test_complex_rejected():
+    with pytest.raises(ValueError, match="complex"):
+        solve_ivp(lambda t, y: -y, (0, 1), np.array([1j]),
+                  method=SSV2stab)
+
+
+def test_device_solve_rkc():
+    x, y0 = _y0()
+    out = jax.jit(lambda y: solve(heat_dirichlet, (0.0, 0.1), y,
+                                  method=SSV2stab, rtol=1e-4,
+                                  atol=1e-7))(jnp.asarray(y0))
+    assert int(out.status) == 1
+    r = solve_ivp(heat_dirichlet, (0, 0.1), y0, method=SSV2stab,
+                  rtol=1e-4, atol=1e-7)
+    assert int(out.nsteps) == r.nsteps
+    np.testing.assert_allclose(np.asarray(out.y), r.y[:, -1], atol=1e-10)
+
+
+def test_brusselator_2d():
+    shape = (16, 16)
+    rhs = brusselator_2d_rhs(shape, alpha=0.02)
+    ny, nx = shape
+    xg, yg = np.meshgrid(np.linspace(0, 1, nx, endpoint=False),
+                         np.linspace(0, 1, ny, endpoint=False))
+    u0 = 1.0 + 0.5 * np.sin(2 * np.pi * xg) * np.sin(2 * np.pi * yg)
+    v0 = 3.0 + 0.1 * np.cos(2 * np.pi * xg)
+    y0 = np.concatenate([u0.ravel(), v0.ravel()])
+    res = solve_ivp(rhs, (0, 1.0), y0, method=SSV2stab, rtol=1e-4,
+                    atol=1e-7)
+    assert res.success
+    assert np.all(np.isfinite(res.y))
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_sharded_pde_solve():
+    """State vector sharded over the mesh: full RKC solve with halo
+    exchanges and norm all-reduces inserted by GSPMD."""
+    n = 512
+    rhs = heat_1d_rhs(kappa=1e-3, n=n)
+    x = np.linspace(0, 1, n, endpoint=False)
+    y0 = np.sin(2 * np.pi * x) + 0.3 * np.sin(8 * np.pi * x)
+
+    mesh = make_mesh(("space",))
+    y0_sharded = shard_state(jnp.asarray(y0), mesh, P("space"))
+    run = jax.jit(lambda y: solve(rhs, (0.0, 10.0), y, method=SSV2stab,
+                                  rtol=1e-5, atol=1e-8))
+    out = run(y0_sharded)
+    jax.block_until_ready(out)
+    assert int(out.status) == 1
+    # compare against unsharded run
+    out_ref = run(jnp.asarray(y0))
+    np.testing.assert_allclose(np.asarray(out.y), np.asarray(out_ref.y),
+                               rtol=1e-12, atol=1e-14)
+    # and against the exact solution of the continuous problem
+    exact = (np.exp(-1e-3 * (2 * np.pi) ** 2 * 10.0)
+             * np.sin(2 * np.pi * x)
+             + 0.3 * np.exp(-1e-3 * (8 * np.pi) ** 2 * 10.0)
+             * np.sin(8 * np.pi * x))
+    assert np.max(np.abs(np.asarray(out.y) - exact)) < 1e-3
