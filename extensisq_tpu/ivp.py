@@ -196,6 +196,12 @@ class Stepper:
         else:
             self.state = self._impl._init_fs_jit(t0, y0, self.params,
                                                  first_step)
+        if getattr(self._impl, "isDAE", False):
+            y0c = np.asarray(self.state.y)
+            if not np.allclose(y0c, y0, rtol=rtol, atol=np.max(atol)):
+                warn(f"\nInitial conditions are changed to y0 = {y0c} to"
+                     "\nmake them consistent with the algebraic "
+                     "constraints.")
         self._nfev_extra = 0
         self._status_code = RUNNING
         self._message = None
