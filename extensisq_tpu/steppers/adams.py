@@ -1,0 +1,603 @@
+"""SWAG: variable-order Adams-Bashforth-Moulton PECE stepper.
+
+TPU-native rewrite of the reference's SLATEC DDEABM/dsteps.f translation
+(/root/reference/extensisq/shampine.py:99-480).  The dsteps machinery is
+the most state-entangled code in the reference: variable order k <= 12,
+scaled divided differences ``phi``, and coefficient recurrences over
+index ranges [ns-1, k) that change every step.
+
+Here every array has the static shape of its k_max bound and the
+dynamic index ranges become masks: vectorized recurrences (psi/alpha/
+beta/sig) are masked cumprods, the sequential v/w/g recurrences are
+``lax.fori_loop``s over the static bound with per-iteration activity
+masks.  That makes the whole stepper one jittable pure function —
+variable order included — so Adams ensembles vmap like everything else.
+"""
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .._config import (RUNNING, FINISHED, TOO_SMALL_STEP, TOL_TOO_TIGHT)
+from ..core.hstart import h_start
+from ..core.numerics import calculate_scale, norm, dtype_constants
+
+K_MAX_LIMIT = 12
+
+# Adams error constants (dsteps gstr) and the doubling thresholds
+_GSTR = np.array([0.5, 0.0833, 0.0417, 0.0264, 0.0188, 0.0143, 0.0114,
+                  0.00936, 0.00789, 0.00679, 0.00592, 0.00524, 0.00468])
+
+
+class AdamsState(NamedTuple):
+    t: Any
+    y: Any
+    yp: Any
+    h: Any                  # signed current step proposal
+    hold: Any
+    wt: Any                 # (n,) error weights, updated each step
+    k: Any                  # current order
+    kold: Any
+    kprev: Any
+    ns: Any                 # steps taken at this h
+    phase1: Any             # bool: initial order-raising phase
+    ivc: Any
+    kgi: Any
+    iv: Any                 # (k_max-2,) int32
+    gi: Any                 # (k_max-1,)
+    phi: Any                # (k_max+2, n) scaled divided differences
+    psi: Any                # (k_max,)
+    alpha: Any              # (k_max,)
+    beta: Any               # (k_max,)
+    sig: Any                # (k_max+1,)
+    v: Any                  # (k_max,)
+    w: Any                  # (k_max,)
+    g: Any                  # (k_max+1,)
+    status: Any
+    extrapolated: Any       # bool: last step was a linear extrapolation
+    kle4: Any               # consecutive low-order steps (stiffness hint)
+    stiff_flag: Any         # bool diagnostic (vmap-safe "warning")
+    t_old: Any
+    y_old: Any
+    yp_old: Any
+    h_previous: Any
+    nfev: Any
+    nsteps: Any
+    nfailed: Any
+
+
+class _Carry(NamedTuple):
+    h: Any
+    k: Any
+    ns: Any
+    kprev: Any
+    ifail: Any
+    phase1: Any
+    phi: Any
+    psi: Any
+    alpha: Any
+    beta: Any
+    sig: Any
+    v: Any
+    w: Any
+    g: Any
+    gi: Any
+    iv: Any
+    ivc: Any
+    kgi: Any
+    success: Any
+    status: Any
+    p: Any                 # predicted solution
+    yp_pred: Any
+    wt: Any
+    erk: Any
+    erkm1: Any
+    erkm2: Any
+    knew: Any
+    nfev: Any
+    nfailed: Any
+
+
+class AdamsStepper:
+    family = "adams"
+
+    def __init__(self, fun, n, dtype, options=None):
+        self.fun = fun
+        self.n = n
+        self.dtype = np.dtype(dtype)
+        self.real_dtype = np.finfo(self.dtype).dtype
+        consts = dtype_constants(self.real_dtype)
+        small = consts["uround"]
+        self.twou = 2.0 * small
+        self.fouru = 4.0 * small
+        opts = dict(options or {})
+        k_max = int(opts.pop("k_max", 12))
+        if not (0 < k_max < 13):
+            raise ValueError(
+                "`k_max` should be an integer between 1 and 12.")
+        self.k_max = k_max
+        self.options = opts
+        km = k_max
+        self.iq = np.arange(1, km + 2, dtype=float)
+        self.iqq = 1.0 / (self.iq * (self.iq + 1.0))
+        self.gstr = _GSTR
+        self.two = 2.0 ** np.arange(1, km + 3)   # two[k] = 2^(k+1)
+        self.eps = 1.0
+        self.p5eps = 0.5
+
+    # -- construction --------------------------------------------------------
+
+    def init(self, t0, y0, params, first_step=None):
+        t0 = jnp.asarray(t0, self.real_dtype)
+        y0 = jnp.asarray(y0, self.dtype)
+        yp0 = self.fun(t0, y0)
+        nfev = 1
+        if first_step is None:
+            b = t0 + params.direction * jnp.minimum(
+                jnp.abs(params.t_bound - t0), params.max_step)
+            h = h_start(self.fun, t0, b, y0, yp0, 1, params.rtol,
+                        params.atol)
+            nfev += 1 + min(self.n + 1, 3)
+        else:
+            h = jnp.asarray(first_step, self.real_dtype) * params.direction
+        km = self.k_max
+        wt = calculate_scale(params.atol, params.rtol, y0, y0 - h * yp0)
+
+        phi = jnp.zeros((km + 2, self.n), self.dtype)
+        phi = phi.at[0].set(yp0)
+        g = jnp.zeros((km + 1,), self.real_dtype)
+        g = g.at[0].set(1.0).at[1].set(0.5)
+        sig = jnp.zeros((km + 1,), self.real_dtype).at[0].set(1.0)
+        z = jnp.asarray(0.0, self.real_dtype)
+        i0 = jnp.asarray(0, jnp.int32)
+        return AdamsState(
+            t=t0, y=y0, yp=yp0, h=h, hold=z, wt=wt,
+            k=jnp.asarray(1, jnp.int32), kold=i0, kprev=i0, ns=i0,
+            phase1=jnp.asarray(True), ivc=i0, kgi=i0,
+            iv=jnp.zeros((max(km - 2, 1),), jnp.int32),
+            gi=jnp.zeros((km - 1,), self.real_dtype),
+            phi=phi,
+            psi=jnp.zeros((km,), self.real_dtype),
+            alpha=jnp.zeros((km,), self.real_dtype),
+            beta=jnp.zeros((km,), self.real_dtype),
+            sig=sig,
+            v=jnp.zeros((km,), self.real_dtype),
+            w=jnp.zeros((km,), self.real_dtype),
+            g=g,
+            status=jnp.asarray(RUNNING, jnp.int32),
+            extrapolated=jnp.asarray(False),
+            kle4=i0, stiff_flag=jnp.asarray(False),
+            t_old=t0, y_old=y0, yp_old=yp0, h_previous=z,
+            nfev=jnp.asarray(nfev, jnp.int32), nsteps=i0, nfailed=i0)
+
+    # -- block 1: coefficient recurrences (shampine.py:246-317) ---------------
+
+    def _coefficients(self, c, h, kold):
+        km = self.k_max
+        idx = jnp.arange(km)
+        k, ns = c.k, c.ns
+        kp1, km1 = k + 1, k - 1
+        nsm1 = ns - 1
+
+        recompute = k >= ns
+
+        psi_old = c.psi
+        # psi[nsm1] = h*ns ; psi[i] = h + psi_old[i-1] for i in [ns, k)
+        psi_shift = jnp.concatenate([jnp.zeros(1, psi_old.dtype),
+                                     psi_old[:-1]])
+        psi = jnp.where(idx == nsm1, h * ns,
+                        jnp.where((idx >= ns) & (idx < k),
+                                  h + psi_shift, psi_old))
+        psi = jnp.where(recompute, psi, psi_old)
+
+        alpha = jnp.where(idx == nsm1, 1.0 / ns,
+                          jnp.where((idx >= ns) & (idx < k),
+                                    h / jnp.where(psi == 0, 1.0, psi),
+                                    c.alpha))
+        alpha = jnp.where(recompute, alpha, c.alpha)
+
+        # beta[i] = prod_{j=ns..i} psi[j-1]/psi_old[j-1]
+        ratio = jnp.where((idx >= ns) & (idx < k),
+                          psi_shift * 0.0
+                          + jnp.concatenate([jnp.ones(1, psi.dtype),
+                                             psi[:-1]])
+                          / jnp.where(psi_shift == 0, 1.0, psi_shift),
+                          1.0)
+        beta = jnp.where(idx == nsm1, 1.0,
+                         jnp.where((idx >= ns) & (idx < k),
+                                   jnp.cumprod(ratio), c.beta))
+        beta = jnp.where(recompute, beta, c.beta)
+
+        # sig[j+1] = sig[nsm1-ish base] * prod_{i=nsm1..j} (i+1)*alpha[i]
+        factor = jnp.where((idx >= nsm1) & (idx < k),
+                           jnp.asarray(self.iq[:km]) * alpha, 1.0)
+        cp = jnp.cumprod(factor)
+        s_base = c.sig[jnp.clip(nsm1, 0, km)]
+        s_base = jnp.where(nsm1 == 0, 1.0, s_base)
+        sig_tail = s_base * cp                      # value for index j+1
+        midx = jnp.arange(km + 1)
+        sig = jnp.where((midx >= ns) & (midx <= k) & recompute,
+                        sig_tail[jnp.clip(midx - 1, 0, km - 1)], c.sig)
+
+        # ---- v, w, g ----
+        iqq = jnp.asarray(self.iqq[:km])
+        v, w, gi, iv = c.v, c.w, c.gi, c.iv
+        ivc, kgi = c.ivc, c.kgi
+        g = c.g
+
+        first_ns = ns == 1
+
+        # ns == 1 branch (shampine.py:275-280)
+        v1 = jnp.where(idx < k, iqq, v)
+        w1 = v1
+        ivc1 = jnp.asarray(0, jnp.int32)
+        kgi1 = jnp.where(k != 1, 1, 0).astype(jnp.int32)
+        gi1 = jnp.where((jnp.arange(km - 1) == 0) & (k != 1), w1[1], gi)
+
+        # ns > 1 branch (shampine.py:282-309)
+        raised = k > c.kprev
+        use_iv = raised & (ivc != 0)
+        ivc2 = jnp.where(raised, jnp.where(use_iv, ivc - 1, ivc), ivc)
+        jv = jnp.where(use_iv,
+                       kp1 - iv[jnp.clip(ivc - 1, 0, iv.shape[0] - 1)],
+                       1).astype(jnp.int32)
+        # fresh diagonal entry when the order was raised without a
+        # stored iv pointer
+        fresh = raised & (ivc == 0)
+        v2 = jnp.where(fresh & (idx == km1), iqq[jnp.clip(km1, 0, km - 1)],
+                       v)
+        w2 = jnp.where(fresh & (idx == km1), v2[jnp.clip(km1, 0, km - 1)],
+                       w)
+        kgi2 = jnp.where(fresh & (k == 2), 1, kgi).astype(jnp.int32)
+        gi2 = jnp.where((jnp.arange(km - 1) == 0) & fresh & (k == 2),
+                        w2[1], gi)
+
+        # sequential diagonal update: j = jv .. nsm1-1 (shampine.py:295-299)
+        def diag_body(j, vv):
+            active = raised & (j >= jv) & (j < nsm1)
+            i = jnp.clip(km1 - j, 0, km - 1)
+            newval = vv[i] - alpha[jnp.clip(j, 0, km - 1)] \
+                * vv[jnp.clip(i + 1, 0, km - 1)]
+            return vv.at[i].set(jnp.where(active, newval, vv[i]))
+
+        v2 = jax.lax.fori_loop(0, km, diag_body, v2)
+        w2 = jnp.where(raised
+                       & (idx >= jnp.maximum(km1 - nsm1 + 1, 0))
+                       & (idx <= km1 - jv), v2, w2)
+        cond_kgi = raised & (k == ns) & (jv < nsm1)
+        kgi2 = jnp.where(cond_kgi, nsm1, kgi2).astype(jnp.int32)
+        gi2 = jnp.where((jnp.arange(km - 1) == jnp.clip(nsm1 - 1, 0,
+                                                        km - 2))
+                        & cond_kgi, v2[1], gi2)
+
+        # main v update and w copy (shampine.py:301-309)
+        limit1 = kp1 - ns
+        v_shift = jnp.concatenate([v2[1:], jnp.zeros(1, v2.dtype)])
+        v2 = jnp.where(idx < limit1,
+                       v2 - alpha[jnp.clip(nsm1, 0, km - 1)] * v_shift,
+                       v2)
+        w2 = jnp.where(idx < limit1 + 1, v2, w2)
+        g2 = g.at[jnp.clip(ns, 0, km)].set(
+            jnp.where(True, v2[0], g[jnp.clip(ns, 0, km)]))
+        kgi2 = jnp.where(limit1 != 1, ns, kgi2).astype(jnp.int32)
+        gi2 = jnp.where((jnp.arange(km - 1)
+                         == jnp.clip(nsm1, 0, km - 2)) & (limit1 != 1),
+                        v2[1], gi2)
+        lower = k < kold
+        iv2 = jnp.where((jnp.arange(iv.shape[0])
+                         == jnp.clip(ivc2, 0, iv.shape[0] - 1)) & lower,
+                        (limit1 + 2).astype(jnp.int32), iv)
+        ivc3 = jnp.where(lower, ivc2 + 1, ivc2).astype(jnp.int32)
+
+        # select ns==1 vs ns>1 results
+        v = jnp.where(first_ns, v1, v2)
+        w = jnp.where(first_ns, w1, w2)
+        gi = jnp.where(first_ns, gi1, gi2)
+        iv = jnp.where(first_ns, iv, iv2)
+        ivc = jnp.where(first_ns, ivc1, ivc3)
+        kgi = jnp.where(first_ns, kgi1, kgi2)
+        g = jnp.where(first_ns, g, g2)
+
+        # compute the g coefficients in w (shampine.py:311-316)
+        def g_body(i, val):
+            ww, gg = val
+            active = (i >= ns) & (i < k)
+            limit2 = k - i
+            w_shift = jnp.concatenate([ww[1:], jnp.zeros(1, ww.dtype)])
+            ww_new = jnp.where((idx < limit2) & active,
+                               ww - alpha[jnp.clip(i, 0, km - 1)]
+                               * w_shift, ww)
+            gg = gg.at[jnp.clip(i + 1, 0, km)].set(
+                jnp.where(active, ww_new[0],
+                          gg[jnp.clip(i + 1, 0, km)]))
+            return ww_new, gg
+
+        w, g = jax.lax.fori_loop(0, km, g_body, (w, g))
+
+        def keep(x_new, x_old):
+            return jnp.where(recompute, x_new, x_old)
+
+        return (psi, alpha, beta, sig, keep(v, c.v), keep(w, c.w),
+                keep(g, c.g), keep(gi, c.gi),
+                jnp.where(recompute, iv, c.iv),
+                jnp.where(recompute, ivc, c.ivc).astype(jnp.int32),
+                jnp.where(recompute, kgi, c.kgi).astype(jnp.int32))
+
+    # -- one step --------------------------------------------------------------
+
+    def step(self, params, state):
+        km = self.k_max
+        x0, y0, yp0 = state.t, state.y, state.yp
+        min_step = self.fouru * jnp.abs(x0)
+
+        # stiffness hint (shampine.py:198-207)
+        kle4 = jnp.where(state.kold > 4, 0, state.kle4 + 1)
+        stiff_flag = state.stiff_flag | ((kle4 > 50) & (self.k_max > 4))
+        kle4 = jnp.where(kle4 > 50, 0, kle4)
+
+        d = params.t_bound - x0
+        near_end = jnp.abs(d) <= min_step
+
+        # --- normal path ---
+        h_in = state.h
+        h_in = jnp.where(params.direction * (h_in - d) > 0, d, h_in)
+        h_in = jnp.sign(h_in) * jnp.minimum(params.max_step,
+                                            jnp.abs(h_in))
+
+        round_ = self.twou * norm(y0 / state.wt)
+        tol_tight = self.p5eps < round_
+
+        def attempt(c):
+            h, k = c.h, c.k
+            kp1, km1, km2 = k + 1, k - 1, k - 2
+            # ns counts steps taken at this h (shampine.py:251-256):
+            # reset when h differs from the last successful step's h
+            ns = jnp.where(h != state.hold, jnp.asarray(0, jnp.int32),
+                           c.ns)
+            ns = jnp.where(ns <= state.kold, ns + 1, ns)
+
+            cc = c._replace(ns=ns)
+            (psi, alpha, beta, sig, v, w, g, gi, iv, ivc, kgi) = \
+                self._coefficients(cc, h, state.kold)
+
+            # block 2: predict (shampine.py:320-364)
+            idx_r = jnp.arange(km + 2)
+            phi = c.phi
+            phi = jnp.where(((idx_r >= ns) & (idx_r < k))[:, None],
+                            phi * beta[jnp.clip(idx_r, 0, km - 1), None],
+                            phi)
+            phi_k = phi[jnp.clip(k, 0, km + 1)]
+            phi = phi.at[jnp.clip(kp1, 0, km + 1)].set(phi_k)
+            phi = phi.at[jnp.clip(k, 0, km + 1)].set(
+                jnp.zeros_like(phi_k))
+            gw = jnp.where(idx_r < k, g[jnp.clip(idx_r, 0, km)], 0.0)
+            p = h * jnp.einsum("s,sn->n", gw.astype(self.real_dtype),
+                               phi.astype(self.dtype)) + y0
+            # reverse cumulative sum over rows < k
+            masked = jnp.where((idx_r < k)[:, None], phi,
+                               jnp.zeros_like(phi))
+            rev = jnp.cumsum(masked[::-1], axis=0)[::-1]
+            phi = jnp.where((idx_r < k)[:, None], rev, phi)
+
+            x = x0 + h
+            yp_pred = self.fun(x, p)
+            nfev = c.nfev + 1
+
+            wt = calculate_scale(params.atol, params.rtol, p, y0,
+                                 _mean=True)
+            inv_wt = 1.0 / wt
+            temp4 = yp_pred - phi[0]
+            absh = jnp.abs(h)
+            gstr = jnp.asarray(self.gstr)
+            sigj = sig
+
+            erk = absh * norm(temp4 * inv_wt)
+            erkm1 = absh * norm((phi[jnp.clip(km1, 0, km + 1)] + temp4)
+                                * inv_wt) \
+                * sigj[jnp.clip(km1, 0, km)] \
+                * gstr[jnp.clip(km2, 0, 12)]
+            erkm2 = absh * norm((phi[jnp.clip(km2, 0, km + 1)] + temp4)
+                                * inv_wt) \
+                * sigj[jnp.clip(km2, 0, km)] \
+                * gstr[jnp.clip(km2 - 1, 0, 12)]
+            err = erk * (g[jnp.clip(km1, 0, km)] - g[jnp.clip(k, 0, km)])
+            erk = erk * sigj[jnp.clip(k, 0, km)] * gstr[jnp.clip(km1, 0,
+                                                                 12)]
+
+            knew = jnp.where(
+                (k > 2) & (jnp.maximum(erkm1, erkm2) < erk), km1,
+                jnp.where((k == 2) & (erkm1 < 0.5 * erk), km1, k))
+
+            success = err <= self.eps
+
+            # block 3: failure restore (shampine.py:369-398)
+            phi_r = jnp.where((idx_r < k)[:, None],
+                              phi - phi[jnp.clip(idx_r + 1, 0,
+                                                 km + 1)], phi)
+            phi_r = jnp.where(
+                (idx_r < k)[:, None],
+                phi_r / jnp.where(
+                    beta[jnp.clip(idx_r, 0, km - 1), None] == 0, 1.0,
+                    beta[jnp.clip(idx_r, 0, km - 1), None]), phi_r)
+            idx_k = jnp.arange(km)
+            psi_r = jnp.where(idx_k < km1,
+                              psi[jnp.clip(idx_k + 1, 0, km - 1)] - h,
+                              psi)
+
+            ifail = c.ifail + 1
+            temp2 = jnp.where((ifail >= 4) & (self.p5eps < 0.25 * erk),
+                              jnp.sqrt(self.p5eps / erk), 0.5)
+            knew_fail = jnp.where(ifail >= 3, 1, knew).astype(jnp.int32)
+            h_fail = h * temp2
+            status = jnp.where((~success)
+                               & (jnp.abs(h_fail) < min_step),
+                               jnp.asarray(TOO_SMALL_STEP, jnp.int32),
+                               c.status)
+
+            return _Carry(
+                h=jnp.where(success, h, h_fail),
+                k=jnp.where(success, k, knew_fail),
+                ns=ns,
+                kprev=k,
+                ifail=jnp.where(success, c.ifail, ifail),
+                phase1=jnp.where(success, c.phase1, False),
+                phi=jnp.where(success, phi, phi_r),
+                psi=jnp.where(success, psi, psi_r),
+                alpha=alpha, beta=beta, sig=sig, v=v, w=w, g=g,
+                gi=gi, iv=iv, ivc=ivc, kgi=kgi,
+                success=success,
+                status=status,
+                p=jnp.where(success, p, c.p),
+                yp_pred=jnp.where(success, yp_pred, c.yp_pred),
+                wt=jnp.where(success, wt, c.wt),
+                erk=erk, erkm1=erkm1, erkm2=erkm2,
+                knew=knew.astype(jnp.int32),
+                nfev=nfev,
+                nfailed=c.nfailed + jnp.where(success, 0, 1))
+
+        def cond_fn(c):
+            return (~c.success) & (c.status == RUNNING)
+
+        def body_fn(c):
+            return jax.lax.cond(cond_fn(c), attempt, lambda x: x, c)
+
+        c0 = _Carry(
+            h=h_in, k=state.k, ns=state.ns, kprev=state.kprev,
+            ifail=jnp.asarray(0, jnp.int32), phase1=state.phase1,
+            phi=state.phi, psi=state.psi, alpha=state.alpha,
+            beta=state.beta, sig=state.sig, v=state.v, w=state.w,
+            g=state.g, gi=state.gi, iv=state.iv, ivc=state.ivc,
+            kgi=state.kgi,
+            success=near_end,        # skip the loop on extrapolation
+            status=jnp.where(
+                tol_tight & ~near_end,
+                jnp.asarray(TOL_TOO_TIGHT, jnp.int32),
+                jnp.where((jnp.abs(h_in) < min_step) & ~near_end,
+                          jnp.asarray(TOO_SMALL_STEP, jnp.int32),
+                          state.status)),
+            p=y0, yp_pred=yp0, wt=state.wt,
+            erk=jnp.asarray(0.0, self.real_dtype),
+            erkm1=jnp.asarray(0.0, self.real_dtype),
+            erkm2=jnp.asarray(0.0, self.real_dtype),
+            knew=state.k, nfev=state.nfev, nfailed=state.nfailed)
+        c = jax.lax.while_loop(cond_fn, body_fn, c0)
+        ok = c.success & ~near_end
+
+        # block 4: correct, evaluate, update differences
+        # (shampine.py:402-468)
+        h, k = c.h, c.k
+        kp1, km1 = k + 1, k - 1
+        x = x0 + h
+        g_k = c.g[jnp.clip(k, 0, km)]
+        y_corr = h * g_k * (c.yp_pred - c.phi[0]) + c.p
+        yp_new = jax.lax.cond(
+            ok, lambda _: self.fun(x, y_corr), lambda _: yp0,
+            operand=None)
+        nfev = c.nfev + jnp.where(ok, 1, 0)
+
+        idx_r = jnp.arange(km + 2)
+        phi = c.phi
+        phi_k_new = yp_new - phi[0]
+        phi = phi.at[jnp.clip(k, 0, km + 1)].set(phi_k_new)
+        phi = phi.at[jnp.clip(kp1, 0, km + 1)].set(
+            phi_k_new - phi[jnp.clip(kp1, 0, km + 1)])
+        phi = jnp.where((idx_r < k)[:, None], phi + phi_k_new[None, :],
+                        phi)
+
+        # order selection for the next step (shampine.py:420-455)
+        phase1 = c.phase1 & ~((c.knew == km1) | (k == self.k_max))
+        erkp1 = self.gstr[np.minimum(self.k_max, 12)] * 0.0
+        erkp1 = jnp.asarray(self.gstr)[jnp.clip(k, 0, 12)] \
+            * jnp.abs(h) * norm(phi[jnp.clip(kp1, 0, km + 1)] / c.wt)
+        can_est = (~phase1) & (c.knew != km1) & (k < c.ns)
+
+        raise1 = (k == 1) & (erkp1 < 0.5 * c.erk) & (k < self.k_max)
+        lower = (k != 1) & (c.erkm1 <= jnp.minimum(c.erk, erkp1))
+        raise2 = (k != 1) & ~lower & ~((erkp1 > c.erk)
+                                       | (k == self.k_max))
+
+        k_next = jnp.where(
+            phase1, kp1,
+            jnp.where(c.knew == km1, km1,
+                      jnp.where(can_est & raise1, kp1,
+                                jnp.where(can_est & lower, km1,
+                                          jnp.where(can_est & raise2,
+                                                    kp1, k)))))
+        erk_next = jnp.where(
+            phase1, erkp1,
+            jnp.where(c.knew == km1, c.erkm1,
+                      jnp.where(can_est & raise1, erkp1,
+                                jnp.where(can_est & lower, c.erkm1,
+                                          jnp.where(can_est & raise2,
+                                                    erkp1, c.erk)))))
+
+        two_next = jnp.asarray(self.two)[jnp.clip(k_next, 0,
+                                                  self.two.size - 1)]
+        double = phase1 | (self.p5eps >= erk_next * two_next)
+        keep_h = self.p5eps >= erk_next
+        r = (self.p5eps / jnp.maximum(erk_next, 1e-300)) \
+            ** (1.0 / (k_next.astype(self.real_dtype) + 1.0))
+        h_red = jnp.abs(h) * jnp.clip(r, 0.5, 0.9)
+        h_red = jnp.sign(h) * jnp.maximum(h_red, min_step)
+        h_next = jnp.where(double, h + h, jnp.where(keep_h, h, h_red))
+
+        is_last = ok & (x == params.t_bound)
+        # h was clamped to d upfront; landing detection via remaining gap
+        is_last = ok & (jnp.abs(params.t_bound - x)
+                        <= self.fouru * jnp.abs(x))
+        t_new = jnp.where(is_last, params.t_bound, x)
+
+        # --- near-end linear extrapolation (shampine.py:209-217) ---
+        y_ext = y0 + d * yp0
+
+        ok_any = ok | near_end
+        status = jnp.where(
+            (c.status == RUNNING) & (is_last | near_end),
+            jnp.asarray(FINISHED, jnp.int32), c.status)
+
+        return AdamsState(
+            t=jnp.where(near_end, params.t_bound,
+                        jnp.where(ok, t_new, state.t)),
+            y=jnp.where(near_end, y_ext, jnp.where(ok, y_corr, state.y)),
+            yp=jnp.where(ok, yp_new, state.yp),
+            h=jnp.where(ok, h_next, jnp.where(near_end, state.h, c.h)),
+            hold=jnp.where(ok, h, state.hold),
+            wt=jnp.where(ok, c.wt, state.wt),
+            k=jnp.where(ok, k_next, jnp.where(near_end, state.k, c.k))
+            .astype(jnp.int32),
+            kold=jnp.where(near_end, 0, jnp.where(ok, k, state.kold))
+            .astype(jnp.int32),
+            kprev=jnp.where(ok, c.kprev, state.kprev).astype(jnp.int32),
+            ns=jnp.where(ok, c.ns, state.ns).astype(jnp.int32),
+            phase1=jnp.where(ok, phase1, c.phase1),
+            ivc=c.ivc, kgi=c.kgi, iv=c.iv, gi=c.gi,
+            phi=jnp.where(ok, phi, state.phi),
+            psi=jnp.where(ok, c.psi, state.psi),
+            alpha=jnp.where(ok, c.alpha, state.alpha),
+            beta=jnp.where(ok, c.beta, state.beta),
+            sig=jnp.where(ok, c.sig, state.sig),
+            v=jnp.where(ok, c.v, state.v),
+            w=jnp.where(ok, c.w, state.w),
+            g=jnp.where(ok, c.g, state.g),
+            status=status,
+            extrapolated=near_end,
+            kle4=kle4, stiff_flag=stiff_flag,
+            t_old=jnp.where(ok_any, x0, state.t_old),
+            y_old=jnp.where(ok_any, y0, state.y_old),
+            yp_old=jnp.where(ok_any, yp0, state.yp_old),
+            h_previous=jnp.where(near_end, d,
+                                 jnp.where(ok, h, state.h_previous)),
+            nfev=nfev,
+            nsteps=state.nsteps + jnp.where(ok_any, 1, 0),
+            nfailed=c.nfailed)
+
+    # -- dense output -----------------------------------------------------------
+
+    def record_coefficients(self, state):
+        from .adams_dense import dintp_coefficients
+        return dintp_coefficients(self, state)
+
+    def dense_segments(self, state, interpolant=None):
+        Q = self.record_coefficients(state)
+        return [(state.t_old, state.h_previous, state.y_old, Q)], 0
