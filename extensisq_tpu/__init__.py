@@ -24,12 +24,17 @@ from .methods import (  # noqa: F401
     SWAG, SSV2stab,
     ALL_METHODS, METHODS_BY_NAME)
 from .ivp import solve_ivp, Stepper, OdeResult  # noqa: F401
+from .solve import solve, solve_ensemble, Solution  # noqa: F401
 from .core.interpolate import OdeSolution  # noqa: F401
+from .sensitivity import (  # noqa: F401
+    sens_forward, sens_adjoint_end, sens_adjoint_int, solve_final)
 
 __version__ = "0.1.0"
 
 __all__ = [
     "solve_ivp", "Stepper", "OdeResult", "OdeSolution",
+    "solve", "solve_ensemble", "Solution",
+    "sens_forward", "sens_adjoint_end", "sens_adjoint_int", "solve_final",
     "BS5", "Ts5", "CK5", "CKdisc", "Me4", "Pr7", "Pr8", "Pr9", "CFMR7osc",
     "Fi4N", "Fi5N", "Mu5Nmb", "MR6NN",
     "TRBDF2", "TRX2", "HS2I", "HS2Ia", "KC3I", "KC4I", "KC4Ia", "Kv3I",

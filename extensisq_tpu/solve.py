@@ -41,6 +41,7 @@ class Solution(NamedTuple):
     ys: Any = None         # (max_steps, n) step end states, padded
     t_eval: Any = None
     y_eval: Any = None     # (len(t_eval), n)
+    record: Any = None     # raw segment buffers {t_lo,t_hi,h,y_anchor,Q}
 
     @property
     def success(self):
@@ -145,6 +146,7 @@ def solve(fun, t_span, y0, method=None, rtol=1e-3, atol=1e-6,
 
     if record:
         nseg = state.nsteps
+        out = out._replace(record=bufs)
         if save_steps:
             mask = jnp.arange(max_steps) < nseg
             # step-end states: evaluate each segment at u = 1
