@@ -269,9 +269,56 @@ class Stepper:
         code = int(self.state.status)
         self._status_code = code
         if code in (RUNNING, FINISHED):
+            self._maybe_diagnose_stiffness()
             return None
         self._message = STATUS_MESSAGES.get(code, "failed")
         return self._message
+
+    def _maybe_diagnose_stiffness(self):
+        """RKSuite stiffness check between steps (host-side; mirrors
+        _diagnose_stiffness triggers at common.py:381-410)."""
+        impl = self._impl
+        if impl.family not in ("erk", "rkn"):
+            return
+        tab = impl.tab
+        nsd = impl.options.get("nfev_stiff_detect", 5000)
+        if not nsd:
+            return
+        if impl.family == "erk" and tab.stbrad is None:
+            return
+        if impl.family == "rkn" and tab.stbre is None:
+            return
+        st = self.state
+        okstp = int(st.okstp)
+        lotsfl = False
+        if okstp % 40 == 39:
+            lotsfl = int(st.jflstp) >= 10
+            self.state = st._replace(jflstp=jnp.asarray(0, jnp.int32))
+        many = max(nsd // impl.s, 1)
+        toomch = okstp % many == many - 1
+        if not (lotsfl or toomch):
+            return
+
+        from .core.stiffness import diagnose
+        st = self.state
+        v0 = np.asarray(impl.error_estimate(st))
+        if impl.family == "rkn":
+            m = impl.m
+            y = np.asarray(st.y)
+            fxy = np.concatenate([y[m:], np.asarray(st.f)])
+            fun_h = lambda t, yy: np.asarray(              # noqa: E731
+                impl.fun_first_order(t, jnp.asarray(yy)))
+            kwargs = {"stbre": tab.stbre, "stbim": tab.stbim}
+        else:
+            fxy = np.asarray(st.f)
+            fun_h = lambda t, yy: np.asarray(              # noqa: E731
+                impl.fun(t, jnp.asarray(yy)))
+            kwargs = {"stbrad": tab.stbrad}
+        _, nfev = diagnose(
+            fun_h, st, self.t_bound, nsd, impl.s,
+            tanang=tab.tanang, estimate_error=v0, fxy=fxy,
+            lotsfl=lotsfl, **kwargs)
+        self._nfev_extra += nfev
 
     def dense_output(self, **opts):
         """Interpolant for the last accepted step."""

@@ -361,6 +361,14 @@ class ERKStepper:
 
     # -- dense output ----------------------------------------------------------
 
+    def error_estimate(self, state):
+        """Raw embedded error estimate of the last accepted step
+        (common.py:333-336); used as the stiffness-detection
+        perturbation vector."""
+        m = self.s + (1 if self.fsal else 0)
+        return state.h_previous * _weighted_sum(list(state.K)[:m],
+                                                self.E[:m])
+
     def record_coefficients(self, state):
         """Free-interpolant Q of the last accepted step, for on-device
         trajectory recording (no extra RHS evals)."""

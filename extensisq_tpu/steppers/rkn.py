@@ -140,6 +140,16 @@ class RKNStepper(ERKStepper):
         # base-class __init__ assigns the full first-order fun here
         self._fun_full = value
 
+    def error_estimate(self, state):
+        """Concatenated displacement/velocity error estimate
+        (common.py:1304-1310)."""
+        h = state.h_previous
+        mm = self.s + (1 if self.fsal else 0)
+        rows = list(state.K)[:mm]
+        eu = _weighted_sum(rows, self.E_u[:mm]) * h * h
+        ev = _weighted_sum(rows, self.E_v[:mm]) * h
+        return jnp.concatenate([eu, ev])
+
     # -- dense output --------------------------------------------------------
 
     def record_coefficients(self, state):
