@@ -516,4 +516,6 @@ def solve_ivp(fun, t_span, y0, method=None, t_eval=None, dense_output=False,
         t_events=t_events, y_events=y_events,
         nfev=solver.nfev, njev=solver.njev, nlu=solver.nlu,
         nsteps=int(solver.state.nsteps), nfailed=solver.nfailed,
+        nls=int(getattr(solver.state, "nls", 0)),
+        nfi=int(getattr(solver.state, "nfi", 0)),
         status=status, message=message, success=status >= 0)

@@ -585,17 +585,22 @@ class ESDIRKStepper:
                 h_abs_fail)
             # a convergence failure invalidates the LU and resets the
             # controller (common.py:2068-2077); an error rejection also
-            # resets the controller mode
+            # resets the controller mode.  A retry with a FRESH Jacobian
+            # is NOT a rejection (common.py:2065-2069): it neither caps
+            # the next growth factor nor resets the controller.
             LU_valid_new = jnp.where(converged, need_lu | c.LU_valid,
                                      jnp.asarray(False))
             standard_sc_new = jnp.where(
                 accepted, sc_acc,
-                jnp.asarray(True))
+                jnp.where(retry_with_new_jac, c.standard_sc,
+                          jnp.asarray(True)))
             return Carry(
                 h_abs=h_abs_new,
                 h_used=jnp.where(accepted, h, c.h_used),
                 accepted=accepted,
-                rejected=c.rejected | ~accepted,
+                rejected=c.rejected | (err_rejected
+                                       | ((~converged)
+                                          & ~retry_with_new_jac)),
                 status=status,
                 standard_sc=standard_sc_new,
                 max_factor=jnp.where(accepted, mf_acc, c.max_factor),
