@@ -1,5 +1,5 @@
 from .pde import (heat_1d_rhs, heat_2d_rhs, brusselator_2d_rhs,
-                  make_mesh, shard_state)
+                  brusselator_rho_bound, make_mesh, shard_state)
 
 __all__ = ["heat_1d_rhs", "heat_2d_rhs", "brusselator_2d_rhs",
-           "make_mesh", "shard_state"]
+           "brusselator_rho_bound", "make_mesh", "shard_state"]
