@@ -111,34 +111,61 @@ def solve(fun, t_span, y0, method=None, rtol=1e-3, atol=1e-6,
     else:
         bufs0 = {}
 
-    def cond(carry):
-        state, _ = carry
-        return state.status == RUNNING
+    flat = hasattr(stepper, "step_flat")
 
-    def body(carry):
-        state, bufs = carry
-        new = stepper.step(params, state)
-        accepted = new.nsteps > state.nsteps
-        if record:
-            ta, h, ya, Q = _record_segment(stepper, new)
-            i = jnp.minimum(state.nsteps, max_steps - 1)
-            def upd(buf, val):
-                return jnp.where(accepted,
-                                 buf.at[i].set(val), buf)
-            bufs = {
-                "t_lo": upd(bufs["t_lo"], new.t_old),
-                "t_hi": upd(bufs["t_hi"], new.t),
-                "h": upd(bufs["h"], h),
-                "y_anchor": upd(bufs["y_anchor"], ya),
-                "Q": upd(bufs["Q"], Q),
-            }
+    def record_bufs(bufs, stepper, new, accepted, prev_nsteps):
+        ta, h, ya, Q = _record_segment(stepper, new)
+        i = jnp.minimum(prev_nsteps, max_steps - 1)
+
+        def upd(buf, val):
+            return jnp.where(accepted, buf.at[i].set(val), buf)
+
+        return {
+            "t_lo": upd(bufs["t_lo"], new.t_old),
+            "t_hi": upd(bufs["t_hi"], new.t),
+            "h": upd(bufs["h"], h),
+            "y_anchor": upd(bufs["y_anchor"], ya),
+            "Q": upd(bufs["Q"], Q),
+        }
+
+    def cap(new):
         hit_cap = (new.nsteps >= max_steps) & (new.status == RUNNING)
-        new = new._replace(status=jnp.where(
+        return new._replace(status=jnp.where(
             hit_cap, jnp.asarray(MAX_STEPS_REACHED, jnp.int32),
             new.status))
-        return new, bufs
 
-    state, bufs = jax.lax.while_loop(cond, body, (state0, bufs0))
+    if flat:
+        # attempt-level loop: one unnested while body => far fewer
+        # kernels per iteration than the nested accept/reject loop
+        def cond(carry):
+            state, aux, _ = carry
+            return state.status == RUNNING
+
+        def body(carry):
+            state, aux, bufs = carry
+            new, aux, accepted = stepper.step_flat(params, state, aux)
+            if record:
+                bufs = record_bufs(bufs, stepper, new, accepted,
+                                   state.nsteps)
+            return cap(new), aux, bufs
+
+        state, _, bufs = jax.lax.while_loop(
+            cond, body, (state0, stepper.flat_init_aux(state0), bufs0))
+    else:
+        def cond(carry):
+            state, _ = carry
+            return state.status == RUNNING
+
+        def body(carry):
+            state, bufs = carry
+            new = stepper.step(params, state)
+            accepted = new.nsteps > state.nsteps
+            if record:
+                bufs = record_bufs(bufs, stepper, new, accepted,
+                                   state.nsteps)
+            return cap(new), bufs
+
+        state, bufs = jax.lax.while_loop(cond, body, (state0, bufs0))
 
     out = Solution(
         t=state.t, y=state.y, status=state.status, nfev=state.nfev,

@@ -359,6 +359,97 @@ class ERKStepper:
             okstp=okstp,
             havg=havg)
 
+    # -- flat (attempt-level) stepping for the device driver -------------------
+
+    def flat_init_aux(self, state):
+        """Auxiliary carry for attempt-level looping: (fresh, min_step,
+        rejected_this_step)."""
+        z = jnp.asarray(0.0, self.real_dtype)
+        return (jnp.asarray(True), z, jnp.asarray(False))
+
+    def step_flat(self, params, state, aux):
+        """Exactly ONE step attempt; state advances when it is accepted.
+
+        Semantically equivalent to :meth:`step`'s nested accept/reject
+        loop, but flattened so the device driver can run a single
+        unnested ``lax.while_loop`` over attempts — far fewer kernels
+        per iteration on TPU.  Returns (state', aux', accepted).
+        """
+        fresh, min_step_c, rejected = aux
+        t, y, f = state.t, state.y, state.f
+
+        # per-STEP preparation only on a fresh step (reference computes
+        # min_step and the end-of-interval lookahead once per step)
+        h_abs_r, min_step_r, sc_r = self.reassess_stepsize(
+            params, t, state.h_abs, state.standard_sc)
+        h_abs = jnp.where(fresh, h_abs_r, state.h_abs)
+        min_step = jnp.where(fresh, min_step_r, min_step_c)
+        standard_sc = jnp.where(fresh, sc_r, state.standard_sc)
+
+        too_small = h_abs < min_step
+        c = _Carry(
+            h_abs=h_abs,
+            h_used=jnp.zeros_like(state.h_previous),
+            accepted=jnp.asarray(False),
+            rejected=rejected,
+            status=state.status,
+            standard_sc=standard_sc,
+            max_factor=state.max_factor,
+            y_new=y, error_norm=state.error_norm_old,
+            K=state.K,
+            nfev=state.nfev, nfailed=state.nfailed,
+            jflstp=state.jflstp)
+        c = self._attempt(params, t, y, f, state, c)
+        ok = c.accepted & ~too_small
+        status = jnp.where(
+            too_small & (state.status == RUNNING),
+            jnp.asarray(TOO_SMALL_STEP, jnp.int32), c.status)
+
+        d = jnp.abs(params.t_bound - t)
+        is_last = ok & (jnp.abs(c.h_used) >= d)
+        t_new = jnp.where(is_last, params.t_bound, t + c.h_used)
+
+        if self.fsal:
+            K_final = c.K
+            f_new = c.K[self.s]
+            nfev = c.nfev
+        else:
+            f_new = jnp.where(ok, self.fun(t_new, c.y_new), f)
+            K_final = c.K.at[self.s].set(f_new)
+            nfev = c.nfev + jnp.where(ok, 1, 0)
+
+        status = jnp.where((status == RUNNING) & is_last,
+                           jnp.asarray(FINISHED, jnp.int32), status)
+
+        okstp = state.okstp + jnp.where(ok, 1, 0)
+        havg = jnp.where(ok, 0.9 * state.havg + 0.1 * c.h_used,
+                         state.havg)
+        reset = ok & (okstp == 20)
+        havg = jnp.where(reset, c.h_used, havg)
+        jflstp = jnp.where(reset, 0, c.jflstp)
+
+        new_state = ERKState(
+            t=jnp.where(ok, t_new, state.t),
+            y=jnp.where(ok, c.y_new, state.y),
+            f=jnp.where(ok, f_new, state.f),
+            h_abs=c.h_abs,
+            status=status,
+            standard_sc=jnp.where(ok, c.standard_sc, standard_sc),
+            error_norm_old=jnp.where(ok, c.error_norm,
+                                     state.error_norm_old),
+            h_previous=jnp.where(ok, c.h_used, state.h_previous),
+            max_factor=jnp.where(ok, c.max_factor, state.max_factor),
+            t_old=jnp.where(ok, t, state.t_old),
+            y_old=jnp.where(ok, y, state.y_old),
+            f_old=jnp.where(ok, f, state.f_old),
+            K=jnp.where(ok, K_final, state.K),
+            nfev=nfev,
+            nsteps=state.nsteps + jnp.where(ok, 1, 0),
+            nfailed=c.nfailed,
+            jflstp=jflstp, okstp=okstp, havg=havg)
+        aux_new = (ok | (status != RUNNING), min_step, c.rejected & ~ok)
+        return new_state, aux_new, ok
+
     # -- dense output ----------------------------------------------------------
 
     def error_estimate(self, state):
