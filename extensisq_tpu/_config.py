@@ -31,6 +31,7 @@ MAX_STEPS_REACHED = 4
 NEWTON_FAIL = 5
 RHO_FAIL = 6
 TOL_TOO_TIGHT = 7
+TERMINAL_EVENT = 8
 
 STATUS_MESSAGES = {
     RUNNING: "running",
@@ -44,4 +45,5 @@ STATUS_MESSAGES = {
     RHO_FAIL: "The method to estimate the spectral radius of the Jacobian "
               "did not converge",
     TOL_TOO_TIGHT: "tolerance too tight.",
+    TERMINAL_EVENT: "A termination event occurred.",
 }

@@ -1,0 +1,338 @@
+"""Fused Pallas ensemble solver: the whole adaptive RK integration in
+ONE TPU kernel.
+
+The XLA device driver (extensisq_tpu.solve) is kernel-launch-bound for
+small systems: each while-loop iteration dispatches dozens of tiny
+fused kernels.  This module eliminates that entirely — stages, error
+estimation, the accept/reject controller and the time loop all run
+inside a single ``pallas_call``, with the ensemble living in VMEM for
+the whole integration.
+
+Layout: members occupy full (8, 128) vector tiles; the state is
+(n_state, 8, 128) per block of 1024 members, so every operation
+vectorizes across members on the VPU.  The RHS must be row-indexed
+elementwise jnp code (``fun(t, y) -> same-shape stack over rows``,
+e.g. ``jnp.stack([y[1], mu*(1-y[0]**2)*y[1]-y[0]])``) — the same code
+works for the f64 paths.
+
+Mosaic workarounds baked in (this backend rejects several legal
+programs):
+* no 64-bit types => the kernel traces with x64 disabled (f32 only);
+* selects over carried bool vectors and several select layouts fail
+  ("invalid relayout") => ALL per-member selection is arithmetic
+  blending m*a + (1-m)*b with int/float masks;
+* blending cannot mask NaN/Inf from overflowed trial steps (0*NaN=NaN)
+  => values are sanitized bit-level (exponent==0xFF detection on the
+  int32 aliases) before entering the carry.
+
+float32 only => this is the fast path for tolerance regimes f32
+supports (rtol >= ~1e-5); the f64 XLA path remains the conformance
+solver.  Members that finish early become masked no-ops until their
+block completes.
+"""
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core.controller import resolve_controller
+
+_RUNNING, _FINISHED, _TOO_SMALL, _OVERFLOW = 0, 1, 2, 3
+
+
+def _fblend(cond, a, b):
+    """select via arithmetic: cond bool; a, b float32."""
+    m = cond.astype(jnp.float32)
+    return m * a + (1.0 - m) * b
+
+
+def _iblend(cond, a, b):
+    m = cond.astype(jnp.int32)
+    return m * a + (1 - m) * b
+
+
+def _sanitize(x):
+    """Replace NaN/Inf lanes by 1.0 using integer exponent detection
+    (no float select, no NaN-poisoned arithmetic).  Returns
+    (cleaned, bad_mask)."""
+    xi = jax.lax.bitcast_convert_type(x, jnp.int32)
+    exp = jax.lax.bitwise_and(xi, np.int32(0x7F800000))
+    bad = exp == np.int32(0x7F800000)
+    one_bits = jax.lax.bitcast_convert_type(jnp.ones_like(x), jnp.int32)
+    cleaned = _iblend(bad, one_bits, xi)
+    return jax.lax.bitcast_convert_type(cleaned, jnp.float32), bad
+
+
+def _member_norm(x):
+    """RMS over the state axis, per member: (n, 8, 128) -> (8, 128)."""
+    return jnp.sqrt(jnp.mean(x * x, axis=0))
+
+
+def solve_fused_erk(fun, t_span, y0_batch, method=None, rtol=1e-4,
+                    atol=1e-6, first_step=None, max_steps=100_000,
+                    block_members=1024, interpret=False):
+    """Integrate an ensemble of small ODE systems in one Pallas kernel.
+
+    y0_batch: (B, n) float32 initial states.  Returns
+    (y_final (B, n), status (B,), nsteps (B,), nfev (B,)) with status 1
+    = finished, 2 = step size underflow, 3 = overflow/step cap.
+    """
+    if method is None:
+        from ..methods import BS5 as method
+    tab = method.tableau
+    A = np.asarray(tab.A, dtype=np.float32)
+    B_w = np.asarray(tab.B, dtype=np.float32)
+    C = np.asarray(tab.C, dtype=np.float32)
+    E = np.asarray(tab.E, dtype=np.float32)
+    s = tab.n_stages
+    fsal = tab.fsal
+    err_order = min(tab.order_secondary, tab.order)
+    cc = resolve_controller(None, tab.sc_params, -1.0 / (err_order + 1))
+    eps32 = float(np.finfo(np.float32).eps)
+    tiny_err = float(np.sqrt(np.finfo(np.float32).tiny))
+    h_min_a = 10.0 * eps32 / tab.c_spacing()
+
+    y0_batch = jnp.asarray(y0_batch, jnp.float32)
+    n_total, n = y0_batch.shape
+    bm = block_members
+    if bm % 128:
+        raise ValueError("block_members must be a multiple of 128")
+    pad = (-n_total) % bm
+    if pad:
+        y0_batch = jnp.concatenate(
+            [y0_batch, jnp.tile(y0_batch[-1:], (pad, 1))])
+    grid = y0_batch.shape[0] // bm
+    sub = bm // 128
+
+    t0, tf = t_span
+    if first_step is not None:
+        h0 = jnp.asarray(first_step, jnp.float32)
+    else:
+        h0 = 0.01 * jnp.abs(jnp.asarray(tf, jnp.float32)
+                            - jnp.asarray(t0, jnp.float32))
+    t0 = jnp.asarray(t0, jnp.float32)
+    tf = jnp.asarray(tf, jnp.float32)
+    direction = jnp.sign(tf - t0)
+    scalars = jnp.stack([t0, tf, jnp.float32(rtol), jnp.float32(atol),
+                         direction, h0])
+
+    def _wsum(rows, w):
+        acc = None
+        for wi, r in zip(w, rows):
+            if wi == 0.0:
+                continue
+            term = wi * r
+            acc = term if acc is None else acc + term
+        return jnp.zeros_like(rows[0]) if acc is None else acc
+
+    def kernel(sc_ref, y0_ref, yout_ref, stat_ref, nstep_ref, nfev_ref):
+        y = y0_ref[:].T.reshape(n, sub, 128)
+        # distributed-layout zeros keep the while carry away from
+        # replicated layouts (Mosaic cannot relayout back to them);
+        # derived from runtime data so they cannot be constant-folded
+        # into replicated splats (iota*0 gets folded)
+        fzero = y[0] * 0.0
+        izero = fzero.astype(jnp.int32)
+        t = sc_ref[0] + fzero
+        tf_r = sc_ref[1] + fzero
+        rtol_r = sc_ref[2] + fzero
+        atol_r = sc_ref[3] + fzero
+        dir_r = sc_ref[4] + fzero
+        h_abs0 = sc_ref[5] + fzero
+        f = fun(t, y)
+
+        class S(NamedTuple):
+            it: Any
+            tf: Any
+            direction: Any
+            rtol: Any
+            atol: Any
+            t: Any
+            y: Any
+            f: Any
+            h_abs: Any
+            status: Any
+            std_sc: Any
+            err_old: Any
+            h_prev: Any
+            max_fac: Any
+            fresh: Any
+            rejected: Any
+            min_step: Any
+            nstep: Any
+            nfev: Any
+
+        def cond(st):
+            return jnp.max(_iblend(st.status == _RUNNING,
+                                   izero + 1, izero)) > 0
+
+        def body(st):
+            tf = st.tf
+            direction = st.direction
+            rtol = st.rtol
+            atol = st.atol
+            running = st.status == _RUNNING
+            fresh_b = st.fresh != 0
+            rejected_b = st.rejected != 0
+            std_b = st.std_sc != 0
+
+            # per-step preparation, applied on fresh steps only
+            ms = jnp.maximum(h_min_a * (jnp.abs(st.t) + st.h_abs),
+                             tiny_err)
+            h_pre = jnp.maximum(st.h_abs, ms)
+            d = jnp.abs(tf - st.t)
+            split = (d < 2.0 * h_pre) & (d > h_pre)
+            h_f = _fblend(split, jnp.maximum(0.5 * d, ms),
+                          _fblend(d <= h_pre, d, h_pre))
+            h_abs = _fblend(fresh_b, h_f, st.h_abs)
+            min_step = _fblend(fresh_b, ms, st.min_step)
+            std_b = std_b | (fresh_b & split)
+
+            too_small = h_abs < min_step
+            h = h_abs * direction
+
+            # stages (unrolled, zero weights dropped at trace time)
+            rows = [st.f]
+            for i in range(1, s):
+                dy = h * _wsum(rows, A[i, :i])
+                rows.append(fun(st.t + C[i] * h, st.y + dy))
+            y_new = st.y + h * _wsum(rows, B_w)
+            if fsal:
+                rows.append(fun(st.t + h, y_new))
+            m = s + (1 if fsal else 0)
+            err = h * _wsum(rows[:m], E[:m])
+            scale = atol + rtol * jnp.maximum(jnp.abs(st.y),
+                                              jnp.abs(y_new))
+            err_norm = _member_norm(err / scale)
+            err_norm, bad_e = _sanitize(err_norm)
+            # sanitized error would wrongly accept: push bad members
+            # to a rejecting value, flag overflow via the step cap
+            err_norm = err_norm + bad_e.astype(jnp.float32) * 10.0
+
+            accepted = (err_norm < 1.0) & ~too_small & running
+
+            # controller (arithmetic-blend version of
+            # core.controller.erk_accept_update)
+            err_c = jnp.maximum(err_norm, 1e-30)
+            f_std = cc.safety * err_c ** cc.error_exponent
+            hr = h / _fblend(st.h_prev == 0.0, h, st.h_prev)
+            f_2nd = jnp.clip(
+                cc.safety_sc * err_c ** cc.minbeta1
+                * jnp.maximum(st.err_old, 1e-30) ** cc.minbeta2
+                * hr ** cc.minalpha, cc.min_factor, st.max_fac)
+            is_tiny = err_norm < tiny_err
+            fac_acc = _fblend(is_tiny, st.max_fac,
+                              _fblend(std_b, f_std, f_2nd))
+            fac_acc = _fblend(rejected_b, jnp.minimum(1.0, fac_acc),
+                              fac_acc)
+            std_after = _iblend(is_tiny, izero + 1,
+                                _iblend(std_b, izero, st.std_sc))
+            max_fac_new = _fblend(fac_acc < 4.0, fzero + 4.0,
+                                  st.max_fac)
+            fac_rej = jnp.maximum(
+                cc.min_factor, cc.safety * err_c ** cc.error_exponent)
+            h_abs_next = h_abs * _fblend(accepted, fac_acc, fac_rej)
+            h_abs_next, _ = _sanitize(h_abs_next)
+
+            status = _iblend(running & too_small, izero + _TOO_SMALL,
+                             _iblend(running & bad_e,
+                                     izero + _OVERFLOW, st.status))
+
+            is_last = accepted & (h_abs >= d)
+            t_new = _fblend(is_last, tf, st.t + h)
+            status = _iblend((status == _RUNNING) & is_last,
+                             izero + _FINISHED, status)
+
+            if fsal:
+                f_new = rows[s]
+            else:
+                f_new = fun(t_new, y_new)
+            y_new, _ = _sanitize(y_new)
+            f_new, _ = _sanitize(f_new)
+
+            upd = accepted
+            dfev = _iblend(running, izero + (s if fsal else s - 1),
+                           izero)
+            if not fsal:
+                dfev = dfev + _iblend(upd, izero + 1, izero)
+            hit_cap = (st.it + 1 >= max_steps) & (status == _RUNNING)
+            status = _iblend(hit_cap, izero + _OVERFLOW, status)
+
+            updn = jnp.broadcast_to(upd, st.y.shape)
+            return S(
+                it=st.it + 1,
+                tf=st.tf, direction=st.direction,
+                rtol=st.rtol, atol=st.atol,
+                t=_fblend(upd, t_new, st.t),
+                y=_fblend(updn, y_new, st.y),
+                f=_fblend(updn, f_new, st.f),
+                h_abs=_fblend(running, h_abs_next, st.h_abs),
+                status=status,
+                std_sc=_iblend(upd, std_after, st.std_sc),
+                err_old=_fblend(upd, err_norm, st.err_old),
+                h_prev=_fblend(upd, h, st.h_prev),
+                max_fac=_fblend(upd, max_fac_new, st.max_fac),
+                fresh=_iblend(upd | (status != _RUNNING), izero + 1,
+                              izero),
+                rejected=_iblend(upd, izero,
+                                 _iblend(rejected_b
+                                         | (running & ~accepted),
+                                         izero + 1, izero)),
+                min_step=min_step,
+                nstep=st.nstep + _iblend(upd, izero + 1, izero),
+                nfev=st.nfev + dfev,
+            )
+
+        st0 = S(
+            it=jnp.zeros((), jnp.int32),
+            tf=tf_r, direction=dir_r, rtol=rtol_r, atol=atol_r,
+            t=t, y=y, f=f, h_abs=h_abs0,
+            status=izero, std_sc=izero + 1, err_old=fzero + 1.0,
+            h_prev=fzero, max_fac=fzero + 10.0, fresh=izero + 1,
+            rejected=izero, min_step=fzero, nstep=izero,
+            nfev=izero + 1)
+        st = jax.lax.while_loop(cond, body, st0)
+
+        yout_ref[:] = st.y.reshape(n, bm).T
+        stat_ref[:] = st.status.reshape(1, bm)
+        nstep_ref[:] = st.nstep.reshape(1, bm)
+        nfev_ref[:] = st.nfev.reshape(1, bm)
+
+    n_padded = y0_batch.shape[0]
+    out_shapes = (
+        jax.ShapeDtypeStruct((n_padded, n), jnp.float32),
+        jax.ShapeDtypeStruct((1, n_padded), jnp.int32),
+        jax.ShapeDtypeStruct((1, n_padded), jnp.int32),
+        jax.ShapeDtypeStruct((1, n_padded), jnp.int32),
+    )
+    # trace with x64 OFF: TPU Pallas has no 64-bit types and the
+    # library enables x64 globally (weak literals would promote)
+    with jax.enable_x64(False):
+        y_out, status, nsteps, nfev = pl.pallas_call(
+            kernel,
+            grid=(grid,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((bm, n), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((bm, n), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, bm), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, bm), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, bm), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+            ),
+            out_shape=out_shapes,
+            interpret=interpret,
+        )(scalars, y0_batch)
+
+    y_out = y_out[:n_total]
+    return (y_out, status[0, :n_total], nsteps[0, :n_total],
+            nfev[0, :n_total])

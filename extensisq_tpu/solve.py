@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ._config import RUNNING, MAX_STEPS_REACHED
+from ._config import RUNNING, MAX_STEPS_REACHED, TERMINAL_EVENT
 from .core.interpolate import horner
 from .steppers import build_stepper
 from .types import IVPParams, Method
@@ -42,6 +42,9 @@ class Solution(NamedTuple):
     t_eval: Any = None
     y_eval: Any = None     # (len(t_eval), n)
     record: Any = None     # raw segment buffers {t_lo,t_hi,h,y_anchor,Q}
+    t_events: Any = None   # (n_events, max_events), nan-padded
+    y_events: Any = None   # (n_events, max_events, n)
+    n_events: Any = None   # (n_events,) int32 counts
 
     @property
     def success(self):
@@ -54,9 +57,107 @@ def _record_segment(stepper, state):
             stepper.record_coefficients(state))
 
 
+def _make_event_handler(stepper, events, max_events, n, direction):
+    """On-device event handling: sign-change detection + 60-iteration
+    bisection on the step's free interpolant, terminal truncation.
+    Returns (ev_state0, handle(new_state, accepted, ev_state))."""
+    events = (events,) if callable(events) else tuple(events)
+    n_ev = len(events)
+    terminal = np.array([bool(getattr(e, "terminal", False))
+                         for e in events])
+    ev_dir = np.array([float(getattr(e, "direction", 0.0))
+                       for e in events])
+
+    def init(t0, y0):
+        g0 = jnp.stack([jnp.asarray(e(t0, y0), jnp.float64).reshape(())
+                        for e in events])
+        return {
+            "g": g0,
+            "t_ev": jnp.full((n_ev, max_events), jnp.nan),
+            "y_ev": jnp.full((n_ev, max_events, n), jnp.nan,
+                             y0.dtype),
+            "count": jnp.zeros((n_ev,), jnp.int32),
+        }
+
+    def handle(new, accepted, ev):
+        t_old, t_new = new.t_old, new.t
+        h = new.h_previous
+        ta, ya = t_old, new.y_old
+        Q = stepper.record_coefficients(new)
+
+        def interp(tq):
+            return horner((tq - ta) / h, Q, ya)
+
+        g_new = jnp.stack([
+            jnp.asarray(e(t_new, new.y), jnp.float64).reshape(())
+            for e in events])
+        g = ev["g"]
+        up = (g <= 0) & (g_new >= 0)
+        down = (g >= 0) & (g_new <= 0)
+        fired = jnp.where(jnp.asarray(ev_dir) > 0, up,
+                          jnp.where(jnp.asarray(ev_dir) < 0, down,
+                                    up | down)) & accepted
+
+        # bisection per event (n_ev is small and static)
+        roots = []
+        for i, e in enumerate(events):
+            def phi(tq, e=e):
+                return jnp.asarray(e(tq, interp(tq)),
+                                   jnp.float64).reshape(())
+
+            def bisect_body(_, ab):
+                a, b, fa = ab
+                mid = 0.5 * (a + b)
+                fm = phi(mid)
+                left = fa * fm <= 0.0
+                return (jnp.where(left, a, mid),
+                        jnp.where(left, mid, b),
+                        jnp.where(left, fa, fm))
+
+            a, b, _ = jax.lax.fori_loop(
+                0, 60, bisect_body, (t_old, t_new, g[i]))
+            roots.append(0.5 * (a + b))
+        roots = jnp.stack(roots)
+
+        # terminal truncation: earliest terminal root in direction
+        term_mask = jnp.asarray(terminal) & fired
+        any_term = jnp.any(term_mask)
+        dir_roots = direction * roots
+        te_dir = jnp.min(jnp.where(term_mask, dir_roots, jnp.inf))
+        te = direction * te_dir
+        keep = fired & (~any_term | (dir_roots <= te_dir))
+
+        # record kept roots
+        idx = jnp.minimum(ev["count"], max_events - 1)
+        y_roots = jax.vmap(interp)(roots)
+        t_ev = ev["t_ev"]
+        y_ev = ev["y_ev"]
+        for i in range(n_ev):
+            t_ev = t_ev.at[i, idx[i]].set(
+                jnp.where(keep[i], roots[i], t_ev[i, idx[i]]))
+            y_ev = y_ev.at[i, idx[i]].set(
+                jnp.where(keep[i], y_roots[i], y_ev[i, idx[i]]))
+        count = ev["count"] + keep.astype(jnp.int32)
+
+        # truncate the state at the terminal root
+        y_te = interp(te)
+        new = new._replace(
+            t=jnp.where(any_term, te, new.t),
+            y=jnp.where(any_term, y_te, new.y),
+            status=jnp.where(any_term,
+                             jnp.asarray(TERMINAL_EVENT, jnp.int32),
+                             new.status))
+        ev_new = {"g": jnp.where(accepted, g_new, g),
+                  "t_ev": t_ev, "y_ev": y_ev, "count": count}
+        return new, ev_new
+
+    return init, handle
+
+
 def solve(fun, t_span, y0, method=None, rtol=1e-3, atol=1e-6,
           max_step=np.inf, first_step=None, max_steps=10_000,
-          t_eval=None, save_steps=False, args=None, **options):
+          t_eval=None, save_steps=False, args=None, events=None,
+          max_events=8, **options):
     """Integrate an IVP fully on device; jittable and vmappable.
 
     ``t_span``, ``y0``, ``rtol``, ``atol``, ``t_eval`` values may be

@@ -1,0 +1,66 @@
+"""Fused Pallas ensemble solver (interpret mode on CPU; the compiled
+path runs on TPU hardware)."""
+import numpy as np
+import jax.numpy as jnp
+
+from extensisq_tpu.ops import solve_fused_erk
+from extensisq_tpu import BS5, CK5, solve_ensemble
+
+
+def vdp(t, y):
+    return jnp.stack([y[1], 3.0 * (1 - y[0] ** 2) * y[1] - y[0]])
+
+
+def test_fused_matches_f64_path():
+    B = 256
+    Y0 = np.stack([np.linspace(1.5, 2.5, B), np.zeros(B)],
+                  axis=1).astype(np.float32)
+    y, status, nsteps, nfev = solve_fused_erk(
+        vdp, (0.0, 10.0), Y0, method=BS5, rtol=1e-4, atol=1e-6,
+        block_members=128, interpret=True)
+    assert np.all(np.asarray(status) == 1)
+    out = solve_ensemble(vdp, (0.0, 10.0), jnp.asarray(Y0, jnp.float64),
+                         method=BS5, rtol=1e-4, atol=1e-6)
+    # f32 arithmetic at rtol 1e-4: trajectories agree to ~1e-2 absolute
+    assert np.max(np.abs(np.asarray(y) - np.asarray(out.y))) < 5e-2
+    # comparable work
+    assert abs(int(nsteps.sum()) - int(out.nsteps.sum())) \
+        < 0.3 * int(out.nsteps.sum())
+
+
+def test_fused_nonfsal_method():
+    B = 128
+    Y0 = np.stack([np.linspace(0.5, 1.5, B), np.ones(B)],
+                  axis=1).astype(np.float32)
+
+    def linear(t, y):
+        return jnp.stack([y[1], -y[0]])
+
+    y, status, nsteps, nfev = solve_fused_erk(
+        linear, (0.0, 3.14159265), Y0, method=CK5, rtol=1e-5, atol=1e-7,
+        block_members=128, interpret=True)
+    assert np.all(np.asarray(status) == 1)
+    # rotate by pi: (x, v) -> (-x, -v) approximately
+    exact = -np.asarray(Y0)
+    assert np.max(np.abs(np.asarray(y) - exact)) < 1e-3
+
+
+def test_fused_overflow_member_isolated():
+    """A diverging member must not poison its neighbours (bit-level
+    NaN sanitization)."""
+    B = 128
+    x0 = np.full(B, 0.1, np.float32)
+    x0[7] = 1e18                      # this member blows up in f32
+    Y0 = np.stack([x0, np.zeros(B, np.float32)], axis=1)
+
+    def cubic(t, y):
+        return jnp.stack([y[1], y[0] ** 3])
+
+    y, status, nsteps, nfev = solve_fused_erk(
+        cubic, (0.0, 1.0), Y0, method=BS5, rtol=1e-4, atol=1e-6,
+        block_members=128, interpret=True, max_steps=2000)
+    status = np.asarray(status)
+    ok = status == 1
+    assert not ok[7]                   # the bad member failed...
+    assert ok.sum() == B - 1           # ...every other member finished
+    assert np.all(np.isfinite(np.asarray(y)[ok]))
