@@ -48,7 +48,7 @@ class Solution(NamedTuple):
 
     @property
     def success(self):
-        return self.status == 1
+        return (self.status == 1) | (self.status == TERMINAL_EVENT)
 
 
 def _record_segment(stepper, state):
@@ -214,6 +214,14 @@ def solve(fun, t_span, y0, method=None, rtol=1e-3, atol=1e-6,
 
     flat = hasattr(stepper, "step_flat")
 
+    if events is not None:
+        ev_init, ev_handle = _make_event_handler(
+            stepper, events, max_events, n, params.direction)
+        ev0 = ev_init(state0.t, state0.y)
+    else:
+        ev_handle = None
+        ev0 = {}
+
     def record_bufs(bufs, stepper, new, accepted, prev_nsteps):
         ta, h, ya, Q = _record_segment(stepper, new)
         i = jnp.minimum(prev_nsteps, max_steps - 1)
@@ -239,38 +247,47 @@ def solve(fun, t_span, y0, method=None, rtol=1e-3, atol=1e-6,
         # attempt-level loop: one unnested while body => far fewer
         # kernels per iteration than the nested accept/reject loop
         def cond(carry):
-            state, aux, _ = carry
+            state, aux, _, _ = carry
             return state.status == RUNNING
 
         def body(carry):
-            state, aux, bufs = carry
+            state, aux, bufs, ev = carry
             new, aux, accepted = stepper.step_flat(params, state, aux)
             if record:
                 bufs = record_bufs(bufs, stepper, new, accepted,
                                    state.nsteps)
-            return cap(new), aux, bufs
+            if ev_handle is not None:
+                new, ev = ev_handle(new, accepted, ev)
+            return cap(new), aux, bufs, ev
 
-        state, _, bufs = jax.lax.while_loop(
-            cond, body, (state0, stepper.flat_init_aux(state0), bufs0))
+        state, _, bufs, ev = jax.lax.while_loop(
+            cond, body,
+            (state0, stepper.flat_init_aux(state0), bufs0, ev0))
     else:
         def cond(carry):
-            state, _ = carry
+            state, _, _ = carry
             return state.status == RUNNING
 
         def body(carry):
-            state, bufs = carry
+            state, bufs, ev = carry
             new = stepper.step(params, state)
             accepted = new.nsteps > state.nsteps
             if record:
                 bufs = record_bufs(bufs, stepper, new, accepted,
                                    state.nsteps)
-            return cap(new), bufs
+            if ev_handle is not None:
+                new, ev = ev_handle(new, accepted, ev)
+            return cap(new), bufs, ev
 
-        state, bufs = jax.lax.while_loop(cond, body, (state0, bufs0))
+        state, bufs, ev = jax.lax.while_loop(cond, body,
+                                             (state0, bufs0, ev0))
 
     out = Solution(
         t=state.t, y=state.y, status=state.status, nfev=state.nfev,
         nsteps=state.nsteps, nfailed=state.nfailed)
+    if events is not None:
+        out = out._replace(t_events=ev["t_ev"], y_events=ev["y_ev"],
+                           n_events=ev["count"])
 
     if record:
         nseg = state.nsteps

@@ -111,3 +111,66 @@ def test_sharded_full_solve():
                     rtol=1e-6, atol=1e-9)
     np.testing.assert_allclose(np.asarray(out.y[0]), ref.y[:, -1],
                                rtol=1e-9, atol=1e-12)
+
+
+def test_device_events():
+    def fun(t, y):
+        return jnp.stack([y[1], -y[0]])
+
+    def ev1(t, y):
+        return y[0] - 0.5
+
+    def ev2(t, y):
+        return y[1]
+    ev2.terminal = True
+
+    out = jax.jit(lambda y0: solve(fun, (0.0, 10.0), y0, method=BS5,
+                                   rtol=1e-9, atol=1e-12,
+                                   events=(ev1, ev2)))(
+        jnp.array([0.0, 1.0]))
+    assert int(out.status) == 8        # terminal event
+    np.testing.assert_allclose(float(out.t), np.pi / 2, rtol=1e-9)
+    assert int(out.n_events[0]) == 1
+    np.testing.assert_allclose(float(out.t_events[0, 0]),
+                               np.arcsin(0.5), rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(out.y_events[1, 0]),
+                               [1.0, 0.0], atol=1e-8)
+
+
+def test_device_events_direction():
+    def fun(t, y):
+        return jnp.stack([y[1], -y[0]])
+
+    def crossing(t, y):
+        return y[0]
+    crossing.direction = -1            # only downward crossings
+
+    out = solve(fun, (0.0, 13.0), jnp.array([0.0, 1.0]), method=BS5,
+                rtol=1e-9, atol=1e-12, events=crossing)
+    k = int(out.n_events[0])
+    roots = np.asarray(out.t_events[0, :k])
+    # sin(t) crosses downward at pi, 3pi
+    np.testing.assert_allclose(roots, [np.pi, 3 * np.pi], rtol=1e-8)
+
+
+def test_device_events_vmapped():
+    """Per-member event roots for a whole ensemble in one program —
+    something the reference's host-driven event loop cannot express."""
+    def fun(t, y, w):
+        return jnp.stack([y[1], -w * y[0]])
+
+    def hit(t, y):
+        return y[0]
+    hit.terminal = True
+    hit.direction = -1
+
+    ws = jnp.linspace(1.0, 4.0, 8)
+    out = jax.vmap(lambda w: solve(
+        lambda t, y: fun(t, y, w), (0.0, 20.0),
+        jnp.array([0.0, 1.0]), method=BS5, rtol=1e-9, atol=1e-12,
+        events=hit))(ws)
+    assert bool(jnp.all(out.status == 8))
+    # sin(sqrt(w) t) first downward zero at pi/sqrt(w)
+    np.testing.assert_allclose(np.asarray(out.t),
+                               np.pi / np.sqrt(np.asarray(ws)),
+                               rtol=1e-8)
