@@ -77,9 +77,44 @@ def scipy_side(yf_tpu):
     return dt_full, max_err
 
 
+def fused_side():
+    """Secondary metric: the single-kernel Pallas solver (f32, rtol
+    1e-4 — the fast-mode tolerance regime)."""
+    import jax
+    import numpy as np
+    from extensisq_tpu.ops import solve_fused_erk
+    from extensisq_tpu import BS5
+
+    import jax.numpy as jnp
+
+    def vdp(t, y):
+        return jnp.stack([y[1], MU * (1 - y[0] ** 2) * y[1] - y[0]])
+
+    y0 = np.stack([np.linspace(1.5, 2.5, N_MEMBERS),
+                   np.zeros(N_MEMBERS)], axis=1).astype(np.float32)
+    run = jax.jit(lambda Y: solve_fused_erk(
+        vdp, (0.0, T_END), Y, method=BS5, rtol=1e-4, atol=1e-6,
+        block_members=1024))
+    for _ in range(2):
+        out = run(y0)
+        np.asarray(out[0])
+    t0 = time.perf_counter()
+    n_rep = 10
+    for _ in range(n_rep):
+        out = run(y0)
+        np.asarray(out[0])
+    dt = (time.perf_counter() - t0) / n_rep
+    assert bool(np.all(np.asarray(out[1]) == 1))
+    return dt
+
+
 def main():
     tpu_dt, total_steps, total_fev, yf = tpu_side()
     scipy_dt, max_err = scipy_side(yf)
+    try:
+        fused_dt = fused_side()
+    except Exception:
+        fused_dt = None
     speedup = scipy_dt / tpu_dt
     print(json.dumps({
         "metric": "vdp4096_ensemble_speedup_vs_scipy_1core",
@@ -94,6 +129,8 @@ def main():
             "members": N_MEMBERS,
             "endpoint_agreement_max_abs": max_err,
             "rtol": RTOL, "atol": ATOL,
+            "fused_pallas_f32_rtol1e-4_wall_s":
+                round(fused_dt, 6) if fused_dt else None,
         },
     }))
 

@@ -205,6 +205,7 @@ class Stepper:
         self._nfev_extra = 0
         self._status_code = RUNNING
         self._message = None
+        self._stiff_warned = False
 
     # -- scipy OdeSolver surface ------------------------------------------
 
@@ -276,8 +277,23 @@ class Stepper:
 
     def _maybe_diagnose_stiffness(self):
         """RKSuite stiffness check between steps (host-side; mirrors
-        _diagnose_stiffness triggers at common.py:381-410)."""
+        _diagnose_stiffness triggers at common.py:381-410), plus the
+        crude per-family stiffness hints (SWAG: 50 consecutive
+        low-order steps, shampine.py:198-207; SSV2stab: 15 consecutive
+        steps at the stage cap, sommeijer.py:199-201)."""
         impl = self._impl
+        if impl.family == "adams":
+            if bool(self.state.stiff_flag) and not self._stiff_warned:
+                self._stiff_warned = True
+                warn("Your problem appears to be stiff (for this "
+                     "tolerance).")
+            return
+        if impl.family == "rkc":
+            if int(getattr(self.state, "mlim", 0)) >= 15 \
+                    and not self._stiff_warned:
+                self._stiff_warned = True
+                warn("Your problem is too stiff for this method.")
+            return
         if impl.family not in ("erk", "rkn"):
             return
         tab = impl.tab

@@ -187,6 +187,13 @@ def solve(fun, t_span, y0, method=None, rtol=1e-3, atol=1e-6,
         if not isinstance(tf, jax.core.Tracer) \
         and not isinstance(t0, jax.core.Tracer) else 1.0
 
+    record = save_steps or (t_eval is not None)
+    if (not record and events is None
+            and method.family in ("erk", "rkn")
+            and "carry_stages" not in options):
+        # final-state-only solves don't need the (s+1, n) stage array
+        # in the loop carry (big win for large-n states)
+        options = dict(options, carry_stages=False)
     stepper = build_stepper(method, lambda t, y: jnp.asarray(fun(t, y),
                                                              y0.dtype),
                             n, y0.dtype, **options)
@@ -198,7 +205,6 @@ def solve(fun, t_span, y0, method=None, rtol=1e-3, atol=1e-6,
 
     state0 = stepper.init(t0, y0, params, first_step=first_step)
 
-    record = save_steps or (t_eval is not None)
     if record:
         seg0 = _record_segment(stepper, state0)
         p = seg0[3].shape[1]

@@ -62,6 +62,7 @@ class _Carry(NamedTuple):
     standard_sc: Any
     max_factor: Any
     y_new: Any
+    f_new: Any               # FSAL derivative at the accepted endpoint
     error_norm: Any
     K: Any
     nfev: Any
@@ -109,6 +110,9 @@ class ERKStepper:
         self.fsal = tableau.fsal
         self.s = tableau.n_stages
         self.options = dict(options or {})
+        # large-n solves that need no dense output can skip carrying
+        # the (s+1, n) stage array through the loop state
+        self.carry_stages = bool(self.options.pop("carry_stages", True))
 
     # -- construction ------------------------------------------------------
 
@@ -128,7 +132,8 @@ class ERKStepper:
             nfev += 1 + min(self.n + 1, 3)
         else:
             h_abs = jnp.asarray(first_step, self.real_dtype)
-        K0 = jnp.zeros((self.s + 1, self.n), self.dtype)
+        k_rows = self.s + 1 if self.carry_stages else 0
+        K0 = jnp.zeros((k_rows, self.n), self.dtype)
         z = jnp.asarray(0.0, self.real_dtype)
         i0 = jnp.asarray(0, jnp.int32)
         return ERKState(
@@ -203,20 +208,27 @@ class ERKStepper:
                 rows = list(K_part)
                 ev = self._run_stages(t, y, h, npre, self.s, rows)
                 y_new, err, ev2 = self._solution_error(t, y, h, rows)
+                f_last = rows[-1] if self.fsal else zero_y
                 while len(rows) < self.s + 1:
                     rows.append(zero_y)
                 scale = calculate_scale(params.atol, params.rtol, y, y_new)
                 err_norm = norm(err / scale)
-                return (jnp.stack(rows), y_new, err_norm,
+                Kf = jnp.stack(rows) if self.carry_stages \
+                    else jnp.zeros((0,) + f.shape, self.dtype)
+                return (Kf, y_new, f_last, err_norm,
                         jnp.asarray(ev + ev2, jnp.int32))
 
             def skip(_):
-                Kf = jnp.zeros(K_shape, self.dtype)
-                Kf = jax.lax.dynamic_update_slice(Kf, K_part, (0, 0))
-                return (Kf, y, jnp.asarray(jnp.inf, self.real_dtype),
+                if self.carry_stages:
+                    Kf = jnp.zeros(K_shape, self.dtype)
+                    Kf = jax.lax.dynamic_update_slice(Kf, K_part, (0, 0))
+                else:
+                    Kf = jnp.zeros((0,) + f.shape, self.dtype)
+                return (Kf, y, zero_y,
+                        jnp.asarray(jnp.inf, self.real_dtype),
                         jnp.asarray(0, jnp.int32))
 
-            K_full, y_new, error_norm, ev = jax.lax.cond(
+            K_full, y_new, f_last, error_norm, ev = jax.lax.cond(
                 pre_ok, finish, skip, operand=None)
             nfev = nfev + ev
             err_for_reject = jnp.where(pre_ok, error_norm, pre_norm)
@@ -227,9 +239,11 @@ class ERKStepper:
             nfev += self._run_stages(t, y, h, 1, self.s, K_rows)
             y_new, err, ev2 = self._solution_error(t, y, h, K_rows)
             nfev += ev2
+            f_last = K_rows[-1] if self.fsal else zero_y
             while len(K_rows) < self.s + 1:
                 K_rows.append(zero_y)
-            K_full = jnp.stack(K_rows)
+            K_full = (jnp.stack(K_rows) if self.carry_stages
+                      else jnp.zeros((0,) + f.shape, self.dtype))
             scale = calculate_scale(params.atol, params.rtol, y, y_new)
             error_norm = norm(err / scale)
             err_for_reject = error_norm
@@ -259,6 +273,7 @@ class ERKStepper:
             standard_sc=jnp.where(accepted, sc_acc, c.standard_sc),
             max_factor=jnp.where(accepted, mf_acc, c.max_factor),
             y_new=jnp.where(accepted, y_new, c.y_new),
+            f_new=jnp.where(accepted, f_last, c.f_new),
             error_norm=jnp.where(accepted, error_norm, c.error_norm),
             K=jnp.where(accepted, K_full, c.K),
             nfev=nfev,
@@ -297,6 +312,7 @@ class ERKStepper:
             standard_sc=standard_sc,
             max_factor=state.max_factor,
             y_new=y,
+            f_new=jnp.zeros_like(f),
             error_norm=state.error_norm_old,
             K=jnp.zeros_like(state.K),
             nfev=state.nfev,
@@ -316,13 +332,14 @@ class ERKStepper:
         # (common.py:289-291)
         if self.fsal:
             K_final = c.K
-            f_new = c.K[self.s]
+            f_new = c.f_new
             nfev = c.nfev
         else:
             f_new = jax.lax.cond(
                 ok, lambda _: self.fun(t_new, c.y_new),
                 lambda _: f, operand=None)
-            K_final = c.K.at[self.s].set(f_new)
+            K_final = (c.K.at[self.s].set(f_new) if self.carry_stages
+                       else c.K)
             nfev = c.nfev + jnp.where(ok, 1, 0)
 
         status = jnp.where(
@@ -395,7 +412,8 @@ class ERKStepper:
             status=state.status,
             standard_sc=standard_sc,
             max_factor=state.max_factor,
-            y_new=y, error_norm=state.error_norm_old,
+            y_new=y, f_new=jnp.zeros_like(f),
+            error_norm=state.error_norm_old,
             K=state.K,
             nfev=state.nfev, nfailed=state.nfailed,
             jflstp=state.jflstp)
@@ -411,11 +429,12 @@ class ERKStepper:
 
         if self.fsal:
             K_final = c.K
-            f_new = c.K[self.s]
+            f_new = c.f_new
             nfev = c.nfev
         else:
             f_new = jnp.where(ok, self.fun(t_new, c.y_new), f)
-            K_final = c.K.at[self.s].set(f_new)
+            K_final = (c.K.at[self.s].set(f_new) if self.carry_stages
+                       else c.K)
             nfev = c.nfev + jnp.where(ok, 1, 0)
 
         status = jnp.where((status == RUNNING) & is_last,

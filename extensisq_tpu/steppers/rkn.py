@@ -86,7 +86,8 @@ class RKNStepper(ERKStepper):
             nfev += 1 + min(self.n + 1, 3)
         else:
             h_abs = jnp.asarray(first_step, self.real_dtype)
-        K0 = jnp.zeros((self.s + 1, self.m), self.dtype)
+        k_rows = self.s + 1 if self.carry_stages else 0
+        K0 = jnp.zeros((k_rows, self.m), self.dtype)
         a0 = f_full[self.m:]
         z = jnp.asarray(0.0, self.real_dtype)
         i0 = jnp.asarray(0, jnp.int32)
