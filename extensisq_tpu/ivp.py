@@ -22,7 +22,7 @@ import numpy as np
 from ._config import (RUNNING, FINISHED, TOO_SMALL_STEP, STATUS_MESSAGES)
 from .core.numerics import validate_tol
 from .core.rootfind import brentq
-from .core.interpolate import horner, stack_segments
+from .core.interpolate import stack_segments
 from .steppers import build_stepper
 from .types import IVPParams, Method
 

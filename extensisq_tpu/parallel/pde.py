@@ -13,7 +13,7 @@ and sharding annotations are the entire "communication backend"
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, NamedSharding
 
 
 def make_mesh(axis_names=("space",), shape=None, devices=None):

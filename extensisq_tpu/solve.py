@@ -50,6 +50,20 @@ class Solution(NamedTuple):
     def success(self):
         return (self.status == 1) | (self.status == TERMINAL_EVENT)
 
+    def ode_solution(self):
+        """Build a device-evaluable OdeSolution from the recorded
+        segments (requires save_steps=True or t_eval; host-side: it
+        concretizes the step count)."""
+        if self.record is None:
+            raise ValueError(
+                "no trajectory record: run solve(..., save_steps=True)")
+        from .core.interpolate import OdeSolution
+        k = int(self.nsteps)
+        r = self.record
+        ts = jnp.concatenate([r["t_lo"][:1], r["t_hi"][:k]])
+        return OdeSolution(ts=ts, t_anchor=r["t_lo"][:k], h=r["h"][:k],
+                           y_anchor=r["y_anchor"][:k], Q=r["Q"][:k])
+
 
 def _record_segment(stepper, state):
     """Free-interpolant coefficients of the last accepted step."""

@@ -14,7 +14,6 @@ interpolant (shampine.py:590-612).
 """
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 
 def _shift_up(c):

@@ -22,7 +22,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from .._config import RUNNING, FINISHED, TOO_SMALL_STEP, OVERFLOW, RHO_FAIL
-from ..core.hstart import h_start  # noqa: F401  (not used; kept minimal)
 from ..core.numerics import calculate_scale, norm, dtype_constants
 from ..core.interpolate import hermite_cubic_coefficients
 

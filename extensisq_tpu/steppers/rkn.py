@@ -7,11 +7,9 @@ are stored in ``K``.  Displacements update with ``h^2 A`` weights,
 velocities with ``h Ap``.  Velocity-independent (strict) methods omit
 ``Ap``.
 """
-import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..core.numerics import calculate_scale, norm
 from ..core.hstart import h_start
 from ..core.interpolate import (quintic_hermite_coefficients,
                                 nystrom_coefficients)

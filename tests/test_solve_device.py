@@ -174,3 +174,20 @@ def test_device_events_vmapped():
     np.testing.assert_allclose(np.asarray(out.t),
                                np.pi / np.sqrt(np.asarray(ws)),
                                rtol=1e-8)
+
+
+def test_device_ode_solution():
+    """OdeSolution built from the device record matches the host
+    driver's dense output."""
+    s = solve(vdp, (0.0, 5.0), jnp.array([2.0, 0.0]), method=BS5,
+              rtol=1e-8, atol=1e-11, save_steps=True)
+    sol = s.ode_solution()
+    r = solve_ivp(vdp, (0, 5), [2.0, 0.0], method=BS5, rtol=1e-8,
+                  atol=1e-11, dense_output=True, interpolant="free")
+    tc = np.linspace(0.0, 5.0, 23)
+    np.testing.assert_allclose(np.asarray(sol(tc)),
+                               np.asarray(r.sol(tc)), atol=1e-10)
+    # and it is traceable (usable inside jit, e.g. adjoint RHS)
+    val = jax.jit(lambda t: sol(t))(jnp.asarray(2.5))
+    np.testing.assert_allclose(np.asarray(val),
+                               np.asarray(sol(jnp.asarray(2.5))))

@@ -1,0 +1,189 @@
+"""The five BASELINE.json benchmark configurations on real hardware.
+
+Each config reports TPU wall time, throughput, and an extrapolated
+one-core scipy+reference-extensisq comparison on a member sample.
+The official single-line metric remains bench.py; this script documents
+the breadth of the performance claim.
+
+Run: python validation/benchmarks.py
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from extensisq_tpu import (solve, solve_ensemble, BS5, SWAG, Fi5N, Kv3I,
+                           SSV2stab)
+from extensisq_tpu.parallel import (brusselator_2d_rhs,
+                                    brusselator_rho_bound)
+
+
+def time_tpu(run, *args, reps=5):
+    out = run(*args)
+    np.asarray(jax.tree.leaves(out)[0])
+    out = run(*args)
+    np.asarray(jax.tree.leaves(out)[0])
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = run(*args)
+        np.asarray(jax.tree.leaves(out)[1])
+    return (time.perf_counter() - t0) / reps, out
+
+
+def time_scipy(fun_np, spans, y0s, method_name, sample, total, rtol,
+               atol, **kw):
+    sys.path.insert(0, "/root/reference")
+    from scipy.integrate import solve_ivp as ss
+    import extensisq as ref
+    m = getattr(ref, method_name)
+    t0 = time.perf_counter()
+    for i in range(sample):
+        r = ss(fun_np, spans, y0s[i], method=m, rtol=rtol, atol=atol,
+               **kw)
+        assert r.success
+    return (time.perf_counter() - t0) * (total / sample)
+
+
+def config1():
+    """exponential decay, 3 states, BS5, 4096 members"""
+    B = 4096
+    A = np.array([-0.5, -1.0, -2.0])
+
+    def f(t, y):
+        return jnp.asarray(A) * y
+
+    Y0 = jnp.asarray(1.0 + 0.5 * np.random.RandomState(0).rand(B, 3))
+    run = jax.jit(lambda Y: solve_ensemble(f, (0.0, 10.0), Y, method=BS5,
+                                           rtol=1e-6, atol=1e-9))
+    dt, out = time_tpu(run, Y0)
+    sc = time_scipy(lambda t, y: A * y, (0, 10.0), np.asarray(Y0),
+                    "BS5", 48, B, 1e-6, 1e-9)
+    print(f"1 exp-decay BS5 x{B}:      tpu {dt*1e3:7.1f} ms | "
+          f"scipy-1core ~{sc:6.1f} s | speedup {sc/dt:7.0f}x")
+
+
+def config2():
+    """Van der Pol mu=1000, SWAG (ode113 analog), 256 members"""
+    B = 256
+    mu = 1000.0
+
+    def f(t, y):
+        return jnp.stack([y[1], mu * (1 - y[0] ** 2) * y[1] - y[0]])
+
+    Y0 = jnp.stack([jnp.linspace(1.9, 2.1, B), jnp.zeros(B)], axis=1)
+    run = jax.jit(lambda Y: solve_ensemble(
+        f, (0.0, 300.0), Y, method=SWAG, rtol=1e-6, atol=1e-9,
+        max_steps=400_000))
+    dt, out = time_tpu(run, Y0, reps=2)
+    assert bool(jnp.all(out.status == 1)), np.unique(np.asarray(
+        out.status))
+    sc = time_scipy(
+        lambda t, y: [y[1], mu * (1 - y[0] ** 2) * y[1] - y[0]],
+        (0, 300.0), np.asarray(Y0), "SWAG", 2, B, 1e-6, 1e-9)
+    print(f"2 VdP mu=1e3 SWAG x{B}:    tpu {dt*1e3:7.1f} ms | "
+          f"scipy-1core ~{sc:6.1f} s | speedup {sc/dt:7.0f}x "
+          f"(steps {int(out.nsteps.max())})")
+
+
+def config3():
+    """Kepler orbits, Fi5N RKN, 2048 members"""
+    B = 2048
+    ecc = np.linspace(0.1, 0.7, B)
+    y0 = np.stack([1 - ecc, np.zeros(B), np.zeros(B),
+                   np.sqrt((1 + ecc) / (1 - ecc))], axis=1)
+
+    def f(t, y):
+        r2 = y[0] ** 2 + y[1] ** 2
+        a = -r2 ** -1.5
+        return jnp.stack([y[2], y[3], a * y[0], a * y[1]])
+
+    run = jax.jit(lambda Y: solve_ensemble(
+        f, (0.0, 2 * np.pi), Y, method=Fi5N, rtol=1e-9, atol=1e-12))
+    dt, out = time_tpu(run, jnp.asarray(y0))
+    assert bool(jnp.all(out.status == 1))
+    sc = time_scipy(
+        lambda t, y: [y[2], y[3],
+                      -(y[0]**2 + y[1]**2) ** -1.5 * y[0],
+                      -(y[0]**2 + y[1]**2) ** -1.5 * y[1]],
+        (0, 2 * np.pi), y0, "Fi5N", 16, B, 1e-9, 1e-12)
+    print(f"3 Kepler Fi5N x{B}:       tpu {dt*1e3:7.1f} ms | "
+          f"scipy-1core ~{sc:6.1f} s | speedup {sc/dt:7.0f}x")
+
+
+def config4():
+    """Robertson stiff, Kv3I ESDIRK with batched Newton, 512 members"""
+    B = 512
+
+    def f(t, y, k1):
+        return jnp.stack([-k1 * y[0] + 1e4 * y[1] * y[2],
+                          k1 * y[0] - 1e4 * y[1] * y[2]
+                          - 3e7 * y[1] ** 2,
+                          3e7 * y[1] ** 2])
+
+    k1s = jnp.asarray(np.linspace(0.03, 0.05, B))
+    Y0 = jnp.tile(jnp.array([1.0, 0.0, 0.0]), (B, 1))
+    run = jax.jit(lambda Y, K: solve_ensemble(
+        f, (0.0, 1e6), Y, params_batch=K, method=Kv3I, rtol=1e-6,
+        atol=1e-8))
+    dt, out = time_tpu(run, Y0, k1s, reps=2)
+    assert bool(jnp.all(out.status == 1))
+    sc = time_scipy(
+        lambda t, y: [-0.04 * y[0] + 1e4 * y[1] * y[2],
+                      0.04 * y[0] - 1e4 * y[1] * y[2] - 3e7 * y[1] ** 2,
+                      3e7 * y[1] ** 2],
+        (0, 1e6), np.asarray(Y0), "Kv3I", 2, B, 1e-6, 1e-8)
+    print(f"4 Robertson Kv3I x{B}:     tpu {dt*1e3:7.1f} ms | "
+          f"scipy-1core ~{sc:6.1f} s | speedup {sc/dt:7.0f}x")
+
+
+def config5():
+    """2-D Brusselator: one 131k-state system + a 10k-member ensemble
+    of 2k-state systems, SSV2stab"""
+    shape = (256, 256)
+    rhs = brusselator_2d_rhs(shape, alpha=0.02)
+    rho = brusselator_rho_bound(shape, alpha=0.02)
+    ny, nx = shape
+    xg, yg = np.meshgrid(np.linspace(0, 1, nx, endpoint=False),
+                         np.linspace(0, 1, ny, endpoint=False))
+    u0 = 1.0 + 0.5 * np.sin(2 * np.pi * xg) * np.sin(2 * np.pi * yg)
+    v0 = 3.0 + 0.1 * np.cos(2 * np.pi * xg)
+    y0 = jnp.asarray(np.concatenate([u0.ravel(), v0.ravel()]))
+    run = jax.jit(lambda y: solve(rhs, (0.0, 1.0), y, method=SSV2stab,
+                                  rtol=1e-4, atol=1e-7, rho_jac=rho))
+    dt, out = time_tpu(run, y0)
+    n_states = 2 * ny * nx
+    print(f"5a Brusselator {n_states} states: tpu {dt*1e3:7.1f} ms "
+          f"({int(out.nsteps)} steps, {int(out.nfev)} evals)")
+
+    # ensemble: 10k members of a 32x32 grid (20.9M states total)
+    shape_s = (32, 32)
+    rhs_s = brusselator_2d_rhs(shape_s, alpha=0.02)
+    rho_s = brusselator_rho_bound(shape_s, alpha=0.02)
+    Bm = 10_000
+    xg, yg = np.meshgrid(np.linspace(0, 1, 32, endpoint=False),
+                         np.linspace(0, 1, 32, endpoint=False))
+    amps = np.linspace(0.1, 0.6, Bm)
+    u0 = 1.0 + amps[:, None] * np.sin(2 * np.pi * xg).ravel()[None, :]
+    v0 = 3.0 + 0.1 * np.cos(2 * np.pi * xg).ravel()[None, :] \
+        * np.ones((Bm, 1))
+    Y0 = jnp.asarray(np.concatenate([u0, v0], axis=1))
+    runE = jax.jit(lambda Y: solve_ensemble(
+        rhs_s, (0.0, 1.0), Y, method=SSV2stab, rtol=1e-4, atol=1e-7,
+        rho_jac=rho_s))
+    dt, out = time_tpu(runE, Y0, reps=2)
+    print(f"5b Brusselator x{Bm} (2048 states each): "
+          f"tpu {dt*1e3:7.1f} ms, all ok: "
+          f"{bool(jnp.all(out.status == 1))}")
+
+
+if __name__ == "__main__":
+    for cfg in (config1, config3, config5, config4, config2):
+        try:
+            cfg()
+        except Exception as e:   # keep the report going
+            print(f"{cfg.__name__} FAILED: {type(e).__name__}: {e}")
