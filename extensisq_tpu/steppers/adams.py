@@ -254,14 +254,14 @@ class AdamsStepper:
                         w2[1], gi)
 
         # sequential diagonal update: j = jv .. nsm1-1 (shampine.py:295-299)
-        def diag_body(j, vv):
+        # unrolled (km is static and small): straight-line vector code
+        # beats a lax loop on TPU for these tiny trip counts
+        for j in range(km):
             active = raised & (j >= jv) & (j < nsm1)
             i = jnp.clip(km1 - j, 0, km - 1)
-            newval = vv[i] - alpha[jnp.clip(j, 0, km - 1)] \
-                * vv[jnp.clip(i + 1, 0, km - 1)]
-            return vv.at[i].set(jnp.where(active, newval, vv[i]))
-
-        v2 = jax.lax.fori_loop(0, km, diag_body, v2)
+            newval = v2[i] - alpha[min(j, km - 1)] \
+                * v2[jnp.clip(i + 1, 0, km - 1)]
+            v2 = v2.at[i].set(jnp.where(active, newval, v2[i]))
         w2 = jnp.where(raised
                        & (idx >= jnp.maximum(km1 - nsm1 + 1, 0))
                        & (idx <= km1 - jv), v2, w2)
@@ -300,20 +300,14 @@ class AdamsStepper:
         g = jnp.where(first_ns, g, g2)
 
         # compute the g coefficients in w (shampine.py:311-316)
-        def g_body(i, val):
-            ww, gg = val
+        for i in range(km):
             active = (i >= ns) & (i < k)
             limit2 = k - i
-            w_shift = jnp.concatenate([ww[1:], jnp.zeros(1, ww.dtype)])
-            ww_new = jnp.where((idx < limit2) & active,
-                               ww - alpha[jnp.clip(i, 0, km - 1)]
-                               * w_shift, ww)
-            gg = gg.at[jnp.clip(i + 1, 0, km)].set(
-                jnp.where(active, ww_new[0],
-                          gg[jnp.clip(i + 1, 0, km)]))
-            return ww_new, gg
-
-        w, g = jax.lax.fori_loop(0, km, g_body, (w, g))
+            w_shift = jnp.concatenate([w[1:], jnp.zeros(1, w.dtype)])
+            w = jnp.where((idx < limit2) & active,
+                          w - alpha[min(i, km - 1)] * w_shift, w)
+            g = g.at[min(i + 1, km)].set(
+                jnp.where(active, w[0], g[min(i + 1, km)]))
 
         def keep(x_new, x_old):
             return jnp.where(recompute, x_new, x_old)

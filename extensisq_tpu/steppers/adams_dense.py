@@ -49,13 +49,13 @@ def dintp_coefficients(stepper, state):
                          iqq[jnp.clip(kold, 0, km)])
         m0 = jnp.where(use_iv, kold - iw + 2, 1)
 
-        def body(i, gdi):
+        gdi = gdi0
+        for i in range(km):
             active = (i >= m0) & (i < kold)
-            val = -alpha[jnp.clip(i, 0, km - 1)] * gdi \
+            val = -alpha[min(i, km - 1)] * gdi \
                 + ow[jnp.clip(kold - i, 0, km - 1)]
-            return jnp.where(active, val, gdi)
-
-        return jax.lax.fori_loop(0, km, body, gdi0)
+            gdi = jnp.where(active, val, gdi)
+        return gdi
 
     gdi = jax.lax.cond(kold <= kgi, gdi_direct, gdi_loop, operand=None)
 
@@ -76,20 +76,16 @@ def dintp_coefficients(stepper, state):
     G = G.at[0, 1].set(1.0)          # g_0 = xi
     G = G.at[1, 2].set(0.5)          # g_1 = xi^2 / 2
 
-    def body(i, val):
-        W, G = val
+    for i in range(km):
         active = i < kold - 1
-        alp = alpha[jnp.clip(i + 1, 0, km - 1)]
+        alp = alpha[min(i + 1, km - 1)]
         lim = kold - i
         # gamma * W - alp * W_next, gamma = (1 - alp) + alp*xi
         W_next = jnp.concatenate([W[1:], jnp.zeros((1, D), real)])
         W_new = (1.0 - alp) * W + alp * _shift_up(W) - alp * W_next
         W = jnp.where(active & (jidx < lim)[:, None], W_new, W)
-        G = G.at[jnp.clip(i + 2, 0, km)].set(
-            jnp.where(active, W[0], G[jnp.clip(i + 2, 0, km)]))
-        return W, G
-
-    W, G = jax.lax.fori_loop(0, km, body, (W, G))
+        G = G.at[min(i + 2, km)].set(
+            jnp.where(active, W[0], G[min(i + 2, km)]))
 
     # sigma = (W[1] - (xi - 1) W[0]) / gdi
     sigma = (W[1] - _shift_up(W[0]) + W[0]) / gdi

@@ -31,6 +31,7 @@ from .._config import (RUNNING, FINISHED, TOO_SMALL_STEP, OVERFLOW,
 from ..core.controller import (resolve_controller, esdirk_accept_update,
                                reject_factor)
 from ..core.hstart import h_start
+from ..core.linalg import gauss_solve
 from ..core.numerics import calculate_scale, norm, dtype_constants
 
 
@@ -173,6 +174,19 @@ class ESDIRKStepper:
             jnp.full((self.nAE,), 1.0, self.real_dtype) / (h * self.d)])
         return U @ (sc * (U.T @ v))
 
+    @property
+    def _lu_dtype(self):
+        """Factorization dtype.  The TPU XLA backend implements
+        LuDecomposition only for F32/C64; that is fine — in modified
+        Newton the LU is a preconditioner, so a lower-precision factor
+        only costs (at most) extra iterations while residuals stay in
+        the working precision."""
+        if jax.default_backend() != "tpu":
+            return self.dtype
+        return (np.dtype(np.complex64)
+                if np.issubdtype(self.dtype, np.complexfloating)
+                else np.dtype(np.float32))
+
     def _factor(self, h, J):
         """LU of Sc (M - h d J)."""
         A = (jnp.eye(self.n, dtype=self.dtype) if self.M is None
@@ -185,11 +199,13 @@ class ESDIRKStepper:
                 jnp.full((self.nAE,), 1.0, self.real_dtype)
                 / (h * self.d)])
             W = U @ (sc[:, None] * (U.T @ W))
-        lu, piv = jax.scipy.linalg.lu_factor(W)
+        lu, piv = jax.scipy.linalg.lu_factor(W.astype(self._lu_dtype))
         return lu, piv
 
     def _solve(self, LU, piv, b):
-        return jax.scipy.linalg.lu_solve((LU, piv), b)
+        x = jax.scipy.linalg.lu_solve((LU, piv),
+                                      b.astype(self._lu_dtype))
+        return x.astype(self.dtype)
 
     def validate_problem(self, fun_np, t0, y0):
         """Host-side DAE index check (common.py:1845-1853)."""
@@ -233,7 +249,7 @@ class ESDIRKStepper:
             y = Vh.T @ jnp.concatenate([u, v])
             gv = (U.T @ self.fun(t0, y))[nd:]
             Gvv = G(t0, y)[nd:, nd:]
-            dv = jnp.linalg.solve(Gvv, gv)
+            dv = gauss_solve(Gvv, gv)
             return v - dv, jnp.max(jnp.abs(dv))
 
         v0 = z0[nd:]
@@ -254,10 +270,10 @@ class ESDIRKStepper:
         Guu, Guv = Gm[:nd, :nd], Gm[:nd, nd:]
         Gvu, Gvv = Gm[nd:, :nd], Gm[nd:, nd:]
         udot = g[:nd] / sv[:nd]
-        vdot = -jnp.linalg.solve(Gvv, gdot[nd:] + Gvu @ udot)
+        vdot = -gauss_solve(Gvv, gdot[nd:] + Gvu @ udot)
         ydot = Vh.T @ jnp.concatenate([udot, vdot])
         # reduced ODE data for h_start (common.py:1913-1916)
-        S = Guv @ jnp.linalg.solve(Gvv, Gvu)
+        S = Guv @ gauss_solve(Gvv, Gvu)
         Tr = (gdot[:nd] + Guv @ vdot) / sv[:nd]
         Jr = (Guu + S) / sv[:nd, None]
         return y, ydot, J, {"y": u, "yprime": udot, "J": Jr, "T": Tr}
@@ -288,11 +304,10 @@ class ESDIRKStepper:
                 yp0 = f0
                 fun_ext = self.fun
             else:
-                M_lu = jax.scipy.linalg.lu_factor(
-                    jnp.asarray(self.M).astype(self.dtype))
-                yp0 = jax.scipy.linalg.lu_solve(M_lu, f0)
-                fun_ext = lambda t, y: jax.scipy.linalg.lu_solve(  # noqa
-                    M_lu, self.fun(t, y))
+                M_j = jnp.asarray(self.M).astype(self.dtype)
+                yp0 = gauss_solve(M_j, f0)
+                fun_ext = lambda t, y: gauss_solve(  # noqa: E731
+                    M_j, self.fun(t, y))
             if self.linear:
                 J = jnp.asarray(self.J_const)
             else:
@@ -319,7 +334,7 @@ class ESDIRKStepper:
             error_norm_old=jnp.asarray(1.0, self.real_dtype),
             h_previous=z, max_factor=jnp.asarray(10.0, self.real_dtype),
             J=J, current_J=jnp.asarray(True),
-            LU=jnp.zeros((self.n, self.n), self.dtype),
+            LU=jnp.zeros((self.n, self.n), self._lu_dtype),
             piv=jnp.zeros((self.n,), jnp.int32),
             LU_valid=jnp.asarray(False), h_LU=z,
             Rate=jnp.asarray(-jnp.inf, self.real_dtype),

@@ -68,26 +68,45 @@ def config1():
 
 
 def config2():
-    """Van der Pol mu=1000, SWAG (ode113 analog), 256 members"""
+    """Van der Pol mu=1000, SWAG (ode113 analog), 256 members.
+
+    ~55k adaptive steps per 30 time units: one XLA program running for
+    minutes trips the remote worker's watchdog, so the horizon is
+    integrated in windows with the state fed forward (the natural
+    long-horizon pattern on this backend)."""
     B = 256
     mu = 1000.0
+    window = 30.0
+    n_windows = 2                     # t in [0, 60] keeps the run short
 
     def f(t, y):
         return jnp.stack([y[1], mu * (1 - y[0] ** 2) * y[1] - y[0]])
 
     Y0 = jnp.stack([jnp.linspace(1.9, 2.1, B), jnp.zeros(B)], axis=1)
-    run = jax.jit(lambda Y: solve_ensemble(
-        f, (0.0, 300.0), Y, method=SWAG, rtol=1e-6, atol=1e-9,
-        max_steps=400_000))
-    dt, out = time_tpu(run, Y0, reps=2)
-    assert bool(jnp.all(out.status == 1)), np.unique(np.asarray(
-        out.status))
+    run = jax.jit(lambda Y, a, b: jax.vmap(
+        lambda y0: solve(f, (a, b), y0, method=SWAG, rtol=1e-6,
+                         atol=1e-9, max_steps=120_000))(Y))
+
+    def full(Y):
+        total_steps = 0
+        for w in range(n_windows):
+            out = run(Y, w * window, (w + 1) * window)
+            Y = out.y
+            total_steps += int(out.nsteps.max())
+            assert bool(jnp.all(out.status == 1))
+        return Y, total_steps
+
+    full(Y0)                          # warm-up/compile
+    t0 = time.perf_counter()
+    _, steps = full(Y0)
+    dt = time.perf_counter() - t0
     sc = time_scipy(
         lambda t, y: [y[1], mu * (1 - y[0] ** 2) * y[1] - y[0]],
-        (0, 300.0), np.asarray(Y0), "SWAG", 2, B, 1e-6, 1e-9)
-    print(f"2 VdP mu=1e3 SWAG x{B}:    tpu {dt*1e3:7.1f} ms | "
+        (0, n_windows * window), np.asarray(Y0), "SWAG", 1, B,
+        1e-6, 1e-9)
+    print(f"2 VdP mu=1e3 SWAG x{B} (t=60): tpu {dt:7.1f} s | "
           f"scipy-1core ~{sc:6.1f} s | speedup {sc/dt:7.0f}x "
-          f"(steps {int(out.nsteps.max())})")
+          f"(~{steps} steps/member)")
 
 
 def config3():
