@@ -80,6 +80,34 @@ def _wsum(rows, w):
     return jnp.zeros_like(rows[0]) if acc is None else acc
 
 
+class _ECarry(NamedTuple):
+    """Attempt-to-attempt carry of the accept/reject loop."""
+    h_abs: Any
+    h_used: Any
+    accepted: Any
+    rejected: Any
+    status: Any
+    standard_sc: Any
+    max_factor: Any
+    J: Any
+    current_J: Any
+    LU: Any
+    piv: Any
+    LU_valid: Any
+    h_LU: Any
+    Rate: Any
+    Niter: Any
+    y_new: Any
+    error_norm: Any
+    K: Any
+    nfev: Any
+    njev: Any
+    nlu: Any
+    nls: Any
+    nfi: Any
+    nfailed: Any
+
+
 class ESDIRKStepper:
     family = "esdirk"
 
@@ -432,21 +460,20 @@ class ESDIRKStepper:
                           d, h_abs)
         return h_abs, min_step, standard_sc
 
-    def step(self, params, state):
-        t, y, yp = state.t, state.y, state.yp
-        h_abs, min_step, standard_sc = self.reassess_stepsize(
-            params, t, state.h_abs, state.standard_sc)
+    def _preamble(self, params, t, y, state, h_abs, gate):
+        """Preemptive J/LU refresh, once per step (common.py:2110-2127).
 
-        # preemptive J/LU refresh (common.py:2110-2127)
+        ``gate`` masks the block off (used by step_flat on attempts
+        that continue a rejected step)."""
         J, current_J, LU_valid = state.J, state.current_J, state.LU_valid
         njev = state.njev
         if self.jac_each_step and not self.linear:
             def refresh(_):
                 return self.jac(t, y), jnp.asarray(True), njev + 1
             J, current_J, njev = jax.lax.cond(
-                ~current_J, refresh,
+                gate & ~current_J, refresh,
                 lambda _: (J, current_J, njev), operand=None)
-            LU_valid = jnp.asarray(False)
+            LU_valid = LU_valid & ~gate
         else:
             h = h_abs * params.direction
             h_prev = jnp.where(state.h_previous == 0.0, h,
@@ -456,7 +483,7 @@ class ESDIRKStepper:
             rate_predict_LU = jnp.abs(h / h_LU - 1.0)
             rate_predict_JAC = rate_predict - rate_predict_LU
             has_rate = state.Rate > 0.0
-            want_jac = (has_rate & (state.Niter > 2)
+            want_jac = (gate & has_rate & (state.Niter > 2)
                         & (rate_predict_JAC > MAX_RATE)
                         & ~jnp.asarray(self.linear))
 
@@ -466,168 +493,159 @@ class ESDIRKStepper:
             J, current_J, njev = jax.lax.cond(
                 want_jac, refresh, lambda _: (J, current_J, njev),
                 operand=None)
-            want_lu = has_rate & (want_jac | (rate_predict_LU > MAX_RATE))
+            want_lu = gate & has_rate \
+                & (want_jac | (rate_predict_LU > MAX_RATE))
             LU_valid = LU_valid & ~want_lu
+        return J, current_J, LU_valid, njev
 
-        class Carry(NamedTuple):
-            h_abs: Any
-            h_used: Any
-            accepted: Any
-            rejected: Any
-            status: Any
-            standard_sc: Any
-            max_factor: Any
-            J: Any
-            current_J: Any
-            LU: Any
-            piv: Any
-            LU_valid: Any
-            h_LU: Any
-            Rate: Any
-            Niter: Any
-            y_new: Any
-            error_norm: Any
-            K: Any
-            nfev: Any
-            njev: Any
-            nlu: Any
-            nls: Any
-            nfi: Any
-            nfailed: Any
+    def _attempt(self, params, t, y, yp, error_norm_old, h_previous, c):
+        """One step attempt (the body of the reference's accept/reject
+        loop, common.py:2008-2108); shared by step and step_flat."""
+        h = c.h_abs * params.direction
+
+        # (re)factor LU when needed (common.py:2032-2044)
+        need_lu = (~c.LU_valid) | self.jac_each_step \
+            | (jnp.asarray(self.linear) & (h != c.h_LU))
+
+        def factor(_):
+            lu, piv = self._factor(h, c.J)
+            return lu, piv, c.nlu + 1, h
+        LU, piv, nlu, h_LU = jax.lax.cond(
+            need_lu, factor,
+            lambda _: (c.LU, c.piv, c.nlu, c.h_LU), operand=None)
+
+        # stages
+        K = c.K.at[0].set(yp)
+        ok = jnp.asarray(True)
+        Rate = jnp.asarray(-jnp.inf, self.real_dtype)
+        Niter = jnp.asarray(0, jnp.int32)
+        nfev, nls = c.nfev, c.nls
+        psi_last = y
+        z_last = jnp.zeros_like(y)
+        K_rows = [yp]
+        for s in range(1, self.s):
+            t_stage = t + self.C[s] * h
+            psi = y + h * _wsum(K_rows, self.A[s, :s])
+            z_pred = h * _wsum(K_rows, self.Az[s, :s])
+
+            def do_stage(_):
+                return self._stage_newton(params, t_stage, z_pred, h,
+                                          psi, y, LU, piv)
+
+            def skip(_):
+                return (jnp.asarray(False), z_pred,
+                        jnp.asarray(-jnp.inf, self.real_dtype),
+                        jnp.asarray(0, jnp.int32),
+                        jnp.asarray(0, jnp.int32),
+                        jnp.asarray(0, jnp.int32))
+
+            conv, z, rate, niter, dfe, dls = jax.lax.cond(
+                ok, do_stage, skip, operand=None)
+            nfev = nfev + dfe
+            nls = nls + dls
+            Rate = jnp.maximum(Rate, rate)
+            Niter = jnp.maximum(Niter, niter)
+            Kz = z / h
+            K = K.at[s].set(jnp.where(ok & conv, Kz, K[s]))
+            K_rows.append(jnp.where(ok & conv, Kz,
+                                    jnp.zeros_like(Kz)))
+            psi_last = jnp.where(ok, psi, psi_last)
+            z_last = jnp.where(ok & conv, z, z_last)
+            ok = ok & conv
+
+        converged = ok
+
+        # Newton failure ladder (common.py:2063-2077)
+        nfi = c.nfi + jnp.where(converged, 0, 1)
+        retry_with_new_jac = (~converged) & (~c.current_J) \
+            & ~jnp.asarray(self.linear)
+
+        def newjac(_):
+            return ((self.jac(t, y) if self.jac is not None else c.J),
+                    c.njev + 1)
+        J2, njev2 = jax.lax.cond(
+            retry_with_new_jac, newjac,
+            lambda _: (c.J, c.njev), operand=None)
+        factor_nrf = jnp.clip(
+            jnp.where(Rate > 0.0, MAX_RATE / jnp.maximum(Rate, 1e-300),
+                      MIN_FACTOR),
+            MIN_FACTOR, MAX_FACTOR_NRF)
+        h_abs_fail = jnp.where(retry_with_new_jac, c.h_abs,
+                               c.h_abs * factor_nrf)
+
+        # solution + error (common.py:2079-2087)
+        y_new = psi_last + self.d * z_last
+        scale = calculate_scale(params.atol, params.rtol, y, y_new)
+        err = h * _wsum(list(K), self.E)
+        if self.filter_error:
+            err = self._M_mul(self._solve(LU, piv,
+                                          self._Sc_mul(h, err)))
+            nls = nls + 1
+        error_norm = norm(err / scale)
+
+        facc, sc_acc, mf_acc = esdirk_accept_update(
+            self.cc, self.tiny_err, error_norm, error_norm_old,
+            c.h_abs * params.direction
+            / jnp.where(h_previous == 0.0,
+                        c.h_abs * params.direction,
+                        h_previous),
+            c.rejected, c.standard_sc, c.max_factor)
+        frej = reject_factor(self.cc, error_norm)
+
+        accepted = converged & (error_norm < 1.0)
+        err_rejected = converged & ~accepted
+        bad = converged & (jnp.isnan(error_norm)
+                           | jnp.isinf(error_norm))
+        status = jnp.where(bad, jnp.asarray(OVERFLOW, jnp.int32),
+                           c.status)
+
+        h_abs_new = jnp.where(
+            converged,
+            c.h_abs * jnp.where(accepted, facc, frej),
+            h_abs_fail)
+        # a convergence failure invalidates the LU and resets the
+        # controller (common.py:2068-2077); an error rejection also
+        # resets the controller mode.  A retry with a FRESH Jacobian
+        # is NOT a rejection (common.py:2065-2069): it neither caps
+        # the next growth factor nor resets the controller.
+        LU_valid_new = jnp.where(converged, need_lu | c.LU_valid,
+                                 jnp.asarray(False))
+        standard_sc_new = jnp.where(
+            accepted, sc_acc,
+            jnp.where(retry_with_new_jac, c.standard_sc,
+                      jnp.asarray(True)))
+        return _ECarry(
+            h_abs=h_abs_new,
+            h_used=jnp.where(accepted, h, c.h_used),
+            accepted=accepted,
+            rejected=c.rejected | (err_rejected
+                                   | ((~converged)
+                                      & ~retry_with_new_jac)),
+            status=status,
+            standard_sc=standard_sc_new,
+            max_factor=jnp.where(accepted, mf_acc, c.max_factor),
+            J=J2,
+            current_J=c.current_J | retry_with_new_jac,
+            LU=LU, piv=piv, LU_valid=LU_valid_new, h_LU=h_LU,
+            Rate=Rate, Niter=Niter,
+            y_new=jnp.where(accepted, y_new, c.y_new),
+            error_norm=jnp.where(accepted, error_norm, c.error_norm),
+            K=jnp.where(accepted, K, c.K),
+            nfev=nfev, njev=njev2, nlu=nlu, nls=nls, nfi=nfi,
+            nfailed=c.nfailed + jnp.where(err_rejected, 1, 0))
+
+    def step(self, params, state):
+        t, y, yp = state.t, state.y, state.yp
+        h_abs, min_step, standard_sc = self.reassess_stepsize(
+            params, t, state.h_abs, state.standard_sc)
+
+        J, current_J, LU_valid, njev = self._preamble(
+            params, t, y, state, h_abs, jnp.asarray(True))
 
         def attempt(c):
-            h = c.h_abs * params.direction
-
-            # (re)factor LU when needed (common.py:2032-2044)
-            need_lu = (~c.LU_valid) | self.jac_each_step \
-                | (jnp.asarray(self.linear) & (h != c.h_LU))
-
-            def factor(_):
-                lu, piv = self._factor(h, c.J)
-                return lu, piv, c.nlu + 1, h
-            LU, piv, nlu, h_LU = jax.lax.cond(
-                need_lu, factor,
-                lambda _: (c.LU, c.piv, c.nlu, c.h_LU), operand=None)
-
-            # stages
-            K = c.K.at[0].set(yp)
-            ok = jnp.asarray(True)
-            Rate = jnp.asarray(-jnp.inf, self.real_dtype)
-            Niter = jnp.asarray(0, jnp.int32)
-            nfev, nls = c.nfev, c.nls
-            psi_last = y
-            z_last = jnp.zeros_like(y)
-            K_rows = [yp]
-            for s in range(1, self.s):
-                t_stage = t + self.C[s] * h
-                psi = y + h * _wsum(K_rows, self.A[s, :s])
-                z_pred = h * _wsum(K_rows, self.Az[s, :s])
-
-                def do_stage(_):
-                    return self._stage_newton(params, t_stage, z_pred, h,
-                                              psi, y, LU, piv)
-
-                def skip(_):
-                    return (jnp.asarray(False), z_pred,
-                            jnp.asarray(-jnp.inf, self.real_dtype),
-                            jnp.asarray(0, jnp.int32),
-                            jnp.asarray(0, jnp.int32),
-                            jnp.asarray(0, jnp.int32))
-
-                conv, z, rate, niter, dfe, dls = jax.lax.cond(
-                    ok, do_stage, skip, operand=None)
-                nfev = nfev + dfe
-                nls = nls + dls
-                Rate = jnp.maximum(Rate, rate)
-                Niter = jnp.maximum(Niter, niter)
-                Kz = z / h
-                K = K.at[s].set(jnp.where(ok & conv, Kz, K[s]))
-                K_rows.append(jnp.where(ok & conv, Kz,
-                                        jnp.zeros_like(Kz)))
-                psi_last = jnp.where(ok, psi, psi_last)
-                z_last = jnp.where(ok & conv, z, z_last)
-                ok = ok & conv
-
-            converged = ok
-
-            # Newton failure ladder (common.py:2063-2077)
-            nfi = c.nfi + jnp.where(converged, 0, 1)
-            retry_with_new_jac = (~converged) & (~c.current_J) \
-                & ~jnp.asarray(self.linear)
-
-            def newjac(_):
-                return ((self.jac(t, y) if self.jac is not None else c.J),
-                        c.njev + 1)
-            J2, njev2 = jax.lax.cond(
-                retry_with_new_jac, newjac,
-                lambda _: (c.J, c.njev), operand=None)
-            factor_nrf = jnp.clip(
-                jnp.where(Rate > 0.0, MAX_RATE / jnp.maximum(Rate, 1e-300),
-                          MIN_FACTOR),
-                MIN_FACTOR, MAX_FACTOR_NRF)
-            h_abs_fail = jnp.where(retry_with_new_jac, c.h_abs,
-                                   c.h_abs * factor_nrf)
-
-            # solution + error (common.py:2079-2087)
-            y_new = psi_last + self.d * z_last
-            scale = calculate_scale(params.atol, params.rtol, y, y_new)
-            err = h * _wsum(list(K), self.E)
-            if self.filter_error:
-                err = self._M_mul(self._solve(LU, piv,
-                                              self._Sc_mul(h, err)))
-                nls = nls + 1
-            error_norm = norm(err / scale)
-
-            facc, sc_acc, mf_acc = esdirk_accept_update(
-                self.cc, self.tiny_err, error_norm, state.error_norm_old,
-                c.h_abs * params.direction
-                / jnp.where(state.h_previous == 0.0,
-                            c.h_abs * params.direction,
-                            state.h_previous),
-                c.rejected, c.standard_sc, c.max_factor)
-            frej = reject_factor(self.cc, error_norm)
-
-            accepted = converged & (error_norm < 1.0)
-            err_rejected = converged & ~accepted
-            bad = converged & (jnp.isnan(error_norm)
-                               | jnp.isinf(error_norm))
-            status = jnp.where(bad, jnp.asarray(OVERFLOW, jnp.int32),
-                               c.status)
-
-            h_abs_new = jnp.where(
-                converged,
-                c.h_abs * jnp.where(accepted, facc, frej),
-                h_abs_fail)
-            # a convergence failure invalidates the LU and resets the
-            # controller (common.py:2068-2077); an error rejection also
-            # resets the controller mode.  A retry with a FRESH Jacobian
-            # is NOT a rejection (common.py:2065-2069): it neither caps
-            # the next growth factor nor resets the controller.
-            LU_valid_new = jnp.where(converged, need_lu | c.LU_valid,
-                                     jnp.asarray(False))
-            standard_sc_new = jnp.where(
-                accepted, sc_acc,
-                jnp.where(retry_with_new_jac, c.standard_sc,
-                          jnp.asarray(True)))
-            return Carry(
-                h_abs=h_abs_new,
-                h_used=jnp.where(accepted, h, c.h_used),
-                accepted=accepted,
-                rejected=c.rejected | (err_rejected
-                                       | ((~converged)
-                                          & ~retry_with_new_jac)),
-                status=status,
-                standard_sc=standard_sc_new,
-                max_factor=jnp.where(accepted, mf_acc, c.max_factor),
-                J=J2,
-                current_J=c.current_J | retry_with_new_jac,
-                LU=LU, piv=piv, LU_valid=LU_valid_new, h_LU=h_LU,
-                Rate=Rate, Niter=Niter,
-                y_new=jnp.where(accepted, y_new, c.y_new),
-                error_norm=jnp.where(accepted, error_norm, c.error_norm),
-                K=jnp.where(accepted, K, c.K),
-                nfev=nfev, njev=njev2, nlu=nlu, nls=nls, nfi=nfi,
-                nfailed=c.nfailed + jnp.where(err_rejected, 1, 0))
+            return self._attempt(params, t, y, yp,
+                                 state.error_norm_old, state.h_previous,
+                                 c)
 
         def cond_fn(c):
             return (~c.accepted) & (c.status == RUNNING)
@@ -639,7 +657,7 @@ class ESDIRKStepper:
                 c.status))
             return jax.lax.cond(cond_fn(c), attempt, lambda x: x, c)
 
-        c0 = Carry(
+        c0 = _ECarry(
             h_abs=h_abs, h_used=jnp.zeros_like(state.h_previous),
             accepted=jnp.asarray(False), rejected=jnp.asarray(False),
             status=state.status, standard_sc=standard_sc,

@@ -402,6 +402,153 @@ class RKCStepper:
             maxm=jnp.maximum(state.maxm, c.m_used),
             max_step_eff=state.max_step_eff, hmin0=state.hmin0)
 
+    # -- flat (attempt-level) stepping for the device driver -------------------
+
+    def flat_init_aux(self, state):
+        return ()
+
+    def step_flat(self, params, state, aux):
+        """Exactly ONE step attempt (state advances when accepted).
+
+        Semantically equivalent to :meth:`step`'s nested accept/reject
+        loop; all attempt-to-attempt carry (h_abs, sprad, V, newspc,
+        jacatt, counters) already lives in the state, so ``aux`` is
+        empty.  Returns (state', aux, accepted).
+        """
+        t, yn, fn = state.t, state.y, state.f
+
+        # spectral-radius refresh (sommeijer.py:174-189)
+        if self.rho_jac is not None:
+            sprad = jnp.where(state.newspc,
+                              jnp.asarray(self.rho_jac(t, yn), self.dtype),
+                              state.sprad)
+            V, nfesig, rho_ok = state.V, state.nfesig, jnp.asarray(True)
+        else:
+            def do_rho(_):
+                return self._rho(t, yn, fn, state.V, state.max_step_eff)
+
+            def no_rho(_):
+                return (state.sprad, state.V, jnp.asarray(0, jnp.int32),
+                        jnp.asarray(True))
+
+            sprad, V, nev, rho_ok = jax.lax.cond(
+                state.newspc, do_rho, no_rho, operand=None)
+            nfesig = state.nfesig + nev
+        jacatt = jnp.where(state.newspc, True, state.jacatt)
+        status = jnp.where(~rho_ok, jnp.asarray(RHO_FAIL, jnp.int32),
+                           state.status)
+
+        # initial step size on the very first attempt
+        def init_absh(_):
+            absh0 = jnp.where(sprad * state.max_step_eff > 1.0,
+                              1.0 / sprad, state.max_step_eff)
+            absh0 = jnp.maximum(absh0, state.hmin0)
+            vtemp1 = yn + absh0 * fn
+            vtemp2 = self.fun(t + absh0, vtemp1)
+            wt = params.atol + params.rtol * jnp.abs(yn) \
+                * jnp.ones_like(yn)
+            est = absh0 * norm((vtemp2 - fn) / wt)
+            absh1 = jnp.where(
+                0.1 * absh0 < state.max_step_eff * jnp.sqrt(est),
+                jnp.maximum(0.1 * absh0 / jnp.sqrt(est), state.hmin0),
+                state.max_step_eff)
+            return absh1, jnp.asarray(1, jnp.int32)
+
+        def keep_absh(_):
+            return state.h_abs, jnp.asarray(0, jnp.int32)
+
+        absh, ev0 = jax.lax.cond(state.h_abs < 0.0, init_absh, keep_absh,
+                                 operand=None)
+        nfev = state.nfev + ev0
+
+        # stage count and the m cap (sommeijer.py:190-204)
+        d = jnp.abs(params.t_bound - t)
+        absh = jnp.where(1.1 * absh >= d, d, absh)
+        m = 1 + jnp.sqrt(1.54 * absh * sprad + 1.0).astype(jnp.int32)
+        mmax = jnp.maximum(
+            jnp.round(jnp.sqrt(params.rtol / (10.0 * self.uround))),
+            2.0).astype(jnp.int32)
+        hit_cap = m > mmax
+        m = jnp.where(hit_cap, mmax, m)
+        absh = jnp.where(hit_cap,
+                         (m.astype(self.dtype) ** 2 - 1.0)
+                         / (1.54 * sprad), absh)
+        mlim = jnp.where(hit_cap, state.mlim + 1, 0)
+
+        h = params.direction * absh
+        mf = m.astype(self.dtype)
+        hmin = jnp.maximum(
+            self.sqrtmin,
+            13.3 * self.uround * (jnp.abs(t) + absh) * (mf * mf - 1.0))
+
+        y, n_st = self._stages(t, yn, fn, h, m)
+        f_new = self.fun(t + h, y)
+        nfev = nfev + n_st + 1
+
+        wt = calculate_scale(params.atol, params.rtol, y, yn)
+        est = 0.8 * (yn - y) + 0.4 * h * (fn + f_new)
+        err = norm(est / wt)
+
+        accepted = err < 1.0
+        bad = jnp.isnan(err) | jnp.isinf(err)
+        absh_rej = 0.8 * absh / jnp.maximum(err, 1e-300) ** (1.0 / 3.0)
+        too_small = (~accepted) & (absh_rej < hmin)
+        status = jnp.where(
+            bad, jnp.asarray(OVERFLOW, jnp.int32),
+            jnp.where(too_small & (status == RUNNING),
+                      jnp.asarray(TOO_SMALL_STEP, jnp.int32), status))
+        ok = accepted & ~bad
+
+        is_last = ok & (absh >= d)
+        t_new = jnp.where(is_last, params.t_bound, t + h)
+        status = jnp.where((status == RUNNING) & is_last,
+                           jnp.asarray(FINISHED, jnp.int32), status)
+
+        # post-acceptance bookkeeping (sommeijer.py:238-266)
+        jacatt_acc = jnp.asarray(self.const_jac)
+        nstsig = jnp.where(ok, jnp.mod(state.nstsig + 1, 25),
+                           state.nstsig)
+        refresh = (self.rho_jac is not None) | (nstsig == 0)
+        newspc = jnp.where(ok, refresh & ~jacatt_acc, ~jacatt)
+
+        # H220 dead-beat controller for the next step size
+        fac = jnp.asarray(10.0, self.dtype)
+        t2_first = jnp.maximum(err, 1e-300) ** (1.0 / 3.0)
+        fac_first = jnp.where(0.8 < fac * t2_first, 0.8 / t2_first, fac)
+        temp1 = 0.8 * absh * jnp.maximum(state.errold,
+                                         1e-300) ** (1.0 / 3.0)
+        temp2 = jnp.abs(state.h_previous) * jnp.maximum(err,
+                                                  1e-300) ** (2.0 / 3.0)
+        fac_next = jnp.where(temp1 < fac * temp2,
+                             temp1 / jnp.maximum(temp2, 1e-300), fac)
+        fac = jnp.where(state.h_previous == 0.0, fac_first, fac_next)
+        absh_acc = jnp.maximum(0.1, fac) * absh
+        absh_acc = jnp.maximum(hmin, jnp.minimum(state.max_step_eff,
+                                                 absh_acc))
+
+        new_state = RKCState(
+            t=jnp.where(ok, t_new, state.t),
+            y=jnp.where(ok, y, state.y),
+            f=jnp.where(ok, f_new, state.f),
+            h_abs=jnp.where(ok, absh_acc, absh_rej),
+            status=status,
+            sprad=sprad, V=V,
+            newspc=newspc,
+            jacatt=jnp.where(ok, jacatt_acc, jacatt),
+            h_previous=jnp.where(ok, h, state.h_previous),
+            errold=jnp.where(ok, err, state.errold),
+            nstsig=nstsig,
+            mlim=mlim,
+            t_old=jnp.where(ok, t, state.t_old),
+            y_old=jnp.where(ok, yn, state.y_old),
+            f_old=jnp.where(ok, fn, state.f_old),
+            nfev=nfev, nfesig=nfesig,
+            nsteps=state.nsteps + jnp.where(ok, 1, 0),
+            nfailed=state.nfailed + jnp.where(ok, 0, 1),
+            maxm=jnp.maximum(state.maxm, jnp.where(ok, m, 0)),
+            max_step_eff=state.max_step_eff, hmin0=state.hmin0)
+        return new_state, aux, ok
+
     # -- dense output ------------------------------------------------------------
 
     def record_coefficients(self, state):

@@ -139,3 +139,19 @@ def test_sharded_pde_solve():
              + 0.3 * np.exp(-1e-3 * (8 * np.pi) ** 2 * 10.0)
              * np.sin(8 * np.pi * x))
     assert np.max(np.abs(np.asarray(out.y) - exact)) < 1e-3
+
+
+def test_flat_path_matches_host_driver():
+    """solve() uses step_flat (one attempt per while iteration); it must
+    reproduce the host driver's nested accept/reject loop exactly —
+    same step/eval counts, bitwise-same terminal state."""
+    n = 64
+    rhs = heat_1d_rhs(n=n)
+    y0 = jnp.asarray(np.sin(2 * np.pi * np.arange(n) / n) + 1.0)
+    out = jax.jit(lambda y: solve(rhs, (0.0, 0.5), y, method=SSV2stab,
+                                  rtol=1e-4, atol=1e-7))(y0)
+    ref = solve_ivp(rhs, (0.0, 0.5), y0, method=SSV2stab,
+                    rtol=1e-4, atol=1e-7)
+    assert int(out.nsteps) == ref.t.size - 1
+    assert int(out.nfev) == ref.nfev
+    np.testing.assert_array_equal(np.asarray(out.y), ref.y[:, -1])

@@ -76,8 +76,10 @@ def config2():
     long-horizon pattern on this backend)."""
     B = 256
     mu = 1000.0
-    window = 30.0
-    n_windows = 2                     # t in [0, 60] keeps the run short
+    window = 5.0
+    n_windows = 4                     # short programs: the vmapped
+                                      # ensemble runs minutes per 30-unit
+                                      # window, tripping the watchdog
 
     def f(t, y):
         return jnp.stack([y[1], mu * (1 - y[0] ** 2) * y[1] - y[0]])
@@ -104,7 +106,7 @@ def config2():
         lambda t, y: [y[1], mu * (1 - y[0] ** 2) * y[1] - y[0]],
         (0, n_windows * window), np.asarray(Y0), "SWAG", 1, B,
         1e-6, 1e-9)
-    print(f"2 VdP mu=1e3 SWAG x{B} (t=60): tpu {dt:7.1f} s | "
+    print(f"2 VdP mu=1e3 SWAG x{B} (t=20): tpu {dt:7.1f} s | "
           f"scipy-1core ~{sc:6.1f} s | speedup {sc/dt:7.0f}x "
           f"(~{steps} steps/member)")
 
