@@ -320,8 +320,119 @@ class AdamsStepper:
 
     # -- one step --------------------------------------------------------------
 
-    def step(self, params, state):
+    def _attempt(self, params, state, min_step, c):
+        """One predict+error attempt (dsteps blocks 1-3,
+        shampine.py:246-398); shared by step and step_flat."""
         km = self.k_max
+        x0, y0 = state.t, state.y
+        h, k = c.h, c.k
+        kp1, km1, km2 = k + 1, k - 1, k - 2
+        # ns counts steps taken at this h (shampine.py:251-256):
+        # reset when h differs from the last successful step's h
+        ns = jnp.where(h != state.hold, jnp.asarray(0, jnp.int32),
+                       c.ns)
+        ns = jnp.where(ns <= state.kold, ns + 1, ns)
+
+        cc = c._replace(ns=ns)
+        (psi, alpha, beta, sig, v, w, g, gi, iv, ivc, kgi) = \
+            self._coefficients(cc, h, state.kold)
+
+        # block 2: predict (shampine.py:320-364)
+        idx_r = jnp.arange(km + 2)
+        phi = c.phi
+        phi = jnp.where(((idx_r >= ns) & (idx_r < k))[:, None],
+                        phi * beta[jnp.clip(idx_r, 0, km - 1), None],
+                        phi)
+        phi_k = phi[jnp.clip(k, 0, km + 1)]
+        phi = phi.at[jnp.clip(kp1, 0, km + 1)].set(phi_k)
+        phi = phi.at[jnp.clip(k, 0, km + 1)].set(
+            jnp.zeros_like(phi_k))
+        gw = jnp.where(idx_r < k, g[jnp.clip(idx_r, 0, km)], 0.0)
+        p = h * jnp.einsum("s,sn->n", gw.astype(self.real_dtype),
+                           phi.astype(self.dtype)) + y0
+        # reverse cumulative sum over rows < k
+        masked = jnp.where((idx_r < k)[:, None], phi,
+                           jnp.zeros_like(phi))
+        rev = jnp.cumsum(masked[::-1], axis=0)[::-1]
+        phi = jnp.where((idx_r < k)[:, None], rev, phi)
+
+        x = x0 + h
+        yp_pred = self.fun(x, p)
+        nfev = c.nfev + 1
+
+        wt = calculate_scale(params.atol, params.rtol, p, y0,
+                             _mean=True)
+        inv_wt = 1.0 / wt
+        temp4 = yp_pred - phi[0]
+        absh = jnp.abs(h)
+        gstr = jnp.asarray(self.gstr)
+        sigj = sig
+
+        erk = absh * norm(temp4 * inv_wt)
+        erkm1 = absh * norm((phi[jnp.clip(km1, 0, km + 1)] + temp4)
+                            * inv_wt) \
+            * sigj[jnp.clip(km1, 0, km)] \
+            * gstr[jnp.clip(km2, 0, 12)]
+        erkm2 = absh * norm((phi[jnp.clip(km2, 0, km + 1)] + temp4)
+                            * inv_wt) \
+            * sigj[jnp.clip(km2, 0, km)] \
+            * gstr[jnp.clip(km2 - 1, 0, 12)]
+        err = erk * (g[jnp.clip(km1, 0, km)] - g[jnp.clip(k, 0, km)])
+        erk = erk * sigj[jnp.clip(k, 0, km)] * gstr[jnp.clip(km1, 0,
+                                                             12)]
+
+        knew = jnp.where(
+            (k > 2) & (jnp.maximum(erkm1, erkm2) < erk), km1,
+            jnp.where((k == 2) & (erkm1 < 0.5 * erk), km1, k))
+
+        success = err <= self.eps
+
+        # block 3: failure restore (shampine.py:369-398)
+        phi_r = jnp.where((idx_r < k)[:, None],
+                          phi - phi[jnp.clip(idx_r + 1, 0,
+                                             km + 1)], phi)
+        phi_r = jnp.where(
+            (idx_r < k)[:, None],
+            phi_r / jnp.where(
+                beta[jnp.clip(idx_r, 0, km - 1), None] == 0, 1.0,
+                beta[jnp.clip(idx_r, 0, km - 1), None]), phi_r)
+        idx_k = jnp.arange(km)
+        psi_r = jnp.where(idx_k < km1,
+                          psi[jnp.clip(idx_k + 1, 0, km - 1)] - h,
+                          psi)
+
+        ifail = c.ifail + 1
+        temp2 = jnp.where((ifail >= 4) & (self.p5eps < 0.25 * erk),
+                          jnp.sqrt(self.p5eps / erk), 0.5)
+        knew_fail = jnp.where(ifail >= 3, 1, knew).astype(jnp.int32)
+        h_fail = h * temp2
+        status = jnp.where((~success)
+                           & (jnp.abs(h_fail) < min_step),
+                           jnp.asarray(TOO_SMALL_STEP, jnp.int32),
+                           c.status)
+
+        return _Carry(
+            h=jnp.where(success, h, h_fail),
+            k=jnp.where(success, k, knew_fail),
+            ns=ns,
+            kprev=k,
+            ifail=jnp.where(success, c.ifail, ifail),
+            phase1=jnp.where(success, c.phase1, False),
+            phi=jnp.where(success, phi, phi_r),
+            psi=jnp.where(success, psi, psi_r),
+            alpha=alpha, beta=beta, sig=sig, v=v, w=w, g=g,
+            gi=gi, iv=iv, ivc=ivc, kgi=kgi,
+            success=success,
+            status=status,
+            p=jnp.where(success, p, c.p),
+            yp_pred=jnp.where(success, yp_pred, c.yp_pred),
+            wt=jnp.where(success, wt, c.wt),
+            erk=erk, erkm1=erkm1, erkm2=erkm2,
+            knew=knew.astype(jnp.int32),
+            nfev=nfev,
+            nfailed=c.nfailed + jnp.where(success, 0, 1))
+
+    def step(self, params, state):
         x0, y0, yp0 = state.t, state.y, state.yp
         min_step = self.fouru * jnp.abs(x0)
 
@@ -342,119 +453,14 @@ class AdamsStepper:
         round_ = self.twou * norm(y0 / state.wt)
         tol_tight = self.p5eps < round_
 
-        def attempt(c):
-            h, k = c.h, c.k
-            kp1, km1, km2 = k + 1, k - 1, k - 2
-            # ns counts steps taken at this h (shampine.py:251-256):
-            # reset when h differs from the last successful step's h
-            ns = jnp.where(h != state.hold, jnp.asarray(0, jnp.int32),
-                           c.ns)
-            ns = jnp.where(ns <= state.kold, ns + 1, ns)
-
-            cc = c._replace(ns=ns)
-            (psi, alpha, beta, sig, v, w, g, gi, iv, ivc, kgi) = \
-                self._coefficients(cc, h, state.kold)
-
-            # block 2: predict (shampine.py:320-364)
-            idx_r = jnp.arange(km + 2)
-            phi = c.phi
-            phi = jnp.where(((idx_r >= ns) & (idx_r < k))[:, None],
-                            phi * beta[jnp.clip(idx_r, 0, km - 1), None],
-                            phi)
-            phi_k = phi[jnp.clip(k, 0, km + 1)]
-            phi = phi.at[jnp.clip(kp1, 0, km + 1)].set(phi_k)
-            phi = phi.at[jnp.clip(k, 0, km + 1)].set(
-                jnp.zeros_like(phi_k))
-            gw = jnp.where(idx_r < k, g[jnp.clip(idx_r, 0, km)], 0.0)
-            p = h * jnp.einsum("s,sn->n", gw.astype(self.real_dtype),
-                               phi.astype(self.dtype)) + y0
-            # reverse cumulative sum over rows < k
-            masked = jnp.where((idx_r < k)[:, None], phi,
-                               jnp.zeros_like(phi))
-            rev = jnp.cumsum(masked[::-1], axis=0)[::-1]
-            phi = jnp.where((idx_r < k)[:, None], rev, phi)
-
-            x = x0 + h
-            yp_pred = self.fun(x, p)
-            nfev = c.nfev + 1
-
-            wt = calculate_scale(params.atol, params.rtol, p, y0,
-                                 _mean=True)
-            inv_wt = 1.0 / wt
-            temp4 = yp_pred - phi[0]
-            absh = jnp.abs(h)
-            gstr = jnp.asarray(self.gstr)
-            sigj = sig
-
-            erk = absh * norm(temp4 * inv_wt)
-            erkm1 = absh * norm((phi[jnp.clip(km1, 0, km + 1)] + temp4)
-                                * inv_wt) \
-                * sigj[jnp.clip(km1, 0, km)] \
-                * gstr[jnp.clip(km2, 0, 12)]
-            erkm2 = absh * norm((phi[jnp.clip(km2, 0, km + 1)] + temp4)
-                                * inv_wt) \
-                * sigj[jnp.clip(km2, 0, km)] \
-                * gstr[jnp.clip(km2 - 1, 0, 12)]
-            err = erk * (g[jnp.clip(km1, 0, km)] - g[jnp.clip(k, 0, km)])
-            erk = erk * sigj[jnp.clip(k, 0, km)] * gstr[jnp.clip(km1, 0,
-                                                                 12)]
-
-            knew = jnp.where(
-                (k > 2) & (jnp.maximum(erkm1, erkm2) < erk), km1,
-                jnp.where((k == 2) & (erkm1 < 0.5 * erk), km1, k))
-
-            success = err <= self.eps
-
-            # block 3: failure restore (shampine.py:369-398)
-            phi_r = jnp.where((idx_r < k)[:, None],
-                              phi - phi[jnp.clip(idx_r + 1, 0,
-                                                 km + 1)], phi)
-            phi_r = jnp.where(
-                (idx_r < k)[:, None],
-                phi_r / jnp.where(
-                    beta[jnp.clip(idx_r, 0, km - 1), None] == 0, 1.0,
-                    beta[jnp.clip(idx_r, 0, km - 1), None]), phi_r)
-            idx_k = jnp.arange(km)
-            psi_r = jnp.where(idx_k < km1,
-                              psi[jnp.clip(idx_k + 1, 0, km - 1)] - h,
-                              psi)
-
-            ifail = c.ifail + 1
-            temp2 = jnp.where((ifail >= 4) & (self.p5eps < 0.25 * erk),
-                              jnp.sqrt(self.p5eps / erk), 0.5)
-            knew_fail = jnp.where(ifail >= 3, 1, knew).astype(jnp.int32)
-            h_fail = h * temp2
-            status = jnp.where((~success)
-                               & (jnp.abs(h_fail) < min_step),
-                               jnp.asarray(TOO_SMALL_STEP, jnp.int32),
-                               c.status)
-
-            return _Carry(
-                h=jnp.where(success, h, h_fail),
-                k=jnp.where(success, k, knew_fail),
-                ns=ns,
-                kprev=k,
-                ifail=jnp.where(success, c.ifail, ifail),
-                phase1=jnp.where(success, c.phase1, False),
-                phi=jnp.where(success, phi, phi_r),
-                psi=jnp.where(success, psi, psi_r),
-                alpha=alpha, beta=beta, sig=sig, v=v, w=w, g=g,
-                gi=gi, iv=iv, ivc=ivc, kgi=kgi,
-                success=success,
-                status=status,
-                p=jnp.where(success, p, c.p),
-                yp_pred=jnp.where(success, yp_pred, c.yp_pred),
-                wt=jnp.where(success, wt, c.wt),
-                erk=erk, erkm1=erkm1, erkm2=erkm2,
-                knew=knew.astype(jnp.int32),
-                nfev=nfev,
-                nfailed=c.nfailed + jnp.where(success, 0, 1))
-
         def cond_fn(c):
             return (~c.success) & (c.status == RUNNING)
 
         def body_fn(c):
-            return jax.lax.cond(cond_fn(c), attempt, lambda x: x, c)
+            return jax.lax.cond(
+                cond_fn(c),
+                lambda cc: self._attempt(params, state, min_step, cc),
+                lambda x: x, c)
 
         c0 = _Carry(
             h=h_in, k=state.k, ns=state.ns, kprev=state.kprev,
@@ -476,10 +482,20 @@ class AdamsStepper:
             erkm2=jnp.asarray(0.0, self.real_dtype),
             knew=state.k, nfev=state.nfev, nfailed=state.nfailed)
         c = jax.lax.while_loop(cond_fn, body_fn, c0)
-        ok = c.success & ~near_end
+        return self._finalize(params, state, c, near_end, d, min_step,
+                              kle4, stiff_flag, flat=False)
 
-        # block 4: correct, evaluate, update differences
-        # (shampine.py:402-468)
+    def _finalize(self, params, state, c, near_end, d, min_step,
+                  kle4, stiff_flag, flat):
+        """Block 4 (correct, evaluate, order selection,
+        shampine.py:402-468) plus the state writeback.
+
+        ``flat``: the attempt-to-attempt carry persists through the
+        state (step_flat), so rejected-attempt values (phi/psi restore,
+        reduced h/k, ns) are written back instead of kept."""
+        km = self.k_max
+        x0, y0, yp0 = state.t, state.y, state.yp
+        ok = c.success & ~near_end
         h, k = c.h, c.k
         kp1, km1 = k + 1, k - 1
         x = x0 + h
@@ -550,6 +566,19 @@ class AdamsStepper:
             (c.status == RUNNING) & (is_last | near_end),
             jnp.asarray(FINISHED, jnp.int32), c.status)
 
+        # in flat mode a rejected attempt's restore (phi/psi back-out,
+        # reduced h/k, ns) must persist through the state
+        fb_phi = c.phi if flat else state.phi
+        fb_psi = c.psi if flat else state.psi
+        fb_alpha = c.alpha if flat else state.alpha
+        fb_beta = c.beta if flat else state.beta
+        fb_sig = c.sig if flat else state.sig
+        fb_v = c.v if flat else state.v
+        fb_w = c.w if flat else state.w
+        fb_g = c.g if flat else state.g
+        fb_ns = c.ns if flat else state.ns
+        fb_kprev = c.kprev if flat else state.kprev
+
         return AdamsState(
             t=jnp.where(near_end, params.t_bound,
                         jnp.where(ok, t_new, state.t)),
@@ -562,18 +591,18 @@ class AdamsStepper:
             .astype(jnp.int32),
             kold=jnp.where(near_end, 0, jnp.where(ok, k, state.kold))
             .astype(jnp.int32),
-            kprev=jnp.where(ok, c.kprev, state.kprev).astype(jnp.int32),
-            ns=jnp.where(ok, c.ns, state.ns).astype(jnp.int32),
+            kprev=jnp.where(ok, c.kprev, fb_kprev).astype(jnp.int32),
+            ns=jnp.where(ok, c.ns, fb_ns).astype(jnp.int32),
             phase1=jnp.where(ok, phase1, c.phase1),
             ivc=c.ivc, kgi=c.kgi, iv=c.iv, gi=c.gi,
-            phi=jnp.where(ok, phi, state.phi),
-            psi=jnp.where(ok, c.psi, state.psi),
-            alpha=jnp.where(ok, c.alpha, state.alpha),
-            beta=jnp.where(ok, c.beta, state.beta),
-            sig=jnp.where(ok, c.sig, state.sig),
-            v=jnp.where(ok, c.v, state.v),
-            w=jnp.where(ok, c.w, state.w),
-            g=jnp.where(ok, c.g, state.g),
+            phi=jnp.where(ok, phi, fb_phi),
+            psi=jnp.where(ok, c.psi, fb_psi),
+            alpha=jnp.where(ok, c.alpha, fb_alpha),
+            beta=jnp.where(ok, c.beta, fb_beta),
+            sig=jnp.where(ok, c.sig, fb_sig),
+            v=jnp.where(ok, c.v, fb_v),
+            w=jnp.where(ok, c.w, fb_w),
+            g=jnp.where(ok, c.g, fb_g),
             status=status,
             extrapolated=near_end,
             kle4=kle4, stiff_flag=stiff_flag,
@@ -585,6 +614,79 @@ class AdamsStepper:
             nfev=nfev,
             nsteps=state.nsteps + jnp.where(ok_any, 1, 0),
             nfailed=c.nfailed)
+
+    # -- flat (attempt-level) stepping for the device driver -------------------
+
+    def flat_init_aux(self, state):
+        """(fresh_step, failures_this_step)."""
+        return (jnp.asarray(True), jnp.asarray(0, jnp.int32))
+
+    def step_flat(self, params, state, aux):
+        """Exactly ONE predict+error attempt; state advances when it is
+        accepted (or the near-end extrapolation fires).
+
+        Semantically equivalent to :meth:`step`'s nested loop: per-STEP
+        work (stiffness hint, end-of-interval clamp, tolerance check)
+        runs only on a fresh step; a rejected attempt's restore
+        (phi/psi back-out, reduced h and k, ns) persists through the
+        state.  Returns (state', aux', accepted).
+        """
+        fresh, ifail = aux
+        x0, y0 = state.t, state.y
+        min_step = self.fouru * jnp.abs(x0)
+
+        # stiffness hint (shampine.py:198-207), once per step
+        kle4_f = jnp.where(state.kold > 4, 0, state.kle4 + 1)
+        stiff_f = state.stiff_flag | ((kle4_f > 50) & (self.k_max > 4))
+        kle4_f = jnp.where(kle4_f > 50, 0, kle4_f)
+        kle4 = jnp.where(fresh, kle4_f, state.kle4)
+        stiff_flag = jnp.where(fresh, stiff_f, state.stiff_flag)
+
+        d = params.t_bound - x0
+        near_end = jnp.abs(d) <= min_step
+
+        h_clamped = state.h
+        h_clamped = jnp.where(params.direction * (h_clamped - d) > 0,
+                              d, h_clamped)
+        h_clamped = jnp.sign(h_clamped) * jnp.minimum(
+            params.max_step, jnp.abs(h_clamped))
+        h_in = jnp.where(fresh, h_clamped, state.h)
+
+        round_ = self.twou * norm(y0 / state.wt)
+        tol_tight = self.p5eps < round_
+
+        status0 = jnp.where(
+            fresh & tol_tight & ~near_end,
+            jnp.asarray(TOL_TOO_TIGHT, jnp.int32),
+            jnp.where(fresh & (jnp.abs(h_in) < min_step) & ~near_end,
+                      jnp.asarray(TOO_SMALL_STEP, jnp.int32),
+                      state.status))
+
+        c0 = _Carry(
+            h=h_in, k=state.k, ns=state.ns, kprev=state.kprev,
+            ifail=jnp.where(fresh, 0, ifail), phase1=state.phase1,
+            phi=state.phi, psi=state.psi, alpha=state.alpha,
+            beta=state.beta, sig=state.sig, v=state.v, w=state.w,
+            g=state.g, gi=state.gi, iv=state.iv, ivc=state.ivc,
+            kgi=state.kgi,
+            success=near_end,        # extrapolation skips the attempt
+            status=status0,
+            p=y0, yp_pred=state.yp, wt=state.wt,
+            erk=jnp.asarray(0.0, self.real_dtype),
+            erkm1=jnp.asarray(0.0, self.real_dtype),
+            erkm2=jnp.asarray(0.0, self.real_dtype),
+            knew=state.k, nfev=state.nfev, nfailed=state.nfailed)
+
+        c = jax.lax.cond(
+            (~c0.success) & (c0.status == RUNNING),
+            lambda cc: self._attempt(params, state, min_step, cc),
+            lambda cc: cc, c0)
+
+        new_state = self._finalize(params, state, c, near_end, d,
+                                   min_step, kle4, stiff_flag, flat=True)
+        accepted = c.success
+        aux_new = (accepted | (new_state.status != RUNNING), c.ifail)
+        return new_state, aux_new, accepted
 
     # -- dense output -----------------------------------------------------------
 

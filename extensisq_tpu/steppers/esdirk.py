@@ -703,6 +703,92 @@ class ESDIRKStepper:
             nsteps=state.nsteps + jnp.where(ok, 1, 0),
             nfailed=c.nfailed)
 
+    # -- flat (attempt-level) stepping for the device driver -------------------
+
+    def flat_init_aux(self, state):
+        """(fresh_step, min_step, rejected_this_step)."""
+        z = jnp.asarray(0.0, self.real_dtype)
+        return (jnp.asarray(True), z, jnp.asarray(False))
+
+    def step_flat(self, params, state, aux):
+        """Exactly ONE step attempt; state advances when accepted.
+
+        Semantically equivalent to :meth:`step`'s nested accept/reject
+        loop: per-STEP work (reassess_stepsize, the preemptive J/LU
+        refresh) runs only on a fresh step, and the attempt-to-attempt
+        carry (h_abs, J, LU, controller mode, counters) is written back
+        into the state between calls.  Returns (state', aux', accepted).
+        """
+        fresh, min_step_c, rejected = aux
+        t, y, yp = state.t, state.y, state.yp
+
+        h_abs_r, min_step_r, sc_r = self.reassess_stepsize(
+            params, t, state.h_abs, state.standard_sc)
+        h_abs = jnp.where(fresh, h_abs_r, state.h_abs)
+        min_step = jnp.where(fresh, min_step_r, min_step_c)
+        standard_sc = jnp.where(fresh, sc_r, state.standard_sc)
+
+        J, current_J, LU_valid, njev = self._preamble(
+            params, t, y, state, h_abs, fresh)
+
+        too_small = h_abs < min_step
+        status0 = jnp.where(too_small & (state.status == RUNNING),
+                            jnp.asarray(TOO_SMALL_STEP, jnp.int32),
+                            state.status)
+        c0 = _ECarry(
+            h_abs=h_abs, h_used=jnp.zeros_like(state.h_previous),
+            accepted=jnp.asarray(False), rejected=rejected,
+            status=status0, standard_sc=standard_sc,
+            max_factor=state.max_factor,
+            J=J, current_J=current_J, LU=state.LU, piv=state.piv,
+            LU_valid=LU_valid, h_LU=state.h_LU,
+            Rate=state.Rate, Niter=state.Niter,
+            y_new=y, error_norm=state.error_norm_old,
+            K=state.K,
+            nfev=state.nfev, njev=njev, nlu=state.nlu, nls=state.nls,
+            nfi=state.nfi, nfailed=state.nfailed)
+
+        c = jax.lax.cond(
+            status0 == RUNNING,
+            lambda cc: self._attempt(params, t, y, yp,
+                                     state.error_norm_old,
+                                     state.h_previous, cc),
+            lambda cc: cc, c0)
+        ok = c.accepted
+
+        d = jnp.abs(params.t_bound - t)
+        is_last = ok & (jnp.abs(c.h_used) >= d)
+        t_new = jnp.where(is_last, params.t_bound, t + c.h_used)
+        status = jnp.where((c.status == RUNNING) & is_last,
+                           jnp.asarray(FINISHED, jnp.int32), c.status)
+
+        new_state = ESDIRKState(
+            t=jnp.where(ok, t_new, state.t),
+            y=jnp.where(ok, c.y_new, state.y),
+            yp=jnp.where(ok, c.K[-1], state.yp),
+            h_abs=c.h_abs,
+            status=status,
+            standard_sc=c.standard_sc,
+            error_norm_old=jnp.where(ok, c.error_norm,
+                                     state.error_norm_old),
+            h_previous=jnp.where(ok, c.h_used, state.h_previous),
+            max_factor=c.max_factor,
+            J=c.J,
+            # J considered stale at the next step unless constant
+            current_J=jnp.where(ok, jnp.asarray(self.linear),
+                                c.current_J),
+            LU=c.LU, piv=c.piv, LU_valid=c.LU_valid, h_LU=c.h_LU,
+            Rate=c.Rate, Niter=c.Niter,
+            t_old=jnp.where(ok, t, state.t_old),
+            y_old=jnp.where(ok, y, state.y_old),
+            yp_old=jnp.where(ok, yp, state.yp_old),
+            K=jnp.where(ok, c.K, state.K),
+            nfev=c.nfev, njev=c.njev, nlu=c.nlu, nls=c.nls, nfi=c.nfi,
+            nsteps=state.nsteps + jnp.where(ok, 1, 0),
+            nfailed=c.nfailed)
+        aux_new = (ok | (status != RUNNING), min_step, c.rejected & ~ok)
+        return new_state, aux_new, ok
+
     # -- dense output -------------------------------------------------------------
 
     def record_coefficients(self, state):

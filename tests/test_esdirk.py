@@ -1,12 +1,14 @@
 """ESDIRK solver conformance: work counts, stiff problems, linear fast
 path, complex support, and index-1 DAEs (strategy of
 /root/reference/tests/test_ivp.py:294-366 and tests/test_DAE.py)."""
+import jax
 import numpy as np
 import jax.numpy as jnp
 import pytest
 
 from extensisq_tpu import (solve_ivp, TRBDF2, TRX2, KC3I, KC4I, KC4Ia,
                            Kv3I)
+from extensisq_tpu.solve import solve
 
 METHODS = [TRBDF2, TRX2, KC3I, KC4I, KC4Ia, Kv3I]
 
@@ -219,3 +221,20 @@ def test_interpolant_selection(method):
         e = (np.asarray(res.sol(tc)) - sol_rational(tc)) \
             / (1e-9 + 1e-6 * scale)
         assert np.all(np.linalg.norm(e, axis=0) / np.sqrt(2) < 5), ip
+
+
+def test_flat_path_matches_host_driver():
+    """solve() uses step_flat (one attempt per while iteration); it
+    must reproduce the host driver's nested loop exactly — including
+    through Newton-failure retries and error rejections."""
+    def vdp(t, y):
+        return jnp.stack([y[1], 5.0 * (1 - y[0] ** 2) * y[1] - y[0]])
+
+    y0 = jnp.array([2.0, 0.0])
+    out = jax.jit(lambda y: solve(vdp, (0.0, 20.0), y, method=TRBDF2,
+                                  rtol=1e-5, atol=1e-8))(y0)
+    ref = solve_ivp(vdp, (0.0, 20.0), y0, method=TRBDF2,
+                    rtol=1e-5, atol=1e-8)
+    assert int(out.nsteps) == ref.t.size - 1
+    assert int(out.nfev) == ref.nfev
+    np.testing.assert_array_equal(np.asarray(out.y), ref.y[:, -1])

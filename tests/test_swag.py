@@ -5,6 +5,7 @@ import jax.numpy as jnp
 import pytest
 
 from extensisq_tpu import solve_ivp, SWAG
+from extensisq_tpu.solve import solve
 
 
 def fun_rational(t, y):
@@ -123,3 +124,21 @@ def test_vmapped_ensemble_swag():
                   method=SWAG, rtol=1e-6, atol=1e-9)
     np.testing.assert_allclose(np.asarray(out.y[0]), r.y[:, -1],
                                rtol=1e-9, atol=1e-10)
+
+
+def test_flat_path_matches_host_driver():
+    """solve() uses step_flat (one attempt per while iteration); it
+    must reproduce the host driver's nested loop exactly, including
+    through step rejections and the near-end extrapolation."""
+    def brus(t, y):
+        return jnp.stack([1.0 + y[0] ** 2 * y[1] - 4.0 * y[0],
+                          3.0 * y[0] - y[0] ** 2 * y[1]])
+
+    y0 = jnp.array([1.5, 3.0])
+    out = jax.jit(lambda y: solve(brus, (0.0, 30.0), y, method=SWAG,
+                                  rtol=1e-9, atol=1e-12))(y0)
+    ref = solve_ivp(brus, (0.0, 30.0), y0, method=SWAG,
+                    rtol=1e-9, atol=1e-12)
+    assert int(out.nsteps) == ref.t.size - 1
+    assert int(out.nfev) == ref.nfev
+    np.testing.assert_array_equal(np.asarray(out.y), ref.y[:, -1])
