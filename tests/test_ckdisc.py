@@ -1,8 +1,10 @@
 """CKdisc variable-order solver conformance."""
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from extensisq_tpu import solve_ivp, CKdisc
+from extensisq_tpu.solve import solve
 
 
 def fun_rational(t, y):
@@ -63,3 +65,21 @@ def test_discontinuous_forcing():
     ref = sivp(lambda t, y: [(1.0 if t < 1.0 else -1.0) - 0.1 * y[0]],
                (0, 2), [0.0], rtol=1e-10, atol=1e-12, max_step=1e-3)
     np.testing.assert_allclose(res.y[0, -1], ref.y[0, -1], atol=1e-4)
+
+
+def test_flat_path_matches_host_driver():
+    """solve() uses step_flat; it must reproduce the host driver's
+    nested loop exactly, including through fallback-order acceptances
+    at a discontinuity."""
+    def f_disc(t, y):
+        return jnp.stack([jnp.where(t < 5.0, 1.0, -1.0) * y[0] - y[1],
+                          y[0] * 0.1 + jnp.where(t < 5.0, 0.5, -2.0)])
+
+    y0 = jnp.array([1.0, 0.0])
+    out = jax.jit(lambda y: solve(f_disc, (0.0, 10.0), y, method=CKdisc,
+                                  rtol=1e-6, atol=1e-9))(y0)
+    ref = solve_ivp(f_disc, (0.0, 10.0), y0, method=CKdisc,
+                    rtol=1e-6, atol=1e-9)
+    assert int(out.nsteps) == ref.t.size - 1
+    assert int(out.nfev) == ref.nfev
+    np.testing.assert_array_equal(np.asarray(out.y), ref.y[:, -1])
