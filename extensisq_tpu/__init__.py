@@ -24,7 +24,8 @@ from .methods import (  # noqa: F401
     SWAG, SSV2stab,
     ALL_METHODS, METHODS_BY_NAME)
 from .ivp import solve_ivp, Stepper, OdeResult  # noqa: F401
-from .solve import solve, solve_ensemble, Solution  # noqa: F401
+from .solve import (solve, solve_ensemble, solve_windowed,  # noqa: F401
+                    Solution)
 from .core.interpolate import OdeSolution  # noqa: F401
 from .sensitivity import (  # noqa: F401
     sens_forward, sens_adjoint_end, sens_adjoint_int, solve_final)
@@ -33,7 +34,7 @@ __version__ = "0.1.0"
 
 __all__ = [
     "solve_ivp", "Stepper", "OdeResult", "OdeSolution",
-    "solve", "solve_ensemble", "Solution",
+    "solve", "solve_ensemble", "solve_windowed", "Solution",
     "sens_forward", "sens_adjoint_end", "sens_adjoint_int", "solve_final",
     "BS5", "Ts5", "CK5", "CKdisc", "Me4", "Pr7", "Pr8", "Pr9", "CFMR7osc",
     "Fi4N", "Fi5N", "Mu5Nmb", "MR6NN",

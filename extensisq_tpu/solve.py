@@ -354,3 +354,59 @@ def solve_ensemble(fun, t_span, y0_batch, params_batch=None, method=None,
     run = lambda y0, p: solve(                                   # noqa
         lambda t, y: fun(t, y, p), t_span, y0, method=method, **kwargs)
     return jax.vmap(run)(y0_batch, params_batch)
+
+
+def solve_windowed(fun, t_span, y0, n_windows, method=None,
+                   ensemble=False, params_batch=None, **kwargs):
+    """Integrate a long horizon as ``n_windows`` jit-compiled chunks,
+    feeding the terminal state forward between chunks on the host.
+
+    One XLA program that runs for minutes can exceed accelerator
+    runtime limits (and pins the chip for the whole solve); windowing
+    is the standard long-horizon pattern: the window boundaries are
+    jit arguments, so a single compilation serves every chunk.  Each
+    window restarts the stepper (fresh first-step estimate and, for
+    multistep methods, a fresh memory build-up), which costs a few
+    extra steps per window but changes the solution only within
+    tolerance.
+
+    ``ensemble=True`` wraps :func:`solve_ensemble` instead of
+    :func:`solve` (with optional ``params_batch``).  Trajectory
+    recording and events are per-window concepts and are not
+    supported here; use :func:`solve` on the individual windows if
+    they are needed.
+
+    Returns the last window's :class:`Solution` with the step/eval
+    counters accumulated over all windows.
+    """
+    if kwargs.get("record") or kwargs.get("events") is not None:
+        raise ValueError(
+            "solve_windowed does not support record/events; call "
+            "solve() per window instead.")
+    t0, tf = t_span
+    edges = np.linspace(float(t0), float(tf), int(n_windows) + 1)
+
+    if ensemble:
+        @jax.jit
+        def run(y, a, b):
+            return solve_ensemble(fun, (a, b), y, method=method,
+                                  params_batch=params_batch, **kwargs)
+    else:
+        @jax.jit
+        def run(y, a, b):
+            return solve(fun, (a, b), y, method=method, **kwargs)
+
+    y = y0
+    totals = {}
+    out = None
+    for a, b in zip(edges[:-1], edges[1:]):
+        out = run(y, a, b)
+        ok = np.asarray(out.status)
+        if not np.all((ok == 1) | (ok == 8)):
+            break
+        y = out.y
+        for f in ("nfev", "nsteps", "nfailed"):
+            if hasattr(out, f) and getattr(out, f) is not None:
+                totals[f] = totals.get(f, 0) + np.asarray(getattr(out, f))
+    return out._replace(**{f: jnp.asarray(v)
+                           for f, v in totals.items()})

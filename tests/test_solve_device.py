@@ -191,3 +191,25 @@ def test_device_ode_solution():
     val = jax.jit(lambda t: sol(t))(jnp.asarray(2.5))
     np.testing.assert_allclose(np.asarray(val),
                                np.asarray(sol(jnp.asarray(2.5))))
+
+
+def test_solve_windowed():
+    """Long-horizon chunked driver: one compile serves all windows,
+    counters accumulate, endpoint agrees with a single-shot solve at
+    tolerance."""
+    from extensisq_tpu import solve_windowed, SWAG
+
+    def vdp(t, y):
+        return jnp.stack([y[1], 5.0 * (1 - y[0] ** 2) * y[1] - y[0]])
+
+    y0 = jnp.array([2.0, 0.0])
+    out = solve_windowed(vdp, (0.0, 20.0), y0, 4, method=SWAG,
+                         rtol=1e-8, atol=1e-10)
+    single = jax.jit(lambda y: solve(vdp, (0.0, 20.0), y, method=SWAG,
+                                     rtol=1e-8, atol=1e-10))(y0)
+    assert int(out.status) == 1
+    assert int(out.nsteps) > int(single.nsteps)     # restart overhead
+    np.testing.assert_allclose(np.asarray(out.y), np.asarray(single.y),
+                               rtol=1e-5, atol=1e-7)
+    with pytest.raises(ValueError):
+        solve_windowed(vdp, (0.0, 1.0), y0, 2, method=SWAG, record=True)

@@ -17,8 +17,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from extensisq_tpu import (solve, solve_ensemble, BS5, SWAG, Fi5N, Kv3I,
-                           SSV2stab)
+from extensisq_tpu import (solve, solve_ensemble, solve_windowed, BS5,
+                           SWAG, Fi5N, Kv3I, SSV2stab)
 from extensisq_tpu.parallel import (brusselator_2d_rhs,
                                     brusselator_rho_bound)
 
@@ -85,18 +85,13 @@ def config2():
         return jnp.stack([y[1], mu * (1 - y[0] ** 2) * y[1] - y[0]])
 
     Y0 = jnp.stack([jnp.linspace(1.9, 2.1, B), jnp.zeros(B)], axis=1)
-    run = jax.jit(lambda Y, a, b: jax.vmap(
-        lambda y0: solve(f, (a, b), y0, method=SWAG, rtol=1e-6,
-                         atol=1e-9, max_steps=120_000))(Y))
 
     def full(Y):
-        total_steps = 0
-        for w in range(n_windows):
-            out = run(Y, w * window, (w + 1) * window)
-            Y = out.y
-            total_steps += int(out.nsteps.max())
-            assert bool(jnp.all(out.status == 1))
-        return Y, total_steps
+        out = solve_windowed(f, (0.0, n_windows * window), Y, n_windows,
+                             method=SWAG, ensemble=True, rtol=1e-6,
+                             atol=1e-9, max_steps=120_000)
+        assert bool(jnp.all(out.status == 1))
+        return out.y, int(out.nsteps.max())
 
     full(Y0)                          # warm-up/compile
     t0 = time.perf_counter()
