@@ -113,3 +113,23 @@ def test_esdirk_vmapped_ensemble():
                   method=TRBDF2, rtol=1e-6, atol=1e-9)
     np.testing.assert_allclose(np.asarray(out.y[-1]), r.y[:, -1],
                                rtol=1e-8, atol=1e-12)
+
+
+@pytest.mark.parametrize("method", [BS5, SWAG, Kv3I])
+def test_complex_device_flat_paths(method):
+    """Complex problems run through the flat device paths too, and
+    match the host driver."""
+    lam = -0.5 + 3.0j
+
+    def f(t, y):
+        return lam * y
+
+    y0 = jnp.array([1.0 + 0.5j])
+    exact = np.exp(complex(lam) * 4.0) * (1.0 + 0.5j)
+    r = solve_ivp(f, (0.0, 4.0), y0, method=method, rtol=1e-8,
+                  atol=1e-10)
+    out = jax.jit(lambda y: solve(f, (0.0, 4.0), y, method=method,
+                                  rtol=1e-8, atol=1e-10))(y0)
+    assert int(out.status) == 1
+    assert abs(complex(np.asarray(out.y)[0]) - exact) < 1e-7
+    np.testing.assert_array_equal(np.asarray(out.y)[0], r.y[0, -1])
