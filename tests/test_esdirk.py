@@ -238,3 +238,34 @@ def test_flat_path_matches_host_driver():
     assert int(out.nsteps) == ref.t.size - 1
     assert int(out.nfev) == ref.nfev
     np.testing.assert_array_equal(np.asarray(out.y), ref.y[:, -1])
+
+
+def test_dae_pendulum_index1():
+    """Index-1 Cartesian pendulum (twice-differentiated length
+    constraint, singular mass matrix): consistent-lambda projection at
+    t0 and constraint preservation along the solve.  Step counts are
+    within a few steps of the reference run with an analytic Jacobian
+    (2846; autodiff Jacobians differ at round-off)."""
+    g = 9.81
+
+    def pend(t, s):
+        x, ya, vx, vy, lam = s
+        return jnp.stack([
+            vx, vy, -lam * x, -lam * ya - g,
+            vx ** 2 + vy ** 2 - lam * (x ** 2 + ya ** 2) - g * ya])
+
+    th = 0.5
+    y0 = [np.sin(th), -np.cos(th), 0.0, 0.0, 0.0]
+    M = np.diag([1.0, 1.0, 1.0, 1.0, 0.0])
+    import warnings
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        r = solve_ivp(pend, (0.0, 10.0), y0, method=Kv3I,
+                      rtol=1e-6, atol=1e-8, M=M)
+    assert r.success
+    # projected initial lambda: g*cos(th) (v=0 at t0)
+    np.testing.assert_allclose(r.y[4, 0], g * np.cos(th), rtol=1e-6)
+    # length constraint preserved to tolerance-level drift
+    drift = np.abs(r.y[0] ** 2 + r.y[1] ** 2 - 1.0).max()
+    assert drift < 5e-4
+    assert abs(r.t.size - 1 - 2846) < 30
