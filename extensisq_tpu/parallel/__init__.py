@@ -1,5 +1,7 @@
 from .pde import (heat_1d_rhs, heat_2d_rhs, brusselator_2d_rhs,
                   brusselator_rho_bound, make_mesh, shard_state)
+from .halo import heat_1d_rhs_shardmap
 
 __all__ = ["heat_1d_rhs", "heat_2d_rhs", "brusselator_2d_rhs",
-           "brusselator_rho_bound", "make_mesh", "shard_state"]
+           "brusselator_rho_bound", "make_mesh", "shard_state",
+           "heat_1d_rhs_shardmap"]

@@ -155,3 +155,26 @@ def test_flat_path_matches_host_driver():
     assert int(out.nsteps) == ref.t.size - 1
     assert int(out.nfev) == ref.nfev
     np.testing.assert_array_equal(np.asarray(out.y), ref.y[:, -1])
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_shardmap_halo_matches_gspmd():
+    """The explicit ppermute halo-exchange RHS is numerically identical
+    to the jnp.roll/GSPMD version, through a full adaptive solve."""
+    from extensisq_tpu.parallel.halo import heat_1d_rhs_shardmap
+
+    n = 512
+    mesh = make_mesh(("space",))
+    rhs_auto = heat_1d_rhs(kappa=1e-3, n=n)
+    rhs_halo = heat_1d_rhs_shardmap(mesh, "space", kappa=1e-3, n=n)
+    x = np.linspace(0, 1, n, endpoint=False)
+    y0 = shard_state(jnp.asarray(np.sin(2 * np.pi * x)), mesh,
+                     P("space"))
+    run = lambda rhs: jax.jit(lambda y: solve(          # noqa: E731
+        rhs, (0.0, 5.0), y, method=SSV2stab, rtol=1e-5,
+        atol=1e-8))(y0)
+    out_a, out_h = run(rhs_auto), run(rhs_halo)
+    assert int(out_h.status) == 1
+    assert int(out_h.nfev) == int(out_a.nfev)
+    np.testing.assert_array_equal(np.asarray(out_h.y),
+                                  np.asarray(out_a.y))
