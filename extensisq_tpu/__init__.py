@@ -42,3 +42,14 @@ __all__ = [
     "SWAG", "SSV2stab",
     "ALL_METHODS", "METHODS_BY_NAME",
 ]
+
+
+def __getattr__(name):
+    if name in ("NFS", "NFI", "NLS"):
+        raise AttributeError(
+            f"extensisq's {name} was a module-global counter; this "
+            "framework is pure-functional and reentrant — read the "
+            "per-solve fields instead: result.nfailed (NFS), "
+            "result.nfi (NFI), result.nls (NLS).")
+    raise AttributeError(
+        f"module 'extensisq_tpu' has no attribute {name!r}")
