@@ -402,6 +402,17 @@ def solve_ivp(fun, t_span, y0, method=None, t_eval=None, dense_output=False,
     y0 = np.asarray(y0)
     if y0.ndim != 1:
         raise ValueError("`y0` must be 1-dimensional.")
+    if y0.size and not np.all(np.isfinite(
+            y0 if not np.iscomplexobj(y0) else np.abs(y0))):
+        raise ValueError(
+            "All components of the initial state `y0` must be finite.")
+    if args is not None:
+        try:
+            (lambda *a: None)(*args)
+        except TypeError as exc:
+            raise TypeError(
+                "Supplied 'args' cannot be unpacked. Please supply "
+                "`args` as a tuple (e.g. `args=(arg,)`)") from exc
 
     if t_eval is not None:
         t_eval = np.asarray(t_eval, dtype=float)

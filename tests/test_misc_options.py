@@ -133,3 +133,41 @@ def test_complex_device_flat_paths(method):
     assert int(out.status) == 1
     assert abs(complex(np.asarray(out.y)[0]) - exact) < 1e-7
     np.testing.assert_array_equal(np.asarray(out.y)[0], r.y[0, -1])
+
+
+def test_initial_state_finiteness():
+    """scipy gh-17846 conformance (test_ivp.py:1121-1126)."""
+    for fill in (np.nan, np.inf):
+        with pytest.raises(ValueError, match="must be finite"):
+            solve_ivp(lambda t, y: 0 * y, (0, 10), np.full(3, fill),
+                      method=BS5)
+
+
+def test_args_single_value():
+    """Non-tuple args gives scipy's friendly error
+    (test_ivp.py:1108-1118)."""
+    with pytest.raises(TypeError, match="cannot be unpacked"):
+        solve_ivp(lambda t, y, a: a * y, (0, 0.1), [1.0], method=BS5,
+                  args=-1)
+    r = solve_ivp(lambda t, y, a: a * y, (0, 0.1), [1.0], method=BS5,
+                  args=(-1,))
+    np.testing.assert_allclose(r.y[0, -1], np.exp(-0.1), rtol=1e-4)
+
+
+def test_array_atol_and_t_eval_early_event():
+    """Array atol; t_eval truncated by a terminal event
+    (test_ivp.py:758-783, 1081-1098)."""
+    r = solve_ivp(lambda t, y: -y, (0, 5), [1.0, 2.0], method=BS5,
+                  atol=np.array([1e-8, 1e-10]), rtol=1e-6)
+    assert r.success
+
+    def ev(t, y):
+        return y[0] - 0.5
+    ev.terminal = True
+    r = solve_ivp(lambda t, y: -y, (0, 10), [1.0], method=BS5,
+                  rtol=1e-9, atol=1e-12,
+                  t_eval=np.linspace(0, 10, 21), events=ev)
+    assert r.status == 1
+    assert r.t[-1] <= float(r.t_events[0][0])
+    np.testing.assert_allclose(float(r.t_events[0][0]), np.log(2),
+                               rtol=1e-8)
