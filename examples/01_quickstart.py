@@ -4,6 +4,9 @@ Counterpart of the reference's README example
 (/root/reference/README.md:26-35): pass the method HANDLE, not a
 string.
 """
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.join(_os.path.dirname(__file__), ".."))
 import numpy as np
 import jax.numpy as jnp
 

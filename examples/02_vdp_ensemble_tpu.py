@@ -5,6 +5,9 @@ size; the whole adaptive integration compiles to a single kernel.
 On a TPU chip this runs ~400x faster than looping scipy+extensisq over
 the members on one CPU core (see bench.py for the measured comparison).
 """
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.join(_os.path.dirname(__file__), ".."))
 import time
 
 import jax

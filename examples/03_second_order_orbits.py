@@ -5,6 +5,9 @@ methods integrate u'' = a(t, u[, u']) with the state laid out
 [positions, velocities] and the RHS returning [velocities,
 accelerations] — the solver stores only accelerations internally.
 """
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.join(_os.path.dirname(__file__), ".."))
 import numpy as np
 import jax.numpy as jnp
 

@@ -1,5 +1,8 @@
 """Stiff problems and index-1 DAEs with the ESDIRK methods
 (BASELINE config 4)."""
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.join(_os.path.dirname(__file__), ".."))
 import numpy as np
 import jax.numpy as jnp
 

@@ -5,6 +5,9 @@ autodiff (jvp for forward, vjp for adjoint), which the pure-Python
 reference could not do (its jac/dfdp/dgdy/dgdp arguments are
 mandatory callables).
 """
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.join(_os.path.dirname(__file__), ".."))
 import numpy as np
 import jax
 import jax.numpy as jnp

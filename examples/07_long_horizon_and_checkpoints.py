@@ -9,6 +9,9 @@ Two tools for integrations too long for one device program:
    complete integration context; serialize it mid-flight and resume
    later (even in another process) bitwise-exactly.
 """
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.join(_os.path.dirname(__file__), ".."))
 import numpy as np
 import jax
 import jax.numpy as jnp

@@ -1,0 +1,146 @@
+"""Randomized work-count parity sweep against the reference.
+
+For seeded random smooth ODEs, tolerances, horizons and directions,
+run every first-order method through our host driver and the reference
+implementation and demand IDENTICAL accepted-step counts and nfev.
+Any divergence prints a reproducer line.
+
+Explicit/RKN methods must match exactly (identical arithmetic order).
+SWAG is checked to a small step budget (round-off tie-breaks are a
+documented deviation).  ESDIRK uses autodiff Jacobians (reference
+finite-differences), so counts legitimately differ; ESDIRK parity is
+covered by the analytic-jac tests and hosea_tables instead.
+
+Run: python validation/fuzz_parity.py [n_cases]
+"""
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+import jax
+jax.config.update("jax_platforms", "cpu")
+import jax.numpy as jnp   # noqa: E402
+
+from extensisq_tpu import solve_ivp as our_solve_ivp   # noqa: E402
+import extensisq_tpu as et                              # noqa: E402
+
+sys.path.insert(0, "/root/reference")
+from scipy.integrate import solve_ivp as scipy_solve_ivp  # noqa: E402
+import extensisq as ref                                    # noqa: E402
+
+EXPLICIT = ["BS5", "Ts5", "CK5", "Me4", "Pr7", "Pr8", "Pr9", "CFMR7osc",
+            "CKdisc"]
+MULTISTEP = ["SWAG", "SSV2stab"]
+
+
+def make_problem(rng, n):
+    """Random well-behaved RHS built from ELEMENTWISE ops only, so the
+    numpy and jnp evaluations are bit-identical (matmuls sum in
+    different orders and would seed round-off divergence that the step
+    controllers amplify at accept/reject tie-breaks — a sensitivity,
+    not a parity bug)."""
+    a = -0.2 - rng.rand(n)            # stable diagonal
+    c = rng.randn(n) * 0.4            # cyclic coupling strength
+    w = rng.rand(n) * 3.0
+    amp = rng.rand(n)
+
+    def f_np(t, y):
+        cpl = c * np.roll(y, 1)
+        return a * y + cpl + amp * np.sin(w * t + y)
+
+    def f_jx(t, y):
+        cpl = jnp.asarray(c) * jnp.roll(y, 1)
+        return jnp.asarray(a) * y + cpl \
+            + jnp.asarray(amp) * jnp.sin(jnp.asarray(w) * t + y)
+
+    return f_np, f_jx
+
+
+def one_case(seed):
+    rng = np.random.RandomState(seed)
+    n = int(rng.randint(1, 6))
+    f_np, f_jx = make_problem(rng, n)
+    y0 = rng.randn(n)
+    rtol = 10.0 ** rng.uniform(-9, -3)
+    atol = rtol * 10.0 ** rng.uniform(-4, -1)
+    tf = rng.uniform(0.5, 8.0)
+    backward = rng.rand() < 0.3
+    span = (tf, 0.0) if backward else (0.0, tf)
+    first_step = None if rng.rand() < 0.7 else tf * 10.0 ** rng.uniform(-4, -1)
+
+    fails = []
+    for name in EXPLICIT + MULTISTEP:
+        kw = dict(rtol=rtol, atol=atol)
+        if first_step is not None:
+            kw["first_step"] = first_step
+        import warnings
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            try:
+                r_ref = scipy_solve_ivp(f_np, span, y0,
+                                        method=getattr(ref, name), **kw)
+            except Exception as e:
+                fails.append((name, f"reference raised {type(e).__name__}"))
+                continue
+            try:
+                r_our = our_solve_ivp(f_jx, span, jnp.asarray(y0),
+                                      method=getattr(et, name), **kw)
+            except Exception as e:
+                fails.append((name, f"ours raised {type(e).__name__}: {e}"))
+                continue
+        if r_ref.status != r_our.status:
+            fails.append((name, f"status {r_our.status} vs {r_ref.status}"))
+            continue
+        ds = abs((r_our.t.size - 1) - (r_ref.t.size - 1))
+        dn = abs(r_our.nfev - r_ref.nfev)
+        exact = name in EXPLICIT
+        lim = 0 if exact else max(3, (r_ref.t.size - 1) // 50)
+        if ds > lim or (exact and dn > 0):
+            # controller tie-break sensitivity gate: if the reference
+            # itself changes counts under a 1e-13 y0 perturbation, the
+            # case is on an accept/reject knife edge — not a parity bug
+            with warnings.catch_warnings():
+                warnings.simplefilter("ignore")
+                r_p = scipy_solve_ivp(f_np, span, y0 * (1.0 + 1e-13),
+                                      method=getattr(ref, name), **kw)
+            if (r_p.t.size != r_ref.t.size) or (r_p.nfev != r_ref.nfev):
+                continue
+            fails.append((name, f"steps {r_our.t.size-1} vs "
+                          f"{r_ref.t.size-1}, nfev {r_our.nfev} vs "
+                          f"{r_ref.nfev}"))
+            continue
+        if r_ref.status == 0 and exact:
+            d = np.max(np.abs(r_our.y[:, -1] - r_ref.y[:, -1]))
+            scale = atol + rtol * np.max(np.abs(r_ref.y[:, -1]))
+            if d > 1e-7 * max(1.0, np.max(np.abs(r_ref.y[:, -1]))) \
+                    and d > 0.01 * scale:
+                # sensitivity gate (see above): error estimates at the
+                # round-off floor feed the unclamped err^exponent
+                # factor, so trajectories fork on noise in both
+                # implementations alike
+                with warnings.catch_warnings():
+                    warnings.simplefilter("ignore")
+                    r_p = scipy_solve_ivp(f_np, span, y0 * (1.0 + 1e-13),
+                                          method=getattr(ref, name), **kw)
+                d_self = np.max(np.abs(r_p.y[:, -1] - r_ref.y[:, -1]))
+                if d_self > 0.1 * d:
+                    continue
+                fails.append((name, f"endpoint diff {d:.2e}"))
+    return fails
+
+
+if __name__ == "__main__":
+    n_cases = int(sys.argv[1]) if len(sys.argv) > 1 else 25
+    bad = 0
+    for seed in range(n_cases):
+        fails = one_case(seed)
+        jax.clear_caches()            # each seed compiles ~11 programs
+        for name, msg in fails:
+            bad += 1
+            print(f"seed {seed:3d} {name:9s} MISMATCH: {msg}")
+        if not fails:
+            print(f"seed {seed:3d} all methods match")
+    print(f"\n{n_cases} cases, {bad} mismatches")
+    sys.exit(1 if bad else 0)
