@@ -131,16 +131,138 @@ def one_case(seed):
     return fails
 
 
+RKN = ["Fi4N", "Fi5N", "Mu5Nmb"]
+ESDIRK = ["TRBDF2", "TRX2", "KC3I", "KC4I", "KC4Ia", "Kv3I"]
+
+# The reference's Mu5Nmb.__init__ does `self.E *= 0.75` on the CLASS
+# attribute, so the embedded-error damping compounds across repeated
+# instantiations in one process (0.75, 0.5625, ...).  Snapshot and
+# restore so every comparison sees the intended single damping (our
+# implementation damps exactly once per solver, per murua.py:223-226).
+_MU_E = ref.Mu5Nmb.E.copy()
+_MU_EP = ref.Mu5Nmb.Ep.copy()
+
+
+def _fresh_mu5nmb():
+    ref.Mu5Nmb.E = _MU_E.copy()
+    ref.Mu5Nmb.Ep = _MU_EP.copy()
+
+
+def one_case_rkn(seed):
+    """Second-order problems y=[u, v], fun returns [v, a(t, u)]."""
+    rng = np.random.RandomState(seed + 10_000)
+    n = int(rng.randint(1, 4))
+    k = 0.5 + rng.rand(n) * 2.0       # spring constants
+    amp = rng.rand(n)
+    w = rng.rand(n) * 2.0
+
+    def f_np(t, y):
+        u = y[:n]
+        acc = -k * u + amp * np.sin(w * t)
+        return np.concatenate([y[n:], acc])
+
+    def f_jx(t, y):
+        u = y[:n]
+        acc = -jnp.asarray(k) * u + jnp.asarray(amp) \
+            * jnp.sin(jnp.asarray(w) * t)
+        return jnp.concatenate([y[n:], acc])
+
+    y0 = rng.randn(2 * n)
+    rtol = 10.0 ** rng.uniform(-9, -4)
+    atol = rtol * 1e-2
+    tf = rng.uniform(1.0, 10.0)
+    fails = []
+    import warnings
+    for name in RKN:
+        _fresh_mu5nmb()
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            r_ref = scipy_solve_ivp(f_np, (0.0, tf), y0,
+                                    method=getattr(ref, name),
+                                    rtol=rtol, atol=atol)
+            r_our = our_solve_ivp(f_jx, (0.0, tf), jnp.asarray(y0),
+                                  method=getattr(et, name),
+                                  rtol=rtol, atol=atol)
+        if (r_our.t.size != r_ref.t.size or r_our.nfev != r_ref.nfev
+                or r_our.status != r_ref.status):
+            fails.append((name, f"steps {r_our.t.size-1} vs "
+                          f"{r_ref.t.size-1}, nfev {r_our.nfev} vs "
+                          f"{r_ref.nfev}"))
+    return fails
+
+
+def one_case_esdirk(seed):
+    """Mildly stiff problems with an ANALYTIC elementwise Jacobian
+    supplied to both sides, so Newton work counts must match exactly."""
+    rng = np.random.RandomState(seed + 20_000)
+    n = int(rng.randint(1, 4))
+    a = -(1.0 + 30.0 * rng.rand(n))   # stiff diagonal
+    c = rng.randn(n) * 0.5
+    amp = rng.rand(n)
+    w = rng.rand(n) * 2.0
+    roll = np.roll(np.eye(n), 1, axis=1)   # y[(i-1) % n] coupling
+
+    def f_np(t, y):
+        return a * y + c * np.roll(y, 1) + amp * np.sin(w * t + y)
+
+    def f_jx(t, y):
+        return jnp.asarray(a) * y + jnp.asarray(c) * jnp.roll(y, 1) \
+            + jnp.asarray(amp) * jnp.sin(jnp.asarray(w) * t + y)
+
+    def jac_np(t, y):
+        return np.diag(a + amp * np.cos(w * t + y)) + c[:, None] * roll
+
+    def jac_jx(t, y):
+        return jnp.diag(jnp.asarray(a) + jnp.asarray(amp)
+                        * jnp.cos(jnp.asarray(w) * t + y)) \
+            + jnp.asarray(c)[:, None] * jnp.asarray(roll)
+
+    y0 = rng.randn(n)
+    rtol = 10.0 ** rng.uniform(-7, -3)
+    atol = rtol * 1e-2
+    tf = rng.uniform(1.0, 10.0)
+    fails = []
+    import warnings
+    for name in ESDIRK:
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            r_ref = scipy_solve_ivp(f_np, (0.0, tf), y0,
+                                    method=getattr(ref, name),
+                                    jac=jac_np, rtol=rtol, atol=atol)
+            r_our = our_solve_ivp(f_jx, (0.0, tf), jnp.asarray(y0),
+                                  method=getattr(et, name),
+                                  jac=jac_jx, rtol=rtol, atol=atol)
+        if (r_our.t.size != r_ref.t.size or r_our.nfev != r_ref.nfev
+                or r_our.njev != r_ref.njev or r_our.nlu != r_ref.nlu
+                or r_our.status != r_ref.status):
+            with warnings.catch_warnings():
+                warnings.simplefilter("ignore")
+                r_p = scipy_solve_ivp(f_np, (0.0, tf), y0 * (1 + 1e-13),
+                                      method=getattr(ref, name),
+                                      jac=jac_np, rtol=rtol, atol=atol)
+            if (r_p.t.size != r_ref.t.size) or (r_p.nfev != r_ref.nfev):
+                continue                  # knife-edge case
+            fails.append((name, f"steps {r_our.t.size-1} vs "
+                          f"{r_ref.t.size-1}, nfev {r_our.nfev} vs "
+                          f"{r_ref.nfev}, njev {r_our.njev} vs "
+                          f"{r_ref.njev}, nlu {r_our.nlu} vs "
+                          f"{r_ref.nlu}"))
+    return fails
+
+
 if __name__ == "__main__":
     n_cases = int(sys.argv[1]) if len(sys.argv) > 1 else 25
+    family = sys.argv[2] if len(sys.argv) > 2 else "explicit"
+    runner = {"explicit": one_case, "rkn": one_case_rkn,
+              "esdirk": one_case_esdirk}[family]
     bad = 0
     for seed in range(n_cases):
-        fails = one_case(seed)
+        fails = runner(seed)
         jax.clear_caches()            # each seed compiles ~11 programs
         for name, msg in fails:
             bad += 1
             print(f"seed {seed:3d} {name:9s} MISMATCH: {msg}")
         if not fails:
             print(f"seed {seed:3d} all methods match")
-    print(f"\n{n_cases} cases, {bad} mismatches")
+    print(f"\n{n_cases} {family} cases, {bad} mismatches")
     sys.exit(1 if bad else 0)
