@@ -70,9 +70,10 @@ def one_case(seed):
     span = (tf, 0.0) if backward else (0.0, tf)
     first_step = None if rng.rand() < 0.7 else tf * 10.0 ** rng.uniform(-4, -1)
 
+    dense = rng.rand() < 0.5
     fails = []
     for name in EXPLICIT + MULTISTEP:
-        kw = dict(rtol=rtol, atol=atol)
+        kw = dict(rtol=rtol, atol=atol, dense_output=dense)
         if first_step is not None:
             kw["first_step"] = first_step
         import warnings
@@ -90,6 +91,22 @@ def one_case(seed):
             except Exception as e:
                 fails.append((name, f"ours raised {type(e).__name__}: {e}"))
                 continue
+        if dense and r_ref.status == 0 and r_our.status == 0 \
+                and r_our.t.size == r_ref.t.size:
+            ts = np.sort(rng.uniform(min(span), max(span), 23))
+            dv = np.max(np.abs(np.asarray(r_our.sol(ts))
+                               - r_ref.sol(ts)))
+            yscale = max(1.0, np.max(np.abs(r_ref.sol(ts))))
+            if dv > 1e-9 * yscale:
+                # same sensitivity gate as the endpoint check
+                with warnings.catch_warnings():
+                    warnings.simplefilter("ignore")
+                    r_p = scipy_solve_ivp(f_np, span, y0 * (1.0 + 1e-13),
+                                          method=getattr(ref, name), **kw)
+                d_self = np.max(np.abs(r_p.sol(ts) - r_ref.sol(ts)))
+                if d_self <= 0.1 * dv:
+                    fails.append((name, f"dense-output diff {dv:.2e}"))
+                    continue
         if r_ref.status != r_our.status:
             fails.append((name, f"status {r_our.status} vs {r_ref.status}"))
             continue
