@@ -78,8 +78,11 @@ def scipy_side(yf_tpu):
 
 
 def fused_side():
-    """Secondary metric: the single-kernel Pallas solver (f32, rtol
-    1e-4 — the fast-mode tolerance regime)."""
+    """Secondary metrics: the single-kernel Pallas solver — plain f32
+    at its fast-mode tolerances, and the mixed-precision (compensated
+    dots + double-single carry) mode at the OFFICIAL benchmark
+    tolerances, where it reaches f64-class global accuracy at roughly
+    half the wall time of the XLA f64 path."""
     import jax
     import numpy as np
     from extensisq_tpu.ops import solve_fused_erk
@@ -92,29 +95,36 @@ def fused_side():
 
     y0 = np.stack([np.linspace(1.5, 2.5, N_MEMBERS),
                    np.zeros(N_MEMBERS)], axis=1).astype(np.float32)
-    run = jax.jit(lambda Y: solve_fused_erk(
+
+    def timed(run):
+        for _ in range(2):
+            out = run(y0)
+            np.asarray(out[0])
+        t0 = time.perf_counter()
+        n_rep = 10
+        for _ in range(n_rep):
+            out = run(y0)
+            np.asarray(out[0])
+        dt = (time.perf_counter() - t0) / n_rep
+        assert bool(np.all(np.asarray(out[1]) == 1))
+        return dt
+
+    dt_f32 = timed(jax.jit(lambda Y: solve_fused_erk(
         vdp, (0.0, T_END), Y, method=BS5, rtol=1e-4, atol=1e-6,
-        block_members=1024))
-    for _ in range(2):
-        out = run(y0)
-        np.asarray(out[0])
-    t0 = time.perf_counter()
-    n_rep = 10
-    for _ in range(n_rep):
-        out = run(y0)
-        np.asarray(out[0])
-    dt = (time.perf_counter() - t0) / n_rep
-    assert bool(np.all(np.asarray(out[1]) == 1))
-    return dt
+        block_members=1024)))
+    dt_comp = timed(jax.jit(lambda Y: solve_fused_erk(
+        vdp, (0.0, T_END), Y, method=BS5, rtol=RTOL, atol=ATOL,
+        block_members=1024, compensated=True)))
+    return dt_f32, dt_comp
 
 
 def main():
     tpu_dt, total_steps, total_fev, yf = tpu_side()
     scipy_dt, max_err = scipy_side(yf)
     try:
-        fused_dt = fused_side()
+        fused_dt, fused_comp_dt = fused_side()
     except Exception:
-        fused_dt = None
+        fused_dt = fused_comp_dt = None
     speedup = scipy_dt / tpu_dt
     print(json.dumps({
         "metric": "vdp4096_ensemble_speedup_vs_scipy_1core",
@@ -131,6 +141,8 @@ def main():
             "rtol": RTOL, "atol": ATOL,
             "fused_pallas_f32_rtol1e-4_wall_s":
                 round(fused_dt, 6) if fused_dt else None,
+            "fused_pallas_compensated_official_tol_wall_s":
+                round(fused_comp_dt, 6) if fused_comp_dt else None,
         },
     }))
 

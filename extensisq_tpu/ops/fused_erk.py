@@ -71,14 +71,68 @@ def _member_norm(x):
     return jnp.sqrt(jnp.mean(x * x, axis=0))
 
 
+# -- compensated / double-single arithmetic (mixed-precision mode) ---------
+#
+# f32 cannot run tight tolerances for two reasons: (1) the embedded
+# error weights sum to zero, so the error estimate is a ~14-bit
+# cancellation of O(h|f|) terms — at rtol 1e-6 the f32 estimate is all
+# round-off; (2) the solution accumulates one f32 rounding per step.
+# Neumaier-compensated dots fix (1) (the sum becomes exact to f32-
+# product precision) and a double-single (hi, lo) carry for y and t
+# fixes (2).  No FMA or f64 needed — Mosaic-safe pure arithmetic.
+
+def _two_sum(a, b):
+    s = a + b
+    bb = s - a
+    e = (a - (s - bb)) + (b - bb)
+    return s, e
+
+
+def _comp_wsum(rows, w):
+    """Neumaier-compensated weighted sum: returns (sum, compensation),
+    exact to the round-off of the individual f32 products."""
+    acc = None
+    comp = None
+    for wi, r in zip(w, rows):
+        if wi == 0.0:
+            continue
+        term = wi * r
+        if acc is None:
+            acc = term
+            comp = jnp.zeros_like(term)
+        else:
+            acc, e = _two_sum(acc, term)
+            comp = comp + e
+    if acc is None:
+        z = jnp.zeros_like(rows[0])
+        return z, z
+    return acc, comp
+
+
+def _df_add(hi, lo, x):
+    """(hi, lo) + x for f32 x: double-single accumulate."""
+    s, e = _two_sum(hi, x)
+    lo_new = lo + e
+    s2, e2 = _two_sum(s, lo_new)
+    return s2, e2
+
+
 def solve_fused_erk(fun, t_span, y0_batch, method=None, rtol=1e-4,
                     atol=1e-6, first_step=None, max_steps=100_000,
-                    block_members=1024, interpret=False):
+                    block_members=1024, interpret=False,
+                    compensated=False):
     """Integrate an ensemble of small ODE systems in one Pallas kernel.
 
     y0_batch: (B, n) float32 initial states.  Returns
     (y_final (B, n), status (B,), nsteps (B,), nfev (B,)) with status 1
     = finished, 2 = step size underflow, 3 = overflow/step cap.
+
+    ``compensated=True`` enables the mixed-precision mode: Neumaier-
+    compensated solution/error dots and a double-single (hi, lo) carry
+    for y and t.  This removes the two f32 failure modes at tight
+    tolerances (error-estimate cancellation and per-step accumulation
+    round-off), extending the usable range to rtol ~1e-6 / atol ~1e-9
+    while staying inside one f32 TPU kernel.
     """
     if method is None:
         from ..methods import BS5 as method
@@ -151,7 +205,9 @@ def solve_fused_erk(fun, t_span, y0_batch, method=None, rtol=1e-4,
             rtol: Any
             atol: Any
             t: Any
+            t_lo: Any
             y: Any
+            y_lo: Any
             f: Any
             h_abs: Any
             status: Any
@@ -196,14 +252,29 @@ def solve_fused_erk(fun, t_span, y0_batch, method=None, rtol=1e-4,
 
             # stages (unrolled, zero weights dropped at trace time)
             rows = [st.f]
-            for i in range(1, s):
-                dy = h * _wsum(rows, A[i, :i])
-                rows.append(fun(st.t + C[i] * h, st.y + dy))
-            y_new = st.y + h * _wsum(rows, B_w)
+            if compensated:
+                for i in range(1, s):
+                    dy = h * _wsum(rows, A[i, :i])
+                    rows.append(fun(st.t + C[i] * h,
+                                    st.y + (dy + st.y_lo)))
+                inc_s, inc_c = _comp_wsum(rows, B_w)
+                y_hi, y_lo1 = _df_add(st.y, st.y_lo, h * inc_s)
+                y_hi, y_lo_new = _two_sum(y_hi, y_lo1 + h * inc_c)
+                y_new = y_hi
+            else:
+                for i in range(1, s):
+                    dy = h * _wsum(rows, A[i, :i])
+                    rows.append(fun(st.t + C[i] * h, st.y + dy))
+                y_new = st.y + h * _wsum(rows, B_w)
+                y_lo_new = st.y_lo
             if fsal:
                 rows.append(fun(st.t + h, y_new))
             m = s + (1 if fsal else 0)
-            err = h * _wsum(rows[:m], E[:m])
+            if compensated:
+                e_s, e_c = _comp_wsum(rows[:m], E[:m])
+                err = h * (e_s + e_c)
+            else:
+                err = h * _wsum(rows[:m], E[:m])
             scale = atol + rtol * jnp.maximum(jnp.abs(st.y),
                                               jnp.abs(y_new))
             err_norm = _member_norm(err / scale)
@@ -242,7 +313,13 @@ def solve_fused_erk(fun, t_span, y0_batch, method=None, rtol=1e-4,
                                      izero + _OVERFLOW, st.status))
 
             is_last = accepted & (h_abs >= d)
-            t_new = _fblend(is_last, tf, st.t + h)
+            if compensated:
+                t_adv, t_lo_adv = _df_add(st.t, st.t_lo, h)
+                t_new = _fblend(is_last, tf, t_adv)
+                t_lo_new = _fblend(is_last, fzero, t_lo_adv)
+            else:
+                t_new = _fblend(is_last, tf, st.t + h)
+                t_lo_new = st.t_lo
             status = _iblend((status == _RUNNING) & is_last,
                              izero + _FINISHED, status)
 
@@ -267,7 +344,9 @@ def solve_fused_erk(fun, t_span, y0_batch, method=None, rtol=1e-4,
                 tf=st.tf, direction=st.direction,
                 rtol=st.rtol, atol=st.atol,
                 t=_fblend(upd, t_new, st.t),
+                t_lo=_fblend(upd, t_lo_new, st.t_lo),
                 y=_fblend(updn, y_new, st.y),
+                y_lo=_fblend(updn, y_lo_new, st.y_lo),
                 f=_fblend(updn, f_new, st.f),
                 h_abs=_fblend(running, h_abs_next, st.h_abs),
                 status=status,
@@ -289,7 +368,7 @@ def solve_fused_erk(fun, t_span, y0_batch, method=None, rtol=1e-4,
         st0 = S(
             it=jnp.zeros((), jnp.int32),
             tf=tf_r, direction=dir_r, rtol=rtol_r, atol=atol_r,
-            t=t, y=y, f=f, h_abs=h_abs0,
+            t=t, t_lo=fzero, y=y, y_lo=y * 0.0, h_abs=h_abs0, f=f,
             status=izero, std_sc=izero + 1, err_old=fzero + 1.0,
             h_prev=fzero, max_fac=fzero + 10.0, fresh=izero + 1,
             rejected=izero, min_step=fzero, nstep=izero,

@@ -1,5 +1,6 @@
 """Fused Pallas ensemble solver (interpret mode on CPU; the compiled
 path runs on TPU hardware)."""
+import jax
 import numpy as np
 import jax.numpy as jnp
 
@@ -64,3 +65,28 @@ def test_fused_overflow_member_isolated():
     assert not ok[7]                   # the bad member failed...
     assert ok.sum() == B - 1           # ...every other member finished
     assert np.all(np.isfinite(np.asarray(y)[ok]))
+
+
+def test_fused_compensated_tight_tolerances():
+    """Mixed-precision mode at rtol 1e-6/atol 1e-9 over 50 oscillator
+    periods: global accuracy must match the f64 path's (plain f32
+    drifts ~3.5x worse through accumulation round-off)."""
+    def ho(t, y):
+        return jnp.stack([y[1], -y[0]])
+
+    B = 256
+    Y0 = jnp.asarray(np.stack([np.ones(B), np.zeros(B)], axis=1))
+    T = 50 * 2 * np.pi
+    exact = np.array([1.0, 0.0])
+    ref = jax.jit(lambda Y: solve_ensemble(
+        ho, (0.0, T), Y, method=BS5, rtol=1e-6, atol=1e-9))(Y0)
+    err_ref = float(jnp.max(jnp.abs(ref.y - exact)))
+
+    yf, st, ns, nf = solve_fused_erk(
+        ho, (0.0, T), Y0, method=BS5, rtol=1e-6, atol=1e-9,
+        block_members=256, interpret=True, compensated=True)
+    assert bool(jnp.all(st == 1))
+    err = float(jnp.max(jnp.abs(np.asarray(yf) - exact)))
+    assert err < 2.0 * err_ref
+    # step counts track the f64 path (error estimates are clean)
+    assert abs(float(ns.mean()) - float(ref.nsteps.mean())) < 10.0
