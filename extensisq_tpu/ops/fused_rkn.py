@@ -1,0 +1,341 @@
+"""Fused Pallas ensemble solver for Runge-Kutta-Nyström methods.
+
+Same architecture as :mod:`fused_erk` — the entire adaptive
+integration of a second-order ensemble in ONE TPU kernel — specialized
+to the partitioned form: the state is (u, v) with ``u' = v``,
+``v' = acc(t, u, v)``, stages store accelerations only, displacement
+updates use h²·A and velocity updates h·Ap
+(reference structure: /root/reference/extensisq/common.py:1207-1310).
+
+``acc(t, u, v) -> a`` with u, v, a of shape (m, 8, 128) must be
+row-indexed elementwise jnp code, like the fused-ERK RHS convention.
+
+All fused-ERK Mosaic workarounds and the mixed-precision
+(``compensated=True``) machinery apply unchanged; see fused_erk.py.
+"""
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core.controller import resolve_controller
+from .fused_erk import (_RUNNING, _FINISHED, _TOO_SMALL, _OVERFLOW,
+                        _fblend, _iblend, _sanitize, _member_norm,
+                        _two_sum, _comp_wsum, _df_add)
+
+
+def solve_fused_rkn(acc, t_span, y0_batch, method=None, rtol=1e-4,
+                    atol=1e-6, first_step=None, max_steps=100_000,
+                    block_members=1024, interpret=False,
+                    compensated=False):
+    """Integrate an ensemble of small 2nd-order systems in one kernel.
+
+    y0_batch: (B, 2m) float32 — [u, v] per member.  Returns
+    (y_final (B, 2m), status (B,), nsteps (B,), nfev (B,)).
+    """
+    if method is None:
+        from ..methods import Fi5N as method
+    tab = method.tableau
+    A = np.asarray(tab.A, dtype=np.float32)
+    Ap = (np.zeros_like(A) if tab.Ap is None
+          else np.asarray(tab.Ap, dtype=np.float32))
+    B_w = np.asarray(tab.B, dtype=np.float32)
+    Bp = np.asarray(tab.Bp, dtype=np.float32)
+    C = np.asarray(tab.C, dtype=np.float32)
+    E = np.asarray(tab.E, dtype=np.float32)
+    Ep = np.asarray(tab.Ep, dtype=np.float32)
+    s = tab.n_stages
+    fsal = bool(Ep[-1] != 0.0)
+    err_order = min(tab.order_secondary, tab.order)
+    cc = resolve_controller(None, tab.sc_params, -1.0 / (err_order + 1))
+    eps32 = float(np.finfo(np.float32).eps)
+    tiny_err = float(np.sqrt(np.finfo(np.float32).tiny))
+    h_min_a = 10.0 * eps32 / tab.c_spacing()
+
+    y0_batch = jnp.asarray(y0_batch, jnp.float32)
+    n_total, n = y0_batch.shape
+    if n % 2:
+        raise ValueError("state must be [u, v] with even length")
+    m = n // 2
+    bm = block_members
+    if bm % 128:
+        raise ValueError("block_members must be a multiple of 128")
+    pad = (-n_total) % bm
+    if pad:
+        y0_batch = jnp.concatenate(
+            [y0_batch, jnp.tile(y0_batch[-1:], (pad, 1))])
+    grid = y0_batch.shape[0] // bm
+    sub = bm // 128
+
+    t0, tf = t_span
+    if first_step is not None:
+        h0 = jnp.asarray(first_step, jnp.float32)
+    else:
+        h0 = 0.01 * jnp.abs(jnp.asarray(tf, jnp.float32)
+                            - jnp.asarray(t0, jnp.float32))
+    t0 = jnp.asarray(t0, jnp.float32)
+    tf = jnp.asarray(tf, jnp.float32)
+    direction = jnp.sign(tf - t0)
+    scalars = jnp.stack([t0, tf, jnp.float32(rtol), jnp.float32(atol),
+                         direction, h0])
+
+    def _wsum(rows, w):
+        acc_ = None
+        for wi, r in zip(w, rows):
+            if wi == 0.0:
+                continue
+            term = wi * r
+            acc_ = term if acc_ is None else acc_ + term
+        return jnp.zeros_like(rows[0]) if acc_ is None else acc_
+
+    def _dot(rows, w):
+        if compensated:
+            hi, lo = _comp_wsum(rows, w)
+            return hi, lo
+        return _wsum(rows, w), None
+
+    def kernel(sc_ref, y0_ref, yout_ref, stat_ref, nstep_ref, nfev_ref):
+        yin = y0_ref[:].T.reshape(n, sub, 128)
+        u = yin[:m]
+        v = yin[m:]
+        fzero = u[0] * 0.0
+        izero = fzero.astype(jnp.int32)
+        t = sc_ref[0] + fzero
+        tf_r = sc_ref[1] + fzero
+        rtol_r = sc_ref[2] + fzero
+        atol_r = sc_ref[3] + fzero
+        dir_r = sc_ref[4] + fzero
+        h_abs0 = sc_ref[5] + fzero
+        f = acc(t, u, v)
+
+        class S(NamedTuple):
+            it: Any
+            tf: Any
+            direction: Any
+            rtol: Any
+            atol: Any
+            t: Any
+            t_lo: Any
+            u: Any
+            u_lo: Any
+            v: Any
+            v_lo: Any
+            f: Any
+            h_abs: Any
+            status: Any
+            std_sc: Any
+            err_old: Any
+            h_prev: Any
+            max_fac: Any
+            fresh: Any
+            rejected: Any
+            min_step: Any
+            nstep: Any
+            nfev: Any
+
+        def cond(st):
+            return jnp.max(_iblend(st.status == _RUNNING,
+                                   izero + 1, izero)) > 0
+
+        def body(st):
+            tf = st.tf
+            direction = st.direction
+            rtol = st.rtol
+            atol = st.atol
+            running = st.status == _RUNNING
+            fresh_b = st.fresh != 0
+            rejected_b = st.rejected != 0
+            std_b = st.std_sc != 0
+
+            ms = jnp.maximum(h_min_a * (jnp.abs(st.t) + st.h_abs),
+                             tiny_err)
+            h_pre = jnp.maximum(st.h_abs, ms)
+            d = jnp.abs(tf - st.t)
+            split = (d < 2.0 * h_pre) & (d > h_pre)
+            h_f = _fblend(split, jnp.maximum(0.5 * d, ms),
+                          _fblend(d <= h_pre, d, h_pre))
+            h_abs = _fblend(fresh_b, h_f, st.h_abs)
+            min_step = _fblend(fresh_b, ms, st.min_step)
+            std_b = std_b | (fresh_b & split)
+
+            too_small = h_abs < min_step
+            h = h_abs * direction
+            hh = h * h
+
+            # stages: K rows are accelerations (common.py:1281-1287)
+            rows = [st.f]
+            for i in range(1, s):
+                du = hh * _wsum(rows, A[i, :i]) + (C[i] * h) * st.v
+                dv = h * _wsum(rows, Ap[i, :i])
+                if compensated:
+                    du = du + st.u_lo
+                    dv = dv + st.v_lo
+                rows.append(acc(st.t + C[i] * h, st.u + du, st.v + dv))
+
+            bs, bc = _dot(rows, B_w)
+            ps, pc = _dot(rows, Bp)
+            if compensated:
+                u_hi, u_l1 = _df_add(st.u, st.u_lo, h * st.v)
+                u_hi, u_l2 = _two_sum(u_hi, u_l1 + hh * bs)
+                u_new, u_lo_new = _two_sum(u_hi, u_l2 + hh * bc)
+                v_hi, v_l1 = _df_add(st.v, st.v_lo, h * ps)
+                v_new, v_lo_new = _two_sum(v_hi, v_l1 + h * pc)
+            else:
+                u_new = st.u + h * st.v + hh * bs
+                v_new = st.v + h * ps
+                u_lo_new = st.u_lo
+                v_lo_new = st.v_lo
+            if fsal:
+                rows.append(acc(st.t + h, u_new, v_new))
+            mm = s + (1 if fsal else 0)
+            es, ec = _dot(rows[:mm], E[:mm])
+            eps_, epc = _dot(rows[:mm], Ep[:mm])
+            if compensated:
+                err_u = hh * (es + ec)
+                err_v = h * (eps_ + epc)
+            else:
+                err_u = hh * es
+                err_v = h * eps_
+            err = jnp.concatenate([err_u, err_v])
+            scale = atol + rtol * jnp.maximum(
+                jnp.abs(jnp.concatenate([st.u, st.v])),
+                jnp.abs(jnp.concatenate([u_new, v_new])))
+            err_norm = _member_norm(err / scale)
+            err_norm, bad_e = _sanitize(err_norm)
+            err_norm = err_norm + bad_e.astype(jnp.float32) * 10.0
+
+            accepted = (err_norm < 1.0) & ~too_small & running
+
+            err_c = jnp.maximum(err_norm, 1e-30)
+            f_std = cc.safety * err_c ** cc.error_exponent
+            hr = h / _fblend(st.h_prev == 0.0, h, st.h_prev)
+            f_2nd = jnp.clip(
+                cc.safety_sc * err_c ** cc.minbeta1
+                * jnp.maximum(st.err_old, 1e-30) ** cc.minbeta2
+                * hr ** cc.minalpha, cc.min_factor, st.max_fac)
+            is_tiny = err_norm < tiny_err
+            fac_acc = _fblend(is_tiny, st.max_fac,
+                              _fblend(std_b, f_std, f_2nd))
+            fac_acc = _fblend(rejected_b, jnp.minimum(1.0, fac_acc),
+                              fac_acc)
+            std_after = _iblend(is_tiny, izero + 1,
+                                _iblend(std_b, izero, st.std_sc))
+            max_fac_new = _fblend(fac_acc < 4.0, fzero + 4.0,
+                                  st.max_fac)
+            fac_rej = jnp.maximum(
+                cc.min_factor, cc.safety * err_c ** cc.error_exponent)
+            h_abs_next = h_abs * _fblend(accepted, fac_acc, fac_rej)
+            h_abs_next, _ = _sanitize(h_abs_next)
+
+            status = _iblend(running & too_small, izero + _TOO_SMALL,
+                             _iblend(running & bad_e,
+                                     izero + _OVERFLOW, st.status))
+
+            is_last = accepted & (h_abs >= d)
+            if compensated:
+                t_adv, t_lo_adv = _df_add(st.t, st.t_lo, h)
+                t_new = _fblend(is_last, tf, t_adv)
+                t_lo_new = _fblend(is_last, fzero, t_lo_adv)
+            else:
+                t_new = _fblend(is_last, tf, st.t + h)
+                t_lo_new = st.t_lo
+            status = _iblend((status == _RUNNING) & is_last,
+                             izero + _FINISHED, status)
+
+            if fsal:
+                f_new = rows[s]
+            else:
+                f_new = acc(t_new, u_new, v_new)
+            u_new, _ = _sanitize(u_new)
+            v_new, _ = _sanitize(v_new)
+            f_new, _ = _sanitize(f_new)
+
+            upd = accepted
+            dfev = _iblend(running, izero + (s if fsal else s - 1),
+                           izero)
+            if not fsal:
+                dfev = dfev + _iblend(upd, izero + 1, izero)
+            hit_cap = (st.it + 1 >= max_steps) & (status == _RUNNING)
+            status = _iblend(hit_cap, izero + _OVERFLOW, status)
+
+            updm = jnp.broadcast_to(upd, st.u.shape)
+            return S(
+                it=st.it + 1,
+                tf=st.tf, direction=st.direction,
+                rtol=st.rtol, atol=st.atol,
+                t=_fblend(upd, t_new, st.t),
+                t_lo=_fblend(upd, t_lo_new, st.t_lo),
+                u=_fblend(updm, u_new, st.u),
+                u_lo=_fblend(updm, u_lo_new, st.u_lo),
+                v=_fblend(updm, v_new, st.v),
+                v_lo=_fblend(updm, v_lo_new, st.v_lo),
+                f=_fblend(updm, f_new, st.f),
+                h_abs=_fblend(running, h_abs_next, st.h_abs),
+                status=status,
+                std_sc=_iblend(upd, std_after, st.std_sc),
+                err_old=_fblend(upd, err_norm, st.err_old),
+                h_prev=_fblend(upd, h, st.h_prev),
+                max_fac=_fblend(upd, max_fac_new, st.max_fac),
+                fresh=_iblend(upd | (status != _RUNNING), izero + 1,
+                              izero),
+                rejected=_iblend(upd, izero,
+                                 _iblend(rejected_b
+                                         | (running & ~accepted),
+                                         izero + 1, izero)),
+                min_step=min_step,
+                nstep=st.nstep + _iblend(upd, izero + 1, izero),
+                nfev=st.nfev + dfev,
+            )
+
+        st0 = S(
+            it=jnp.zeros((), jnp.int32),
+            tf=tf_r, direction=dir_r, rtol=rtol_r, atol=atol_r,
+            t=t, t_lo=fzero, u=u, u_lo=u * 0.0, v=v, v_lo=v * 0.0,
+            f=f, h_abs=h_abs0,
+            status=izero, std_sc=izero + 1, err_old=fzero + 1.0,
+            h_prev=fzero, max_fac=fzero + 10.0, fresh=izero + 1,
+            rejected=izero, min_step=fzero, nstep=izero,
+            nfev=izero + 1)
+        st = jax.lax.while_loop(cond, body, st0)
+
+        yout_ref[:] = jnp.concatenate([st.u, st.v]).reshape(n, bm).T
+        stat_ref[:] = st.status.reshape(1, bm)
+        nstep_ref[:] = st.nstep.reshape(1, bm)
+        nfev_ref[:] = st.nfev.reshape(1, bm)
+
+    n_padded = y0_batch.shape[0]
+    out_shapes = (
+        jax.ShapeDtypeStruct((n_padded, n), jnp.float32),
+        jax.ShapeDtypeStruct((1, n_padded), jnp.int32),
+        jax.ShapeDtypeStruct((1, n_padded), jnp.int32),
+        jax.ShapeDtypeStruct((1, n_padded), jnp.int32),
+    )
+    with jax.enable_x64(False):
+        y_out, status, nsteps, nfev = pl.pallas_call(
+            kernel,
+            grid=(grid,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((bm, n), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((bm, n), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, bm), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, bm), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, bm), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+            ),
+            out_shape=out_shapes,
+            interpret=interpret,
+        )(scalars, y0_batch)
+
+    y_out = y_out[:n_total]
+    return (y_out, status[0, :n_total], nsteps[0, :n_total],
+            nfev[0, :n_total])

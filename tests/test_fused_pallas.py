@@ -90,3 +90,39 @@ def test_fused_compensated_tight_tolerances():
     assert err < 2.0 * err_ref
     # step counts track the f64 path (error estimates are clean)
     assert abs(float(ns.mean()) - float(ref.nsteps.mean())) < 10.0
+
+
+def test_fused_rkn_kepler():
+    """Fused RKN kernel (accelerations-only stages, h^2 A / h Ap
+    updates): tolerance-level agreement with the f64 XLA path and
+    tracking step counts on a Kepler ensemble."""
+    from extensisq_tpu.ops import solve_fused_rkn
+    from extensisq_tpu import Fi5N
+
+    B = 128
+    ecc = np.linspace(0.1, 0.5, B)
+    Y0 = jnp.asarray(np.stack([1 - ecc, np.zeros(B), np.zeros(B),
+                               np.sqrt((1 + ecc) / (1 - ecc))], axis=1))
+
+    def acc(t, u, v):
+        r2 = u[0] ** 2 + u[1] ** 2
+        a = -r2 ** -1.5
+        return jnp.stack([a * u[0], a * u[1]])
+
+    def f_full(t, y):
+        r2 = y[0] ** 2 + y[1] ** 2
+        a = -r2 ** -1.5
+        return jnp.stack([y[2], y[3], a * y[0], a * y[1]])
+
+    ref = jax.jit(lambda Y: solve_ensemble(
+        f_full, (0.0, 2 * np.pi), Y, method=Fi5N, rtol=1e-5,
+        atol=1e-7))(Y0)
+    for comp in (False, True):
+        yf, st, ns, nf = solve_fused_rkn(
+            acc, (0.0, 2 * np.pi), Y0, method=Fi5N, rtol=1e-5,
+            atol=1e-7, block_members=128, interpret=True,
+            compensated=comp)
+        assert bool(jnp.all(st == 1))
+        assert float(jnp.max(jnp.abs(np.asarray(yf)
+                                     - np.asarray(ref.y)))) < 5e-4
+        assert abs(float(ns.mean()) - float(ref.nsteps.mean())) < 3.0
