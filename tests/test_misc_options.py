@@ -171,3 +171,30 @@ def test_array_atol_and_t_eval_early_event():
     assert r.t[-1] <= float(r.t_events[0][0])
     np.testing.assert_allclose(float(r.t_events[0][0]), np.log(2),
                                rtol=1e-8)
+
+
+def test_custom_user_method():
+    """A user-defined Butcher tableau (Heun/Euler) works through both
+    drivers and matches a same-tableau custom class in the reference
+    exactly (verified: 313 steps / 630 nfev; cf. Demo_own_RK.ipynb)."""
+    from extensisq_tpu.types import ERKTableau, Method
+    heun = Method(
+        name="Heun", family="erk",
+        tableau=ERKTableau(
+            name="Heun", order=2, order_secondary=1,
+            A=[[0.0, 0.0], [1.0, 0.0]],
+            B=[0.5, 0.5], C=[0.0, 1.0],
+            E=[-0.5, 0.5, 0.0],
+            stbrad=2.0, tanang=2.0))
+    r = solve_ivp(lambda t, y: -y, (0.0, 4.0), [1.0], method=heun,
+                  rtol=1e-4, atol=1e-7, dense_output=True)
+    assert r.success
+    assert r.t.size - 1 == 313 and r.nfev == 630
+    assert abs(float(r.y[0, -1]) - np.exp(-4.0)) < 1e-4
+    # cubic-Hermite fallback interpolant
+    assert abs(float(r.sol(2.0)[0]) - np.exp(-2.0)) < 1e-4
+    out = jax.jit(lambda y: solve(
+        lambda t, y_: -y_, (0.0, 4.0), y, method=heun,
+        rtol=1e-4, atol=1e-7))(jnp.array([1.0]))
+    assert int(out.status) == 1
+    assert int(out.nsteps) == 313 and int(out.nfev) == 630
