@@ -160,6 +160,21 @@ def config3():
     print(f"3b Pleiades CFMR7osc x{Bp}: tpu {dt*1e3:7.1f} ms "
           f"({int(out.nsteps.max())} steps max)")
 
+    # fused single-kernel RKN (mixed precision) on the Kepler ensemble
+    from extensisq_tpu.ops import solve_fused_rkn
+
+    def acc2(t, u, v):
+        r2 = u[0] ** 2 + u[1] ** 2
+        aa = -r2 ** -1.5
+        return jnp.stack([aa * u[0], aa * u[1]])
+
+    runf = jax.jit(lambda Y: solve_fused_rkn(
+        acc2, (0.0, 2 * np.pi), Y, method=Fi5N, rtol=1e-7, atol=1e-9,
+        compensated=True))
+    dtf, outf = time_tpu(runf, jnp.asarray(y0), reps=5)
+    assert bool(jnp.all(outf[1] == 1))
+    print(f"3c Kepler fused-RKN x{B} (rtol 1e-7): tpu {dtf*1e3:7.1f} ms")
+
 
 def config4():
     """Robertson stiff, Kv3I ESDIRK with batched Newton, 512 members"""
