@@ -126,3 +126,45 @@ def test_fused_rkn_kepler():
         assert float(jnp.max(jnp.abs(np.asarray(yf)
                                      - np.asarray(ref.y)))) < 5e-4
         assert abs(float(ns.mean()) - float(ref.nsteps.mean())) < 3.0
+
+
+def test_fused_rkc_brusselator():
+    """Fused RKC kernel (in-kernel Chebyshev stage loop with runtime
+    stage count, rho bound, H220 controller): in-tolerance agreement
+    with the f64 XLA path on a 2-D Brusselator grid."""
+    from extensisq_tpu.ops.fused_rkc import solve_fused_rkc, roll
+    from extensisq_tpu import solve, SSV2stab
+
+    ny, nx = 32, 32
+    A_, B_, alpha = 1.0, 3.0, 0.02
+    dx = 1.0 / nx
+
+    def fun_grid(t, uv):
+        lap = (roll(uv, 1, 1) + roll(uv, -1, 1)
+               + roll(uv, 1, 2) + roll(uv, -1, 2) - 4.0 * uv) / dx ** 2
+        u, v = uv[0], uv[1]
+        uv2 = u * u * v
+        return jnp.stack([A_ + uv2 - (B_ + 1.0) * u + alpha * lap[0],
+                          B_ * u - uv2 + alpha * lap[1]])
+
+    rho = 8.0 * alpha / dx ** 2 + 2.0 + B_
+    xg = np.linspace(0, 1, nx, endpoint=False)
+    u0 = 1.0 + 0.3 * np.sin(2 * np.pi * xg)[None, :] * np.ones((ny, 1))
+    v0 = 3.0 * np.ones((ny, nx))
+    Y0 = jnp.asarray(np.stack([u0, v0]), jnp.float32)
+
+    yf, st, ns, nf = solve_fused_rkc(fun_grid, (0.0, 1.0), Y0, rho,
+                                     rtol=1e-4, atol=1e-7,
+                                     interpret=True)
+    assert int(st) == 1
+
+    def fun_flat(t, y):
+        return fun_grid(t, y.reshape(2, ny, nx)).reshape(-1)
+
+    out = jax.jit(lambda y: solve(
+        fun_flat, (0.0, 1.0), y, method=SSV2stab, rtol=1e-4, atol=1e-7,
+        rho_jac=lambda t, y_: rho))(
+            jnp.asarray(np.stack([u0, v0]).reshape(-1)))
+    d = float(jnp.max(jnp.abs(np.asarray(yf).reshape(-1)
+                              - np.asarray(out.y))))
+    assert d < 1e-3

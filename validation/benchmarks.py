@@ -271,6 +271,32 @@ def config5():
           f"tpu {dt*1e3:7.1f} ms, all ok: "
           f"{bool(jnp.all(out.status == 1))}")
 
+    # fused single-kernel RKC on the 131k-state grid (f32 fast path)
+    from extensisq_tpu.ops.fused_rkc import solve_fused_rkc, roll
+
+    def fun_grid(t, uv):
+        lap = (roll(uv, 1, 1) + roll(uv, -1, 1)
+               + roll(uv, 1, 2) + roll(uv, -1, 2) - 4.0 * uv) / dx_g**2
+        u, v = uv[0], uv[1]
+        uv2 = u * u * v
+        return jnp.stack([1.0 + uv2 - 4.0 * u + 0.02 * lap[0],
+                          3.0 * u - uv2 + 0.02 * lap[1]])
+
+    dx_g = 1.0 / nx
+    rho_c = 8.0 * 0.02 / dx_g**2 + 2.0 + 3.0
+    # re-derive the 256x256 grid ICs (u0/v0 were reassigned by 5b)
+    xg2, yg2 = np.meshgrid(np.linspace(0, 1, nx, endpoint=False),
+                           np.linspace(0, 1, ny, endpoint=False))
+    u0g = 1.0 + 0.5 * np.sin(2 * np.pi * xg2) * np.sin(2 * np.pi * yg2)
+    v0g = 3.0 + 0.1 * np.cos(2 * np.pi * xg2)
+    Y0g = jnp.asarray(np.stack([u0g, v0g]), jnp.float32)
+    runF = jax.jit(lambda y: solve_fused_rkc(
+        fun_grid, (0.0, 1.0), y, rho_c, rtol=1e-4, atol=1e-7))
+    dtf, outf = time_tpu(runF, Y0g, reps=5)
+    print(f"5c Brusselator {n_states} states fused-RKC: "
+          f"tpu {dtf*1e3:7.1f} ms ({int(outf[2])} steps, "
+          f"{int(outf[3])} evals, status {int(outf[1])})")
+
 
 if __name__ == "__main__":
     for cfg in (config1, config3, config5, config4, config2):
