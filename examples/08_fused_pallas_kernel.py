@@ -40,9 +40,11 @@ rng = np.random.RandomState(0)
 Y0 = jnp.asarray(np.stack([2.0 + 0.1 * rng.randn(B), np.zeros(B)],
                           axis=1))
 
-# fused kernel (f32)
+# fused kernel (f32); interpret mode makes it runnable off-TPU too
+interp = jax.default_backend() != "tpu"
 yf, status, nsteps, nfev = solve_fused_erk(
-    vdp, (0.0, 10.0), Y0, method=BS5, rtol=1e-4, atol=1e-6)
+    vdp, (0.0, 10.0), Y0, method=BS5, rtol=1e-4, atol=1e-6,
+    interpret=interp)
 print("fused:", yf.shape, "all ok:", bool(jnp.all(status == 1)),
       "mean steps:", float(nsteps.mean()))
 
