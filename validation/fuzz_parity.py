@@ -289,11 +289,109 @@ def one_case_esdirk(seed):
     return fails
 
 
+def one_case_disc(seed):
+    """Discontinuous RHSs (CKdisc's design case): coefficients switch
+    at random times via where-masks (bit-identical on both sides).
+    Exact count parity for CKdisc and the explicit methods."""
+    rng = np.random.RandomState(seed + 30_000)
+    n = int(rng.randint(1, 4))
+    a1 = -0.2 - rng.rand(n)
+    a2 = -0.2 - rng.rand(n)
+    b1 = rng.randn(n)
+    b2 = rng.randn(n)
+    tf = rng.uniform(2.0, 8.0)
+    tc = rng.uniform(0.3, 0.7) * tf
+
+    def f_np(t, y):
+        lo = t < tc
+        a = np.where(lo, a1, a2)
+        b = np.where(lo, b1, b2)
+        return a * y + b
+
+    def f_jx(t, y):
+        lo = t < tc
+        a = jnp.where(lo, jnp.asarray(a1), jnp.asarray(a2))
+        b = jnp.where(lo, jnp.asarray(b1), jnp.asarray(b2))
+        return a * y + b
+
+    y0 = rng.randn(n)
+    rtol = 10.0 ** rng.uniform(-7, -3)
+    atol = rtol * 1e-2
+    fails = []
+    import warnings
+    for name in ["CKdisc", "BS5", "Me4"]:
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            r_ref = scipy_solve_ivp(f_np, (0.0, tf), y0,
+                                    method=getattr(ref, name),
+                                    rtol=rtol, atol=atol)
+            r_our = our_solve_ivp(f_jx, (0.0, tf), jnp.asarray(y0),
+                                  method=getattr(et, name),
+                                  rtol=rtol, atol=atol)
+        if (r_our.t.size != r_ref.t.size or r_our.nfev != r_ref.nfev
+                or r_our.status != r_ref.status):
+            if _ref_forks(f_np, (0.0, tf), y0, name,
+                          dict(rtol=rtol, atol=atol),
+                          counts=(r_ref.t.size, r_ref.nfev)):
+                continue
+            fails.append((name, f"steps {r_our.t.size-1} vs "
+                          f"{r_ref.t.size-1}, nfev {r_our.nfev} vs "
+                          f"{r_ref.nfev}"))
+    return fails
+
+
+def one_case_device(seed):
+    """Our flat device driver vs our host driver: must be bit-exact
+    for every family on random smooth problems."""
+    rng = np.random.RandomState(seed + 40_000)
+    n = int(rng.randint(1, 5))
+    f_np, f_jx = make_problem(rng, n)
+    y0 = jnp.asarray(rng.randn(n))
+    rtol = 10.0 ** rng.uniform(-8, -3)
+    atol = rtol * 1e-2
+    tf = rng.uniform(0.5, 6.0)
+    from extensisq_tpu.solve import solve as dev_solve
+    fails = []
+    import warnings
+    for name in EXPLICIT + MULTISTEP + ["Fi4N", "Kv3I", "TRBDF2"]:
+        fun = f_jx
+        if name in ("Fi4N",):
+            # build a second-order problem instead
+            def fun(t, y, n=n):
+                return jnp.concatenate([y[n:], -y[:n]])
+            y0d = jnp.concatenate([y0, jnp.zeros_like(y0)])
+        else:
+            y0d = y0
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            r_host = our_solve_ivp(fun, (0.0, tf), y0d,
+                                   method=getattr(et, name),
+                                   rtol=rtol, atol=atol)
+            out = jax.jit(lambda y: dev_solve(
+                fun, (0.0, tf), y, method=getattr(et, name),
+                rtol=rtol, atol=atol))(y0d)
+        ok_host = r_host.status == 0
+        ok_dev = int(out.status) == 1
+        # endpoints agree to a few ulp, not bitwise: the two programs
+        # compile separately and XLA places FMAs differently
+        scale = np.maximum(1.0, np.abs(r_host.y[:, -1]))
+        ulp_ok = bool(np.all(np.abs(np.asarray(out.y) - r_host.y[:, -1])
+                             <= 1e-12 * scale))
+        if ok_host != ok_dev or (ok_host and (
+                int(out.nsteps) != r_host.t.size - 1
+                or int(out.nfev) != r_host.nfev
+                or not ulp_ok)):
+            fails.append((name, f"device {int(out.nsteps)}/{int(out.nfev)}"
+                          f" vs host {r_host.t.size-1}/{r_host.nfev}"))
+    return fails
+
+
 if __name__ == "__main__":
     n_cases = int(sys.argv[1]) if len(sys.argv) > 1 else 25
     family = sys.argv[2] if len(sys.argv) > 2 else "explicit"
     runner = {"explicit": one_case, "rkn": one_case_rkn,
-              "esdirk": one_case_esdirk}[family]
+              "esdirk": one_case_esdirk, "disc": one_case_disc,
+              "device": one_case_device}[family]
     bad = 0
     for seed in range(n_cases):
         fails = runner(seed)
@@ -305,3 +403,5 @@ if __name__ == "__main__":
             print(f"seed {seed:3d} all methods match")
     print(f"\n{n_cases} {family} cases, {bad} mismatches")
     sys.exit(1 if bad else 0)
+
+
