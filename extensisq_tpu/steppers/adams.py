@@ -30,6 +30,28 @@ _GSTR = np.array([0.5, 0.0833, 0.0417, 0.0264, 0.0188, 0.0143, 0.0114,
                   0.00936, 0.00789, 0.00679, 0.00592, 0.00524, 0.00468])
 
 
+def _take(arr, i):
+    """``arr[i]`` for a traced scalar index as a one-hot masked sum.
+
+    Dynamic-slice gathers break XLA fusion and dominate the dispatch
+    count of the Adams step body; a masked sum of one element plus
+    exact zeros is arithmetic-identical and fuses.  ``i`` must already
+    be clipped into range.
+    """
+    idx = jnp.arange(arr.shape[0])
+    if arr.ndim == 1:
+        return jnp.sum(jnp.where(idx == i, arr, 0))
+    return jnp.sum(jnp.where((idx == i)[:, None], arr, 0), axis=0)
+
+
+def _put(arr, i, val):
+    """``arr.at[i].set(val)`` for a traced scalar index as a where."""
+    idx = jnp.arange(arr.shape[0])
+    if arr.ndim == 1:
+        return jnp.where(idx == i, val, arr)
+    return jnp.where((idx == i)[:, None], val, arr)
+
+
 class AdamsState(NamedTuple):
     t: Any
     y: Any
@@ -213,12 +235,15 @@ class AdamsStepper:
         factor = jnp.where((idx >= nsm1) & (idx < k),
                            jnp.asarray(self.iq[:km]) * alpha, 1.0)
         cp = jnp.cumprod(factor)
-        s_base = c.sig[jnp.clip(nsm1, 0, km)]
+        s_base = _take(c.sig, jnp.clip(nsm1, 0, km))
         s_base = jnp.where(nsm1 == 0, 1.0, s_base)
         sig_tail = s_base * cp                      # value for index j+1
         midx = jnp.arange(km + 1)
+        # sig_tail[clip(midx-1)] for midx = 0..km is the static
+        # shift [sig_tail[0], sig_tail[0:km]]
+        sig_tail_sh = jnp.concatenate([sig_tail[:1], sig_tail[:km]])
         sig = jnp.where((midx >= ns) & (midx <= k) & recompute,
-                        sig_tail[jnp.clip(midx - 1, 0, km - 1)], c.sig)
+                        sig_tail_sh, c.sig)
 
         # ---- v, w, g ----
         iqq = jnp.asarray(self.iqq[:km])
@@ -240,15 +265,16 @@ class AdamsStepper:
         use_iv = raised & (ivc != 0)
         ivc2 = jnp.where(raised, jnp.where(use_iv, ivc - 1, ivc), ivc)
         jv = jnp.where(use_iv,
-                       kp1 - iv[jnp.clip(ivc - 1, 0, iv.shape[0] - 1)],
+                       kp1 - _take(iv, jnp.clip(ivc - 1, 0,
+                                                iv.shape[0] - 1)),
                        1).astype(jnp.int32)
         # fresh diagonal entry when the order was raised without a
         # stored iv pointer
         fresh = raised & (ivc == 0)
-        v2 = jnp.where(fresh & (idx == km1), iqq[jnp.clip(km1, 0, km - 1)],
-                       v)
-        w2 = jnp.where(fresh & (idx == km1), v2[jnp.clip(km1, 0, km - 1)],
-                       w)
+        v2 = jnp.where(fresh & (idx == km1),
+                       _take(iqq, jnp.clip(km1, 0, km - 1)), v)
+        w2 = jnp.where(fresh & (idx == km1),
+                       _take(v2, jnp.clip(km1, 0, km - 1)), w)
         kgi2 = jnp.where(fresh & (k == 2), 1, kgi).astype(jnp.int32)
         gi2 = jnp.where((jnp.arange(km - 1) == 0) & fresh & (k == 2),
                         w2[1], gi)
@@ -259,9 +285,10 @@ class AdamsStepper:
         for j in range(km):
             active = raised & (j >= jv) & (j < nsm1)
             i = jnp.clip(km1 - j, 0, km - 1)
-            newval = v2[i] - alpha[min(j, km - 1)] \
-                * v2[jnp.clip(i + 1, 0, km - 1)]
-            v2 = v2.at[i].set(jnp.where(active, newval, v2[i]))
+            v2_i = _take(v2, i)
+            newval = v2_i - alpha[min(j, km - 1)] \
+                * _take(v2, jnp.clip(i + 1, 0, km - 1))
+            v2 = _put(v2, i, jnp.where(active, newval, v2_i))
         w2 = jnp.where(raised
                        & (idx >= jnp.maximum(km1 - nsm1 + 1, 0))
                        & (idx <= km1 - jv), v2, w2)
@@ -275,11 +302,10 @@ class AdamsStepper:
         limit1 = kp1 - ns
         v_shift = jnp.concatenate([v2[1:], jnp.zeros(1, v2.dtype)])
         v2 = jnp.where(idx < limit1,
-                       v2 - alpha[jnp.clip(nsm1, 0, km - 1)] * v_shift,
-                       v2)
+                       v2 - _take(alpha, jnp.clip(nsm1, 0, km - 1))
+                       * v_shift, v2)
         w2 = jnp.where(idx < limit1 + 1, v2, w2)
-        g2 = g.at[jnp.clip(ns, 0, km)].set(
-            jnp.where(True, v2[0], g[jnp.clip(ns, 0, km)]))
+        g2 = _put(g, jnp.clip(ns, 0, km), v2[0])
         kgi2 = jnp.where(limit1 != 1, ns, kgi2).astype(jnp.int32)
         gi2 = jnp.where((jnp.arange(km - 1)
                          == jnp.clip(nsm1, 0, km - 2)) & (limit1 != 1),
@@ -340,14 +366,18 @@ class AdamsStepper:
         # block 2: predict (shampine.py:320-364)
         idx_r = jnp.arange(km + 2)
         phi = c.phi
+        # beta[clip(idx_r)] / g[clip(idx_r)] over idx_r = 0..km+1 are
+        # static pad-with-last-entry extensions (fusable; the dynamic
+        # gathers break XLA fusion)
+        beta_ext = jnp.concatenate([beta, beta[km - 1:km],
+                                    beta[km - 1:km]])
+        g_ext = jnp.concatenate([g, g[km:km + 1]])
         phi = jnp.where(((idx_r >= ns) & (idx_r < k))[:, None],
-                        phi * beta[jnp.clip(idx_r, 0, km - 1), None],
-                        phi)
-        phi_k = phi[jnp.clip(k, 0, km + 1)]
-        phi = phi.at[jnp.clip(kp1, 0, km + 1)].set(phi_k)
-        phi = phi.at[jnp.clip(k, 0, km + 1)].set(
-            jnp.zeros_like(phi_k))
-        gw = jnp.where(idx_r < k, g[jnp.clip(idx_r, 0, km)], 0.0)
+                        phi * beta_ext[:, None], phi)
+        phi_k = _take(phi, jnp.clip(k, 0, km + 1))
+        phi = _put(phi, jnp.clip(kp1, 0, km + 1), phi_k)
+        phi = _put(phi, jnp.clip(k, 0, km + 1), jnp.zeros_like(phi_k))
+        gw = jnp.where(idx_r < k, g_ext, 0.0)
         p = h * jnp.einsum("s,sn->n", gw.astype(self.real_dtype),
                            phi.astype(self.dtype)) + y0
         # reverse cumulative sum over rows < k
@@ -369,17 +399,18 @@ class AdamsStepper:
         sigj = sig
 
         erk = absh * norm(temp4 * inv_wt)
-        erkm1 = absh * norm((phi[jnp.clip(km1, 0, km + 1)] + temp4)
-                            * inv_wt) \
-            * sigj[jnp.clip(km1, 0, km)] \
-            * gstr[jnp.clip(km2, 0, 12)]
-        erkm2 = absh * norm((phi[jnp.clip(km2, 0, km + 1)] + temp4)
-                            * inv_wt) \
-            * sigj[jnp.clip(km2, 0, km)] \
-            * gstr[jnp.clip(km2 - 1, 0, 12)]
-        err = erk * (g[jnp.clip(km1, 0, km)] - g[jnp.clip(k, 0, km)])
-        erk = erk * sigj[jnp.clip(k, 0, km)] * gstr[jnp.clip(km1, 0,
-                                                             12)]
+        erkm1 = absh * norm((_take(phi, jnp.clip(km1, 0, km + 1))
+                             + temp4) * inv_wt) \
+            * _take(sigj, jnp.clip(km1, 0, km)) \
+            * _take(gstr, jnp.clip(km2, 0, 12))
+        erkm2 = absh * norm((_take(phi, jnp.clip(km2, 0, km + 1))
+                             + temp4) * inv_wt) \
+            * _take(sigj, jnp.clip(km2, 0, km)) \
+            * _take(gstr, jnp.clip(km2 - 1, 0, 12))
+        err = erk * (_take(g, jnp.clip(km1, 0, km))
+                     - _take(g, jnp.clip(k, 0, km)))
+        erk = erk * _take(sigj, jnp.clip(k, 0, km)) \
+            * _take(gstr, jnp.clip(km1, 0, 12))
 
         knew = jnp.where(
             (k > 2) & (jnp.maximum(erkm1, erkm2) < erk), km1,
@@ -388,18 +419,15 @@ class AdamsStepper:
         success = err <= self.eps
 
         # block 3: failure restore (shampine.py:369-398)
-        phi_r = jnp.where((idx_r < k)[:, None],
-                          phi - phi[jnp.clip(idx_r + 1, 0,
-                                             km + 1)], phi)
+        phi_up = jnp.concatenate([phi[1:], phi[km + 1:km + 2]])
+        phi_r = jnp.where((idx_r < k)[:, None], phi - phi_up, phi)
         phi_r = jnp.where(
             (idx_r < k)[:, None],
-            phi_r / jnp.where(
-                beta[jnp.clip(idx_r, 0, km - 1), None] == 0, 1.0,
-                beta[jnp.clip(idx_r, 0, km - 1), None]), phi_r)
+            phi_r / jnp.where(beta_ext[:, None] == 0, 1.0,
+                              beta_ext[:, None]), phi_r)
+        psi_up = jnp.concatenate([psi[1:], psi[km - 1:km]])
         idx_k = jnp.arange(km)
-        psi_r = jnp.where(idx_k < km1,
-                          psi[jnp.clip(idx_k + 1, 0, km - 1)] - h,
-                          psi)
+        psi_r = jnp.where(idx_k < km1, psi_up - h, psi)
 
         ifail = c.ifail + 1
         temp2 = jnp.where((ifail >= 4) & (self.p5eps < 0.25 * erk),
@@ -499,7 +527,7 @@ class AdamsStepper:
         h, k = c.h, c.k
         kp1, km1 = k + 1, k - 1
         x = x0 + h
-        g_k = c.g[jnp.clip(k, 0, km)]
+        g_k = _take(c.g, jnp.clip(k, 0, km))
         y_corr = h * g_k * (c.yp_pred - c.phi[0]) + c.p
         yp_new = jax.lax.cond(
             ok, lambda _: self.fun(x, y_corr), lambda _: yp0,
@@ -509,17 +537,18 @@ class AdamsStepper:
         idx_r = jnp.arange(km + 2)
         phi = c.phi
         phi_k_new = yp_new - phi[0]
-        phi = phi.at[jnp.clip(k, 0, km + 1)].set(phi_k_new)
-        phi = phi.at[jnp.clip(kp1, 0, km + 1)].set(
-            phi_k_new - phi[jnp.clip(kp1, 0, km + 1)])
+        phi = _put(phi, jnp.clip(k, 0, km + 1), phi_k_new)
+        phi = _put(phi, jnp.clip(kp1, 0, km + 1),
+                   phi_k_new - _take(phi, jnp.clip(kp1, 0, km + 1)))
         phi = jnp.where((idx_r < k)[:, None], phi + phi_k_new[None, :],
                         phi)
 
         # order selection for the next step (shampine.py:420-455)
         phase1 = c.phase1 & ~((c.knew == km1) | (k == self.k_max))
         erkp1 = self.gstr[np.minimum(self.k_max, 12)] * 0.0
-        erkp1 = jnp.asarray(self.gstr)[jnp.clip(k, 0, 12)] \
-            * jnp.abs(h) * norm(phi[jnp.clip(kp1, 0, km + 1)] / c.wt)
+        erkp1 = _take(jnp.asarray(self.gstr), jnp.clip(k, 0, 12)) \
+            * jnp.abs(h) * norm(_take(phi, jnp.clip(kp1, 0, km + 1))
+                                / c.wt)
         can_est = (~phase1) & (c.knew != km1) & (k < c.ns)
 
         raise1 = (k == 1) & (erkp1 < 0.5 * c.erk) & (k < self.k_max)
@@ -542,8 +571,8 @@ class AdamsStepper:
                                           jnp.where(can_est & raise2,
                                                     erkp1, c.erk)))))
 
-        two_next = jnp.asarray(self.two)[jnp.clip(k_next, 0,
-                                                  self.two.size - 1)]
+        two_next = _take(jnp.asarray(self.two),
+                         jnp.clip(k_next, 0, self.two.size - 1))
         double = phase1 | (self.p5eps >= erk_next * two_next)
         keep_h = self.p5eps >= erk_next
         r = (self.p5eps / jnp.maximum(erk_next, 1e-300)) \
