@@ -356,6 +356,9 @@ def solve_ensemble(fun, t_span, y0_batch, params_batch=None, method=None,
     return jax.vmap(run)(y0_batch, params_batch)
 
 
+_WINDOW_CACHE = {}
+
+
 def solve_windowed(fun, t_span, y0, n_windows, method=None,
                    ensemble=False, params_batch=None, **kwargs):
     """Integrate a long horizon as ``n_windows`` jit-compiled chunks,
@@ -386,15 +389,30 @@ def solve_windowed(fun, t_span, y0, n_windows, method=None,
     t0, tf = t_span
     edges = np.linspace(float(t0), float(tf), int(n_windows) + 1)
 
-    if ensemble:
-        @jax.jit
-        def run(y, a, b):
-            return solve_ensemble(fun, (a, b), y, method=method,
-                                  params_batch=params_batch, **kwargs)
-    else:
-        @jax.jit
-        def run(y, a, b):
-            return solve(fun, (a, b), y, method=method, **kwargs)
+    # cache the jitted runner so repeated solve_windowed calls with the
+    # same (fun, method, options) reuse one compilation; params_batch
+    # is a traced argument, so its values never stale through the cache
+    key = (fun, getattr(method, "name", method), bool(ensemble),
+           params_batch is not None,
+           tuple(sorted((k, repr(v)) for k, v in kwargs.items())))
+    run2 = _WINDOW_CACHE.get(key)
+    if run2 is None:
+        if ensemble:
+            @jax.jit
+            def run2(y, a, b, pb):
+                return solve_ensemble(fun, (a, b), y, method=method,
+                                      params_batch=pb, **kwargs)
+        else:
+            @jax.jit
+            def run2(y, a, b, pb):
+                del pb
+                return solve(fun, (a, b), y, method=method, **kwargs)
+        _WINDOW_CACHE[key] = run2
+        if len(_WINDOW_CACHE) > 64:
+            _WINDOW_CACHE.pop(next(iter(_WINDOW_CACHE)))
+
+    def run(y, a, b):
+        return run2(y, a, b, params_batch)
 
     y = y0
     totals = {}
