@@ -269,3 +269,36 @@ def test_dae_pendulum_index1():
     drift = np.abs(r.y[0] ** 2 + r.y[1] ** 2 - 1.0).max()
     assert drift < 5e-4
     assert abs(r.t.size - 1 - 2846) < 30
+
+
+@pytest.mark.parametrize("method", [TRBDF2, Kv3I], ids=lambda m: m.name)
+def test_mass_matrix_vs_inverted_ode(method):
+    """Nonsingular mass matrix M y' = f must behave like the explicitly
+    inverted ODE y' = M^-1 f: step/eval/jac counts within small budgets
+    and matching solutions (reference test_DAE.py:177-197)."""
+    eps = 1e-3
+
+    def kaps_f(t, y):
+        return jnp.stack([-(1 + 2 * eps) * y[0] + y[1] ** 2,
+                          y[0] - y[1] - y[1] ** 2])
+
+    Mp = np.array([[eps, 0.0], [0.0, 1.0]])
+    Mpinv = np.linalg.inv(Mp)
+
+    def kaps_inv(t, y):
+        return jnp.asarray(Mpinv) @ kaps_f(t, y)
+
+    import warnings
+    for y0 in ([1.0, 1.0], [2.0, 1.0]):
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            sol_m = solve_ivp(kaps_f, (0.0, 1.0), y0, method=method,
+                              M=Mp)
+            sol_i = solve_ivp(kaps_inv, (0.0, 1.0), y0, method=method,
+                              dense_output=True)
+        assert sol_m.success and sol_i.success
+        assert abs(sol_m.t.size - sol_i.t.size) < 3
+        assert abs(sol_m.nfev - sol_i.nfev) < 20
+        assert abs(sol_m.njev - sol_i.njev) < 2
+        np.testing.assert_allclose(sol_m.y, sol_i.sol(sol_m.t),
+                                   atol=1e-5, rtol=1e-2)
