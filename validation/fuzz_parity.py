@@ -107,11 +107,16 @@ def one_case(seed):
     first_step = None if rng.rand() < 0.7 else tf * 10.0 ** rng.uniform(-2, -1)
 
     dense = rng.rand() < 0.5
+    # exercise all controller presets (common.py:166-185)
+    scp = [None, "G", "S", "standard"][int(rng.randint(4))]
     fails = []
     for name in EXPLICIT + MULTISTEP:
         kw = dict(rtol=rtol, atol=atol, dense_output=dense)
         if first_step is not None:
             kw["first_step"] = first_step
+        if scp is not None and name not in ("SWAG", "SSV2stab",
+                                            "CKdisc"):
+            kw["sc_params"] = scp
         import warnings
         with warnings.catch_warnings():
             warnings.simplefilter("ignore")
