@@ -83,6 +83,36 @@ def brusselator_2d_rhs(shape, A=1.0, B=3.0, alpha=0.02, dx=None):
     return rhs
 
 
+def brusselator_2d_rhs_interleaved(shape, A=1.0, B=3.0, alpha=0.02,
+                                   dx=None):
+    """2-D Brusselator with the interleaved flat layout ``(ny, nx, 2)``.
+
+    Same PDE as :func:`brusselator_2d_rhs` but each grid point's (u, v)
+    pair is adjacent in memory, so sharding the flat vector over a mesh
+    axis splits the grid by ROWS with both fields co-located — the
+    layout a distributed stencil wants (reaction terms never cross
+    devices).  Arithmetic ordering matches
+    ``halo.brusselator_2d_rhs_shardmap`` exactly: the GSPMD and the
+    explicit-ppermute solves are bit-identical.
+    """
+    ny, nx = shape
+    if dx is None:
+        dx = 1.0 / nx
+
+    def rhs(t, y):
+        w = y.reshape(ny, nx, 2)
+        lap = (jnp.roll(w, 1, 0) + jnp.roll(w, -1, 0)
+               + jnp.roll(w, 1, 1) + jnp.roll(w, -1, 1)
+               - 4.0 * w) / dx ** 2
+        u, v = w[..., 0], w[..., 1]
+        uv2 = u * u * v
+        du = A + uv2 - (B + 1.0) * u + alpha * lap[..., 0]
+        dv = B * u - uv2 + alpha * lap[..., 1]
+        return jnp.stack([du, dv], axis=-1).reshape(-1)
+
+    return rhs
+
+
 def brusselator_rho_bound(shape, A=1.0, B=3.0, alpha=0.02, dx=None):
     """Cheap spectral-radius upper bound for rho_jac: diffusion dominates
     (8 alpha / dx^2) plus a reaction-term margin."""

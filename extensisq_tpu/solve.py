@@ -141,7 +141,10 @@ def _make_event_handler(stepper, events, max_events, n, direction):
         te = direction * te_dir
         keep = fired & (~any_term | (dir_roots <= te_dir))
 
-        # record kept roots
+        # record kept roots; once the buffer is full the first
+        # max_events roots are kept and the count saturates (no
+        # overwrite of the last slot, no unbounded count)
+        keep = keep & (ev["count"] < max_events)
         idx = jnp.minimum(ev["count"], max_events - 1)
         y_roots = jax.vmap(interp)(roots)
         t_ev = ev["t_ev"]
@@ -176,8 +179,8 @@ def solve(fun, t_span, y0, method=None, rtol=1e-3, atol=1e-6,
 
     ``t_span``, ``y0``, ``rtol``, ``atol``, ``t_eval`` values may be
     traced; ``method``, ``max_steps``, shapes and option strings are
-    static.  Integration direction is static (from the sign of
-    ``t_span``): under vmap all members must share it.
+    static.  Integration direction is traced (sign of ``tf - t0``), so
+    traced/vmapped spans may point either way, per member.
     """
     if method is None:
         from .methods import BS5 as method
@@ -197,9 +200,13 @@ def solve(fun, t_span, y0, method=None, rtol=1e-3, atol=1e-6,
         base = fun
         fun = lambda t, y: base(t, y, *args)                 # noqa: E731
 
-    direction = float(np.sign(float(tf) - float(t0)) or 1.0) \
-        if not isinstance(tf, jax.core.Tracer) \
-        and not isinstance(t0, jax.core.Tracer) else 1.0
+    # traced-safe direction: t_span may be jit arguments (e.g. the
+    # window edges in solve_windowed), so the sign must be computed in
+    # the traced graph — a concrete fallback of +1.0 silently integrated
+    # backward solves forward (round-1 advisor finding)
+    sgn = jnp.sign(jnp.asarray(tf, jnp.float64)
+                   - jnp.asarray(t0, jnp.float64))
+    direction = jnp.where(sgn == 0, 1.0, sgn)
 
     record = save_steps or (t_eval is not None)
     if (not record and events is None
@@ -382,10 +389,11 @@ def solve_windowed(fun, t_span, y0, n_windows, method=None,
     Returns the last window's :class:`Solution` with the step/eval
     counters accumulated over all windows.
     """
-    if kwargs.get("record") or kwargs.get("events") is not None:
+    if (kwargs.get("save_steps") or kwargs.get("t_eval") is not None
+            or kwargs.get("events") is not None):
         raise ValueError(
-            "solve_windowed does not support record/events; call "
-            "solve() per window instead.")
+            "solve_windowed does not support save_steps/t_eval/events; "
+            "call solve() per window instead.")
     t0, tf = t_span
     edges = np.linspace(float(t0), float(tf), int(n_windows) + 1)
 

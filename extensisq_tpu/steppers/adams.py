@@ -442,7 +442,10 @@ class AdamsStepper:
         return _Carry(
             h=jnp.where(success, h, h_fail),
             k=jnp.where(success, k, knew_fail),
-            ns=ns,
+            # dsteps sets ns=0 on EVERY rejection (shampine.py:394);
+            # relying on h != hold misses the h_fail == hold case
+            # (rejected doubled step: 0.5*2*hold is bit-exact hold)
+            ns=jnp.where(success, ns, jnp.asarray(0, jnp.int32)),
             kprev=k,
             ifail=jnp.where(success, c.ifail, ifail),
             phase1=jnp.where(success, c.phase1, False),

@@ -417,7 +417,14 @@ class ERKStepper:
             K=state.K,
             nfev=state.nfev, nfailed=state.nfailed,
             jflstp=state.jflstp)
-        c = self._attempt(params, t, y, f, state, c)
+        # gate the attempt exactly like step(): a too-small step or an
+        # already-terminal status must not evaluate the RHS, or
+        # nfev/nfailed diverge from the host path (esdirk.py does the
+        # same; step/step_flat bit-exactness is a test invariant)
+        c = jax.lax.cond(
+            ~too_small & (state.status == RUNNING),
+            lambda cc: self._attempt(params, t, y, f, state, cc),
+            lambda cc: cc, c)
         ok = c.accepted & ~too_small
         status = jnp.where(
             too_small & (state.status == RUNNING),

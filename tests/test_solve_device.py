@@ -212,4 +212,29 @@ def test_solve_windowed():
     np.testing.assert_allclose(np.asarray(out.y), np.asarray(single.y),
                                rtol=1e-5, atol=1e-7)
     with pytest.raises(ValueError):
-        solve_windowed(vdp, (0.0, 1.0), y0, 2, method=SWAG, record=True)
+        solve_windowed(vdp, (0.0, 1.0), y0, 2, method=SWAG,
+                       save_steps=True)
+    with pytest.raises(ValueError):
+        solve_windowed(vdp, (0.0, 1.0), y0, 2, method=SWAG,
+                       t_eval=jnp.linspace(0.0, 1.0, 5))
+
+
+def test_solve_windowed_backward():
+    """Backward spans through solve_windowed must integrate backward:
+    the window edges are traced jit arguments, so direction must be a
+    traced value (round-1 advisor finding: the old concrete fallback
+    returned exp(-t) for a backward exponential with status=success)."""
+    from extensisq_tpu import solve_windowed
+
+    out = solve_windowed(lambda t, y: y, (0.1, 0.0),
+                         jnp.array([1.0]), 2, method=BS5,
+                         rtol=1e-10, atol=1e-12)
+    assert int(out.status) == 1
+    np.testing.assert_allclose(float(out.y[0]), np.exp(-0.1),
+                               rtol=1e-9)
+    out2 = solve_windowed(lambda t, y: -y, (2.0, 0.0),
+                          jnp.array([1.0]), 3, method=BS5,
+                          rtol=1e-10, atol=1e-12)
+    assert int(out2.status) == 1
+    np.testing.assert_allclose(float(out2.y[0]), np.exp(2.0),
+                               rtol=1e-8)
