@@ -49,10 +49,24 @@ def sens_forward(fun, t_span, y0, jac=None, dfdp=None, dy0dp=None, p=(),
     Signature-compatible with the reference (sensitivity.py:60-217);
     ``jac``/``dfdp`` may be None (autodiff via jvp).  The augmented
     system of size ny*(np+1) is integrated in one solve.
+
+    With an implicit method, the augmented Newton Jacobian is handled
+    the reference's way (sensitivity.py:183-210): by default the exact
+    augmented Jacobian is evaluated through its block sparsity pattern
+    (here: colored forward AD, 2*ny tangents regardless of np);
+    ``use_approx_jac=True`` instead supplies the block-diagonal
+    approximation diag(J, ..., J) — one base-Jacobian evaluation,
+    ignoring the sensitivity-to-state coupling, traded for possibly
+    more Newton iterations.  Explicit methods ignore the flag (warned).
     """
+    import warnings
     from .ivp import solve_ivp
+    from .types import Method
     if method is None:
         from .methods import BS5 as method
+    if isinstance(method, str):
+        from .methods import METHODS_BY_NAME
+        method = METHODS_BY_NAME[method]
     y0 = np.atleast_1d(np.asarray(y0, dtype=float))
     p = jnp.atleast_1d(jnp.asarray(p, dtype=float))
     Ny, Np = y0.size, p.size
@@ -102,10 +116,41 @@ def sens_forward(fun, t_span, y0, jac=None, dfdp=None, dy0dp=None, p=(),
         factor = abs(p_np[i]) or 1.0
         total_atol[(i + 1) * Ny:(i + 2) * Ny] = atol / factor
 
+    # augmented-system Newton Jacobian for implicit methods
+    # (reference sensitivity.py:183-210)
+    extra = {}
+    if isinstance(method, Method) and method.family == "esdirk":
+        m = (Np + 1) * Ny
+        if use_approx_jac:
+            if jac_e is not None:
+                base_jac = jac_e
+            else:
+                base_jac = jax.jacfwd(
+                    lambda t, y: fun_p(t, y, p), argnums=1)
+
+            def total_jac(t, z):
+                J = jnp.asarray(base_jac(t, z[:Ny]))
+                return jax.scipy.linalg.block_diag(*([J] * (Np + 1)))
+
+            extra["jac"] = total_jac
+        else:
+            # exact block pattern: every block row depends on y, and
+            # sensitivity block i on itself; colored AD needs only
+            # 2*ny tangents for it, independent of np
+            S = np.zeros((m, m), dtype=int)
+            S[:, :Ny] = 1
+            for i in range(Np):
+                S[(i + 1) * Ny:(i + 2) * Ny,
+                  (i + 1) * Ny:(i + 2) * Ny] = 1
+            extra["jac_sparsity"] = S
+    elif use_approx_jac:
+        warnings.warn("use_approx_jac has no effect for explicit "
+                      "methods", stacklevel=2)
+
     z0 = np.concatenate([y0, dy0dp.T.reshape(-1)])
     sol = solve_ivp(total_fun, t_span, z0, atol=total_atol, rtol=rtol,
                     method=method, dense_output=dense_output,
-                    t_eval=t_eval)
+                    t_eval=t_eval, **extra)
     if not sol.success:
         raise RuntimeError("IVP solver not converged")
     yf = sol.y[:Ny, -1]

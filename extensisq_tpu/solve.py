@@ -45,6 +45,8 @@ class Solution(NamedTuple):
     t_events: Any = None   # (n_events, max_events), nan-padded
     y_events: Any = None   # (n_events, max_events, n)
     n_events: Any = None   # (n_events,) int32 counts
+    stiffness: Any = None  # int32 diagnosis code (core.stiffness.STIFF_*)
+                           # when solve(..., nfev_stiff_detect=N) is on
 
     @property
     def success(self):
@@ -209,7 +211,8 @@ def solve(fun, t_span, y0, method=None, rtol=1e-3, atol=1e-6,
     direction = jnp.where(sgn == 0, 1.0, sgn)
 
     record = save_steps or (t_eval is not None)
-    if (not record and events is None
+    nsd = int(options.get("nfev_stiff_detect", 0) or 0)
+    if (not record and events is None and nsd == 0
             and method.family in ("erk", "rkn")
             and "carry_stages" not in options):
         # final-state-only solves don't need the (s+1, n) stage array
@@ -240,6 +243,38 @@ def solve(fun, t_span, y0, method=None, rtol=1e-3, atol=1e-6,
         bufs0 = {}
 
     flat = hasattr(stepper, "step_flat")
+
+    # optional on-device stiffness diagnosis (RKSuite power iteration,
+    # vmap-safe; VERDICT r1 #7).  Off by default: enabling adds a few
+    # masked kernels per step.  Reference: common.py:370-516.
+    stiff_check = None
+    if (nsd > 0 and method.family in ("erk", "rkn")
+            and not jnp.issubdtype(y0.dtype, jnp.complexfloating)):
+        from .core.stiffness import make_device_diagnosis
+        tab = stepper.tab
+        if method.family == "erk" and tab.stbrad is not None:
+            stiff_check = make_device_diagnosis(
+                stepper.fun, stepper.s, nsd, stbrad=tab.stbrad,
+                tanang=tab.tanang)
+            fxy_of = lambda st: st.f                      # noqa: E731
+        elif method.family == "rkn" and tab.stbre is not None:
+            m = stepper.m
+            stiff_check = make_device_diagnosis(
+                stepper.fun_first_order, stepper.s, nsd,
+                stbre=tab.stbre, stbim=tab.stbim, tanang=tab.tanang)
+            fxy_of = lambda st: jnp.concatenate(          # noqa: E731
+                [st.y[m:], st.f])
+
+    def run_stiff_check(new, accepted, carry):
+        code_prev, extra_nfev = carry
+        code, dnfev, jreset = stiff_check(
+            new, stepper.error_estimate(new), fxy_of(new),
+            params.t_bound, accepted)
+        new = new._replace(jflstp=jnp.where(jreset, 0, new.jflstp))
+        return new, (jnp.maximum(code_prev, code),
+                     extra_nfev + dnfev)
+
+    stiff0 = (jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32))
 
     if events is not None:
         ev_init, ev_handle = _make_event_handler(
@@ -274,29 +309,32 @@ def solve(fun, t_span, y0, method=None, rtol=1e-3, atol=1e-6,
         # attempt-level loop: one unnested while body => far fewer
         # kernels per iteration than the nested accept/reject loop
         def cond(carry):
-            state, aux, _, _ = carry
+            state, aux, _, _, _ = carry
             return state.status == RUNNING
 
         def body(carry):
-            state, aux, bufs, ev = carry
+            state, aux, bufs, ev, sc = carry
             new, aux, accepted = stepper.step_flat(params, state, aux)
             if record:
                 bufs = record_bufs(bufs, stepper, new, accepted,
                                    state.nsteps)
             if ev_handle is not None:
                 new, ev = ev_handle(new, accepted, ev)
-            return cap(new), aux, bufs, ev
+            if stiff_check is not None:
+                new, sc = run_stiff_check(new, accepted, sc)
+            return cap(new), aux, bufs, ev, sc
 
-        state, _, bufs, ev = jax.lax.while_loop(
+        state, _, bufs, ev, sc = jax.lax.while_loop(
             cond, body,
-            (state0, stepper.flat_init_aux(state0), bufs0, ev0))
+            (state0, stepper.flat_init_aux(state0), bufs0, ev0,
+             stiff0))
     else:
         def cond(carry):
-            state, _, _ = carry
+            state, _, _, _ = carry
             return state.status == RUNNING
 
         def body(carry):
-            state, bufs, ev = carry
+            state, bufs, ev, sc = carry
             new = stepper.step(params, state)
             accepted = new.nsteps > state.nsteps
             if record:
@@ -304,14 +342,19 @@ def solve(fun, t_span, y0, method=None, rtol=1e-3, atol=1e-6,
                                    state.nsteps)
             if ev_handle is not None:
                 new, ev = ev_handle(new, accepted, ev)
-            return cap(new), bufs, ev
+            if stiff_check is not None:
+                new, sc = run_stiff_check(new, accepted, sc)
+            return cap(new), bufs, ev, sc
 
-        state, bufs, ev = jax.lax.while_loop(cond, body,
-                                             (state0, bufs0, ev0))
+        state, bufs, ev, sc = jax.lax.while_loop(
+            cond, body, (state0, bufs0, ev0, stiff0))
 
     out = Solution(
-        t=state.t, y=state.y, status=state.status, nfev=state.nfev,
+        t=state.t, y=state.y, status=state.status,
+        nfev=state.nfev + (sc[1] if stiff_check is not None else 0),
         nsteps=state.nsteps, nfailed=state.nfailed)
+    if stiff_check is not None:
+        out = out._replace(stiffness=sc[0])
     if events is not None:
         out = out._replace(t_events=ev["t_ev"], y_events=ev["y_ev"],
                            n_events=ev["count"])

@@ -14,6 +14,9 @@ TPU-native redesign of the reference ESDIRK base class
   under vmap (replacing LAPACK/SuperLU, SURVEY.md 2.4 item 3);
 * the Jacobian defaults to ``jax.jacfwd`` of the RHS (the reference
   finite-differences; autodiff replaces num_jac, SURVEY.md 2.3 note);
+  with ``jac_sparsity`` it becomes a colored forward sweep — one JVP
+  per column group (core/linalg.colored_jacfwd; the reference's
+  group_columns+num_jac analog, common.py:1706-1754);
 * constant-``jac`` linear-ODE fast path: refactor per h change, a
   single direct solve per stage (common.py:1966, 2203-2207);
 * constant-mass-matrix DAE: host-side SVD splits differential/algebraic
@@ -138,16 +141,23 @@ class ESDIRKStepper:
         self.filter_error = tableau.filter_error
         opts = dict(options or {})
         self.jac_each_step = bool(opts.pop("jac_each_step", False))
-        opts.pop("jac_sparsity", None)   # dense AD Jacobian; not needed
+        sparsity = opts.pop("jac_sparsity", None)
         jac = opts.pop("jac", None)
         M = opts.pop("M", None)
         self.options = opts
 
         # Jacobian setup (cf. _validate_jac, common.py:1706-1754)
         if jac is None:
-            self.jac = jax.jacfwd(fun, argnums=1,
-                                  holomorphic=np.issubdtype(
-                                      self.dtype, np.complexfloating))
+            if sparsity is not None:
+                # colored forward-mode: O(colors) JVPs instead of O(n)
+                # (the reference's group_columns + num_jac FD analog)
+                from ..core.linalg import colored_jacfwd
+                self.jac = colored_jacfwd(fun, sparsity, n, self.dtype)
+            else:
+                self.jac = jax.jacfwd(fun, argnums=1,
+                                      holomorphic=np.issubdtype(
+                                          self.dtype,
+                                          np.complexfloating))
             self.linear = False
         elif callable(jac):
             self.jac = lambda t, y: jnp.asarray(jac(t, y), self.dtype)

@@ -54,6 +54,56 @@ def test_sens_forward(method, derivs):
     np.testing.assert_allclose(sens, SENS, rtol=1e-3)
 
 
+def test_sens_forward_approx_jac():
+    """use_approx_jac=True supplies the block-diagonal Newton Jacobian
+    (reference sensitivity.py:183-210): same answers, possibly more
+    iterations; explicit methods warn and ignore the flag."""
+    sens, yf, sol = sens_forward(fun, (0.0, 0.4), Y0, None, None,
+                                 DY0DP, p=P, method=KC4I, rtol=RTOL,
+                                 atol=ATOL, use_approx_jac=True)
+    np.testing.assert_allclose(yf, YF, rtol=1e-3)
+    np.testing.assert_allclose(sens, SENS, rtol=1e-3)
+    with pytest.warns(UserWarning, match="use_approx_jac"):
+        sens_forward(fun, (0.0, 0.4), Y0, None, None, DY0DP, p=P,
+                     method=BS5, rtol=RTOL, atol=ATOL,
+                     use_approx_jac=True)
+
+
+def test_sens_forward_sparsity_pattern_matches_dense_jac():
+    """The default implicit path evaluates the exact augmented
+    Jacobian through its block sparsity; it must equal the dense AD
+    Jacobian of the augmented RHS wherever the pattern is set (and the
+    pattern must cover every structural nonzero)."""
+    from extensisq_tpu.core.linalg import group_columns
+
+    Ny, Np = 3, 3
+    m = (Np + 1) * Ny
+    S = np.zeros((m, m), dtype=int)
+    S[:, :Ny] = 1
+    for i in range(Np):
+        S[(i + 1) * Ny:(i + 2) * Ny, (i + 1) * Ny:(i + 2) * Ny] = 1
+    _, ng = group_columns(S)
+    assert ng == 2 * Ny                      # independent of Np
+
+    p = jnp.asarray(P)
+
+    def total_fun(t, z):
+        y = z[:Ny]
+        s = z[Ny:].reshape(Np, Ny)
+        eye = jnp.eye(Np)
+        ds = jax.vmap(lambda si, ei: jax.jvp(
+            lambda yy, pp: fun(t, yy, *pp), (y, p), (si, ei))[1])(s, eye)
+        return jnp.concatenate([jnp.asarray(fun(t, y, *P)),
+                                ds.reshape(-1)])
+
+    z = jnp.asarray(np.concatenate([[1.0, 2e-5, 0.01],
+                                    np.random.default_rng(1)
+                                    .standard_normal(Np * Ny)]))
+    Jd = np.asarray(jax.jacfwd(total_fun, argnums=1)(0.1, z))
+    assert not np.any((Jd != 0) & (S == 0)), \
+        "pattern misses a structural nonzero"
+
+
 @pytest.mark.parametrize("method", [KC4I], ids=lambda m: m.name)
 def test_sens_adjoint_end(method):
     sol_y = None
