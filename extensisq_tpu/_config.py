@@ -32,6 +32,7 @@ NEWTON_FAIL = 5
 RHO_FAIL = 6
 TOL_TOO_TIGHT = 7
 TERMINAL_EVENT = 8
+PAUSED = 9               # window boundary reached; state is resumable
 
 STATUS_MESSAGES = {
     RUNNING: "running",
@@ -46,4 +47,5 @@ STATUS_MESSAGES = {
               "did not converge",
     TOL_TOO_TIGHT: "tolerance too tight.",
     TERMINAL_EVENT: "A termination event occurred.",
+    PAUSED: "Paused at a window boundary; resume with resume_state.",
 }

@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ._config import RUNNING, MAX_STEPS_REACHED, TERMINAL_EVENT
+from ._config import RUNNING, MAX_STEPS_REACHED, TERMINAL_EVENT, PAUSED
 from .core.interpolate import horner
 from .steppers import build_stepper
 from .types import IVPParams, Method
@@ -47,6 +47,8 @@ class Solution(NamedTuple):
     n_events: Any = None   # (n_events,) int32 counts
     stiffness: Any = None  # int32 diagnosis code (core.stiffness.STIFF_*)
                            # when solve(..., nfev_stiff_detect=N) is on
+    final_state: Any = None  # stepper-state pytree (return_state=True);
+                             # feed back via solve(resume_state=...)
 
     @property
     def success(self):
@@ -176,13 +178,22 @@ def _make_event_handler(stepper, events, max_events, n, direction):
 def solve(fun, t_span, y0, method=None, rtol=1e-3, atol=1e-6,
           max_step=np.inf, first_step=None, max_steps=10_000,
           t_eval=None, save_steps=False, args=None, events=None,
-          max_events=8, **options):
+          max_events=8, pause_at=None, resume_state=None,
+          return_state=False, **options):
     """Integrate an IVP fully on device; jittable and vmappable.
 
     ``t_span``, ``y0``, ``rtol``, ``atol``, ``t_eval`` values may be
     traced; ``method``, ``max_steps``, shapes and option strings are
     static.  Integration direction is traced (sign of ``tf - t0``), so
     traced/vmapped spans may point either way, per member.
+
+    ``pause_at``/``resume_state``/``return_state`` implement
+    warm-started windowing (solve_windowed): the loop pauses once
+    ``t`` passes ``pause_at`` (status ``PAUSED``, state resumable),
+    and a later call continues from ``resume_state`` — the stepper's
+    memory (SWAG phi history, RKC spectral-radius eigenvector, ESDIRK
+    Jacobian/LU ladder) and the counters carry over, so the chunked
+    solve is IDENTICAL to the single-shot solve, step for step.
     """
     if method is None:
         from .methods import BS5 as method
@@ -227,7 +238,19 @@ def solve(fun, t_span, y0, method=None, rtol=1e-3, atol=1e-6,
         rtol=jnp.asarray(rtol), atol=jnp.asarray(atol),
         max_step=jnp.asarray(max_step, jnp.float64))
 
-    state0 = stepper.init(t0, y0, params, first_step=first_step)
+    if resume_state is not None:
+        state0 = resume_state
+    else:
+        state0 = stepper.init(t0, y0, params, first_step=first_step)
+
+    if pause_at is not None:
+        pause_t = jnp.asarray(pause_at, jnp.float64)
+
+        def not_paused(st):
+            return params.direction * (st.t - pause_t) < 0
+    else:
+        def not_paused(st):
+            return jnp.asarray(True)
 
     if record:
         seg0 = _record_segment(stepper, state0)
@@ -299,8 +322,14 @@ def solve(fun, t_span, y0, method=None, rtol=1e-3, atol=1e-6,
             "Q": upd(bufs["Q"], Q),
         }
 
+    # max_steps budgets THIS call: under resume_state the carried
+    # counter keeps accumulating, so the cap is relative to the
+    # window's starting count
+    nsteps_start = state0.nsteps
+
     def cap(new):
-        hit_cap = (new.nsteps >= max_steps) & (new.status == RUNNING)
+        hit_cap = ((new.nsteps - nsteps_start >= max_steps)
+                   & (new.status == RUNNING))
         return new._replace(status=jnp.where(
             hit_cap, jnp.asarray(MAX_STEPS_REACHED, jnp.int32),
             new.status))
@@ -310,7 +339,7 @@ def solve(fun, t_span, y0, method=None, rtol=1e-3, atol=1e-6,
         # kernels per iteration than the nested accept/reject loop
         def cond(carry):
             state, aux, _, _, _ = carry
-            return state.status == RUNNING
+            return (state.status == RUNNING) & not_paused(state)
 
         def body(carry):
             state, aux, bufs, ev, sc = carry
@@ -331,7 +360,7 @@ def solve(fun, t_span, y0, method=None, rtol=1e-3, atol=1e-6,
     else:
         def cond(carry):
             state, _, _, _ = carry
-            return state.status == RUNNING
+            return (state.status == RUNNING) & not_paused(state)
 
         def body(carry):
             state, bufs, ev, sc = carry
@@ -349,10 +378,18 @@ def solve(fun, t_span, y0, method=None, rtol=1e-3, atol=1e-6,
         state, bufs, ev, sc = jax.lax.while_loop(
             cond, body, (state0, bufs0, ev0, stiff0))
 
+    status_out = state.status
+    if pause_at is not None:
+        # the only way the loop exits with RUNNING is the pause gate
+        status_out = jnp.where(status_out == RUNNING,
+                               jnp.asarray(PAUSED, jnp.int32),
+                               status_out)
     out = Solution(
-        t=state.t, y=state.y, status=state.status,
+        t=state.t, y=state.y, status=status_out,
         nfev=state.nfev + (sc[1] if stiff_check is not None else 0),
         nsteps=state.nsteps, nfailed=state.nfailed)
+    if return_state:
+        out = out._replace(final_state=state)
     if stiff_check is not None:
         out = out._replace(stiffness=sc[0])
     if events is not None:
@@ -412,25 +449,28 @@ _WINDOW_CACHE = {}
 def solve_windowed(fun, t_span, y0, n_windows, method=None,
                    ensemble=False, params_batch=None, **kwargs):
     """Integrate a long horizon as ``n_windows`` jit-compiled chunks,
-    feeding the terminal state forward between chunks on the host.
+    feeding the full solver state forward between chunks on the host.
 
     One XLA program that runs for minutes can exceed accelerator
     runtime limits (and pins the chip for the whole solve); windowing
     is the standard long-horizon pattern: the window boundaries are
-    jit arguments, so a single compilation serves every chunk.  Each
-    window restarts the stepper (fresh first-step estimate and, for
-    multistep methods, a fresh memory build-up), which costs a few
-    extra steps per window but changes the solution only within
-    tolerance.
+    jit arguments, so two compilations (first window, resume window)
+    serve every chunk.  Each window WARM-STARTS from the previous
+    window's terminal stepper state — step size, controller memory,
+    SWAG phi history, RKC spectral-radius eigenvector, ESDIRK
+    Jacobian/LU ladder — and the loop merely pauses at each boundary
+    (no end-of-interval step clamping), so the chunked solve takes
+    exactly the same steps as the single-shot solve: terminal state
+    and all counters are bit-identical (tested in
+    test_solve_device.py::test_solve_windowed).
 
-    ``ensemble=True`` wraps :func:`solve_ensemble` instead of
-    :func:`solve` (with optional ``params_batch``).  Trajectory
-    recording and events are per-window concepts and are not
-    supported here; use :func:`solve` on the individual windows if
-    they are needed.
+    ``ensemble=True`` vmaps over a leading axis of ``y0`` (with
+    optional per-member ``params_batch``).  Trajectory recording and
+    events are per-window concepts and are not supported here; use
+    :func:`solve` on the individual windows if they are needed.
 
-    Returns the last window's :class:`Solution` with the step/eval
-    counters accumulated over all windows.
+    Returns the last window's :class:`Solution`; counters live in the
+    carried state, so they already cover the whole horizon.
     """
     if (kwargs.get("save_steps") or kwargs.get("t_eval") is not None
             or kwargs.get("events") is not None):
@@ -440,42 +480,45 @@ def solve_windowed(fun, t_span, y0, n_windows, method=None,
     t0, tf = t_span
     edges = np.linspace(float(t0), float(tf), int(n_windows) + 1)
 
-    # cache the jitted runner so repeated solve_windowed calls with the
-    # same (fun, method, options) reuse one compilation; params_batch
-    # is a traced argument, so its values never stale through the cache
+    def one(y, a, b, pb, st):
+        f = fun if pb is None else (lambda t, yy: fun(t, yy, pb))
+        return solve(f, (a, tf), y, method=method, pause_at=b,
+                     resume_state=st, return_state=True, **kwargs)
+
+    def first(y, a, b, pb):
+        if ensemble:
+            ax = None if params_batch is None else 0
+            return jax.vmap(one, in_axes=(0, None, None, ax, None))(
+                y, a, b, pb, None)
+        return one(y, a, b, pb, None)
+
+    def resume(st, a, b, pb):
+        if ensemble:
+            ax = None if params_batch is None else 0
+            return jax.vmap(
+                lambda s, p: one(s.y, a, b, p, s),
+                in_axes=(0, ax))(st, pb)
+        return one(st.y, a, b, pb, st)
+
+    # cache the jitted runners so repeated solve_windowed calls with
+    # the same (fun, method, options) reuse the two compilations;
+    # params_batch and the edges are traced arguments
     key = (fun, getattr(method, "name", method), bool(ensemble),
            params_batch is not None,
            tuple(sorted((k, repr(v)) for k, v in kwargs.items())))
-    run2 = _WINDOW_CACHE.get(key)
-    if run2 is None:
-        if ensemble:
-            @jax.jit
-            def run2(y, a, b, pb):
-                return solve_ensemble(fun, (a, b), y, method=method,
-                                      params_batch=pb, **kwargs)
-        else:
-            @jax.jit
-            def run2(y, a, b, pb):
-                del pb
-                return solve(fun, (a, b), y, method=method, **kwargs)
-        _WINDOW_CACHE[key] = run2
+    runners = _WINDOW_CACHE.get(key)
+    if runners is None:
+        runners = (jax.jit(first), jax.jit(resume))
+        _WINDOW_CACHE[key] = runners
         if len(_WINDOW_CACHE) > 64:
             _WINDOW_CACHE.pop(next(iter(_WINDOW_CACHE)))
+    run_first, run_resume = runners
 
-    def run(y, a, b):
-        return run2(y, a, b, params_batch)
-
-    y = y0
-    totals = {}
-    out = None
-    for a, b in zip(edges[:-1], edges[1:]):
-        out = run(y, a, b)
+    out = run_first(y0, edges[0], edges[1], params_batch)
+    for a, b in zip(edges[1:-1], edges[2:]):
         ok = np.asarray(out.status)
-        if not np.all((ok == 1) | (ok == 8)):
+        if not np.all((ok == 1) | (ok == TERMINAL_EVENT)
+                      | (ok == PAUSED)):
             break
-        y = out.y
-        for f in ("nfev", "nsteps", "nfailed"):
-            if hasattr(out, f) and getattr(out, f) is not None:
-                totals[f] = totals.get(f, 0) + np.asarray(getattr(out, f))
-    return out._replace(**{f: jnp.asarray(v)
-                           for f, v in totals.items()})
+        out = run_resume(out.final_state, a, b, params_batch)
+    return out._replace(final_state=None)

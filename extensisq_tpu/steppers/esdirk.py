@@ -590,7 +590,11 @@ class ESDIRKStepper:
         if self.filter_error:
             err = self._M_mul(self._solve(LU, piv,
                                           self._Sc_mul(h, err)))
-            nls = nls + 1
+            # the reference `continue`s on Newton failure BEFORE the
+            # filter solve (common.py:2063-2087): count it only on
+            # converged attempts (round-1 hosea nls drift, +1 per
+            # iteration failure)
+            nls = nls + jnp.where(converged, 1, 0)
         error_norm = norm(err / scale)
 
         facc, sc_acc, mf_acc = esdirk_accept_update(

@@ -11,7 +11,9 @@ import jax.numpy as jnp
 
 from extensisq_tpu import solve_ivp, Kv3I
 from extensisq_tpu.core.linalg import group_columns, colored_jacfwd
-from tests.test_medazko import fun_medazko, N
+from extensisq_tpu.problems import medazko
+
+MEDAZKO = medazko(200)
 
 
 def band(n, w):
@@ -69,16 +71,14 @@ def test_medazko_sparsity_solve_matches_dense():
     """Full implicit solve with jac_sparsity reproduces the dense-AD
     solve: identical Jacobian values => identical trajectory and
     work counts."""
-    n = 2 * N
-    S = band(n, 4)
+    S = MEDAZKO.jac_sparsity
     groups, ng = group_columns(S)
     assert ng <= 9                          # O(bandwidth), not O(n)
 
-    y0 = np.zeros(n)
-    y0[1::2] = 1.0
-    res_sparse = solve_ivp(fun_medazko, [0, 20], y0, method=Kv3I,
+    y0 = MEDAZKO.y0
+    res_sparse = solve_ivp(MEDAZKO.rhs, MEDAZKO.t_span, y0, method=Kv3I,
                            jac_sparsity=S)
-    res_dense = solve_ivp(fun_medazko, [0, 20], y0, method=Kv3I)
+    res_dense = solve_ivp(MEDAZKO.rhs, MEDAZKO.t_span, y0, method=Kv3I)
     assert res_sparse.success
     assert res_sparse.njev == res_dense.njev
     assert res_sparse.nlu == res_dense.nlu

@@ -114,18 +114,10 @@ def test_complex(method):
 # DAE: Kaps problem (tests/test_DAE.py)
 # ---------------------------------------------------------------------------
 
-def kaps(t, y):
-    return jnp.stack([-y[0] + y[1] ** 2,
-                      y[0] - y[1] - y[1] ** 2])
+from extensisq_tpu.problems import kaps as _kaps_problem  # noqa: E402
 
-
-def kaps_jac(t, y):
-    return jnp.array([[-1.0, 2 * y[1]], [1.0, -1 - 2 * y[1]]])
-
-
-def kaps_ref(t):
-    t = np.asarray(t)
-    return np.stack([np.exp(-t) ** 2, np.exp(-t)])
+_KAPS = _kaps_problem()
+kaps, kaps_jac, kaps_ref = _KAPS.rhs, _KAPS.jac, _KAPS.solution
 
 
 M_dense = np.array([[0.0, 0.0], [0.0, 1.0]])
@@ -246,25 +238,18 @@ def test_dae_pendulum_index1():
     t0 and constraint preservation along the solve.  Step counts are
     within a few steps of the reference run with an analytic Jacobian
     (2846; autodiff Jacobians differ at round-off)."""
-    g = 9.81
+    from extensisq_tpu.problems import pendulum_dae
 
-    def pend(t, s):
-        x, ya, vx, vy, lam = s
-        return jnp.stack([
-            vx, vy, -lam * x, -lam * ya - g,
-            vx ** 2 + vy ** 2 - lam * (x ** 2 + ya ** 2) - g * ya])
-
-    th = 0.5
-    y0 = [np.sin(th), -np.cos(th), 0.0, 0.0, 0.0]
-    M = np.diag([1.0, 1.0, 1.0, 1.0, 0.0])
+    P = pendulum_dae(theta0=0.5)
     import warnings
     with warnings.catch_warnings():
         warnings.simplefilter("ignore")
-        r = solve_ivp(pend, (0.0, 10.0), y0, method=Kv3I,
-                      rtol=1e-6, atol=1e-8, M=M)
+        r = solve_ivp(P.rhs, P.t_span, P.y0, method=Kv3I,
+                      rtol=1e-6, atol=1e-8, M=P.M)
     assert r.success
     # projected initial lambda: g*cos(th) (v=0 at t0)
-    np.testing.assert_allclose(r.y[4, 0], g * np.cos(th), rtol=1e-6)
+    np.testing.assert_allclose(r.y[4, 0], P.extra["lambda0"],
+                               rtol=1e-6)
     # length constraint preserved to tolerance-level drift
     drift = np.abs(r.y[0] ** 2 + r.y[1] ** 2 - 1.0).max()
     assert drift < 5e-4

@@ -13,17 +13,12 @@ import pytest
 from extensisq_tpu import (solve_ivp, BS5, Ts5, CK5, Me4, Pr7, Pr8, Pr9,
                            CFMR7osc)
 
+from extensisq_tpu.problems import rational as _rational_problem
+
 EXPLICIT = [BS5, Ts5, CK5, Me4, Pr7, Pr8, Pr9, CFMR7osc]
 
-
-def fun_rational(t, y):
-    return jnp.stack([y[1] / t,
-                      y[1] * (y[0] + 2 * y[1] - 1) / (t * (y[0] - 1))])
-
-
-def sol_rational(t):
-    t = np.asarray(t)
-    return np.asarray([t / (t + 10), 10 * t / (t + 10) ** 2])
+_RATIONAL = _rational_problem()
+fun_rational, sol_rational = _RATIONAL.rhs, _RATIONAL.solution
 
 
 def compute_error(y, y_true, rtol, atol):
@@ -325,24 +320,10 @@ def test_pleiades_cfmr7osc_step_parity():
     """Pleiades (7-body, 28 states) with the oscillatory-problem method:
     384 accepted steps / 4083 evals at rtol 1e-9 — identical to the
     reference implementation (endpoint agreement 4e-12)."""
-    masses = jnp.arange(1.0, 8.0)
+    from extensisq_tpu.problems import pleiades
 
-    def accel(q):
-        x, ya = q[:7], q[7:]
-        dx = x[None, :] - x[:, None]
-        dy = ya[None, :] - ya[:, None]
-        r2 = dx * dx + dy * dy + jnp.eye(7)
-        w = masses[None, :] * r2 ** -1.5 * (1.0 - jnp.eye(7))
-        return jnp.concatenate([(w * dx).sum(1), (w * dy).sum(1)])
-
-    def fpl(t, y):
-        return jnp.concatenate([y[14:], accel(y[:14])])
-
-    q0 = np.array([3, 3, -1, -3, 2, -2, 2,
-                   3, -3, 2, 0, 0, -4, 4], dtype=float)
-    v0 = np.array([0, 0, 0, 0, 0, 1.75, -1.5,
-                   0, 0, 0, -1.25, 1, 0, 0], dtype=float)
-    r = solve_ivp(fpl, (0.0, 3.0), np.concatenate([q0, v0]),
+    P = pleiades()
+    r = solve_ivp(P.rhs, P.t_span, P.y0,
                   method=CFMR7osc, rtol=1e-9, atol=1e-12)
     assert r.success
     assert r.t.size - 1 == 384

@@ -5,33 +5,13 @@ The reference uses a sparse finite-difference Jacobian; here the dense
 Jacobian comes from jax.jacfwd (one batched JVP sweep — no sparsity
 bookkeeping needed on TPU)."""
 import numpy as np
-import jax.numpy as jnp
 import pytest
 
 from extensisq_tpu import solve_ivp, TRBDF2, KC3I, Kv3I
+from extensisq_tpu.problems import medazko
 
 N = 200
-
-
-def fun_medazko(t, y):
-    k = 100.0
-    c = 4.0
-    phi = jnp.where(t <= 5.0, 2.0, 0.0)
-    yext = jnp.concatenate([jnp.stack([phi, jnp.asarray(0.0)]), y,
-                            y[-2:-1]])
-    d = 1.0 / N
-    j = np.arange(N) + 1
-    alpha = 2 * (j * d - 1) ** 3 / c ** 2
-    beta = (j * d - 1) ** 4 / c ** 2
-    j_2_p1 = 2 * j + 2
-    j_2_m3 = 2 * j - 2
-    j_2_m1 = 2 * j
-    j_2 = 2 * j + 1
-    u = (alpha * (yext[j_2_p1] - yext[j_2_m3]) / (2 * d)
-         + beta * (yext[j_2_m3] - 2 * yext[j_2_m1] + yext[j_2_p1]) / d ** 2
-         - k * yext[j_2_m1] * yext[j_2])
-    v = -k * yext[j_2] * yext[j_2_m1]
-    return jnp.stack([u, v], axis=1).reshape(-1)
+fun_medazko = medazko(N).rhs
 
 
 @pytest.mark.parametrize("method", [TRBDF2, KC3I, Kv3I],

@@ -194,9 +194,10 @@ def test_device_ode_solution():
 
 
 def test_solve_windowed():
-    """Long-horizon chunked driver: one compile serves all windows,
-    counters accumulate, endpoint agrees with a single-shot solve at
-    tolerance."""
+    """Long-horizon chunked driver: two compiles serve all windows and
+    the warm-started chunked solve is BIT-IDENTICAL to the single-shot
+    solve — same terminal state, same step/eval counters (the windows
+    pause the loop instead of clamping steps at the edges)."""
     from extensisq_tpu import solve_windowed, SWAG
 
     def vdp(t, y):
@@ -208,9 +209,11 @@ def test_solve_windowed():
     single = jax.jit(lambda y: solve(vdp, (0.0, 20.0), y, method=SWAG,
                                      rtol=1e-8, atol=1e-10))(y0)
     assert int(out.status) == 1
-    assert int(out.nsteps) > int(single.nsteps)     # restart overhead
-    np.testing.assert_allclose(np.asarray(out.y), np.asarray(single.y),
-                               rtol=1e-5, atol=1e-7)
+    assert int(out.nsteps) == int(single.nsteps)
+    assert int(out.nfev) == int(single.nfev)
+    assert int(out.nfailed) == int(single.nfailed)
+    np.testing.assert_array_equal(np.asarray(out.y),
+                                  np.asarray(single.y))
     with pytest.raises(ValueError):
         solve_windowed(vdp, (0.0, 1.0), y0, 2, method=SWAG,
                        save_steps=True)
@@ -238,3 +241,27 @@ def test_solve_windowed_backward():
     assert int(out2.status) == 1
     np.testing.assert_allclose(float(out2.y[0]), np.exp(2.0),
                                rtol=1e-8)
+
+
+def test_solve_windowed_ensemble_bitexact():
+    """Warm-started windowing composes with vmap + per-member params:
+    still bit-identical to the unwindowed ensemble solve."""
+    from extensisq_tpu import solve_windowed, solve_ensemble, SWAG
+
+    def vdpp(t, y, mu):
+        return jnp.stack([y[1], mu * (1 - y[0] ** 2) * y[1] - y[0]])
+
+    B = 8
+    Y0 = jnp.stack([jnp.linspace(1.9, 2.1, B), jnp.zeros(B)], axis=1)
+    mus = jnp.linspace(2.0, 6.0, B)
+    out = solve_windowed(vdpp, (0.0, 40.0), Y0, 5, method=SWAG,
+                         ensemble=True, params_batch=mus,
+                         rtol=1e-7, atol=1e-9)
+    ref = solve_ensemble(vdpp, (0.0, 40.0), Y0, params_batch=mus,
+                         method=SWAG, rtol=1e-7, atol=1e-9)
+    assert bool(jnp.all(out.status == 1))
+    np.testing.assert_array_equal(np.asarray(out.y), np.asarray(ref.y))
+    np.testing.assert_array_equal(np.asarray(out.nsteps),
+                                  np.asarray(ref.nsteps))
+    np.testing.assert_array_equal(np.asarray(out.nfev),
+                                  np.asarray(ref.nfev))

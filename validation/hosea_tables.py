@@ -134,10 +134,11 @@ def run():
             for g, rp, ri in zip(got[label], paper[label],
                                  refimp[label]))
         print(f"{label:<21} {line}")
-        # parity criterion vs the reference implementation: the long
-        # stiff horizon (case 4) tolerates round-off tie-break drift
+        # parity criterion vs the reference implementation: EXACT
+        # (round-1 +3/+6 nls drift traced to the error-filter solve
+        # being counted on Newton-failed attempts; fixed in esdirk.py)
         for g, ri in zip(got[label], refimp[label]):
-            if abs(g - ri) > max(5, 0.2 * ri):
+            if g != ri:
                 ok = False
     print("\nper-cell format: ours(delta vs paper | delta vs reference "
           "implementation)")

@@ -52,30 +52,10 @@ def run_to_end(fun, t0, y0, tf, tol, **opts):
 
 
 def combustion_table():
-    L, alpha, delta, R = 0.9, 1.0, 20.0, 5.0
-    D = R * np.exp(delta) / (alpha * delta)
-    N = 40
-    h = 1.0 / (N + 0.5)
-    m = N ** 3
+    from extensisq_tpu.problems import combustion_3d
 
-    def expand(A):
-        # low faces: Neumann (copy), high faces: Dirichlet (= 1)
-        A = jnp.pad(A, 1, constant_values=1.0)
-        A = A.at[0, :, :].set(A[1, :, :])
-        A = A.at[:, 0, :].set(A[:, 1, :])
-        A = A.at[:, :, 0].set(A[:, :, 1])
-        return A
-
-    def fun(t, y):
-        c = expand(y[:m].reshape(N, N, N))
-        T = expand(y[m:].reshape(N, N, N))
-        Dce = D * c[1:-1, 1:-1, 1:-1] * jnp.exp(
-            -delta / T[1:-1, 1:-1, 1:-1])
-        dc = lap(c, h) - Dce
-        dT = (lap(T, h) + alpha * Dce) / L
-        return jnp.concatenate([dc.reshape(-1), dT.reshape(-1)])
-
-    y0 = np.ones(2 * m)
+    P = combustion_3d(40)
+    fun, y0 = P.rhs, P.y0
     print("combustion N=40^3 (128,000 states), t in [0, 0.3]")
     print("computing tol=1e-8 reference solution ...")
     ref, *_ = run_to_end(fun, 0.0, y0, 0.30, 1e-8)
