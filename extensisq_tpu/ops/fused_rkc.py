@@ -34,6 +34,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .fused_erk import _two_sum, _df_add
+from . import ds as D
 
 _RUNNING, _FINISHED, _TOO_SMALL, _OVERFLOW = 0, 1, 2, 3
 
@@ -60,11 +61,12 @@ def solve_fused_rkc(fun, t_span, y0, rho, rtol=1e-4, atol=1e-6,
     Returns (y_final, status, nsteps, nfev) with the fused-ERK status
     convention.
 
-    The default stage cap is the RKC internal-stability bound at f32
-    round-off, sqrt(rtol / 10u) (sommeijer.py:134-135) — much lower
-    than in f64, so the solver takes more, cheaper steps.  ``m_max``
-    overrides it; on diffusion-dominated problems a larger cap is
-    often fine (the bound is worst-case) and cuts the step count.
+    The Chebyshev stage recurrence runs in double-single (hi, lo)
+    arithmetic (ops/ds.py), so the internal-stability round-off bound
+    sqrt(rtol / 10u) (sommeijer.py:134-135) applies with u ~ eps32^2:
+    the stage cap matches the f64 path's (hard-capped at 200) instead
+    of the bare-f32 mmax~9 at rtol 1e-4 that cost ~4x the steps in
+    round 1.  ``m_max`` overrides the cap.
     """
     y0 = jnp.asarray(y0, jnp.float32)
     shape = y0.shape
@@ -80,8 +82,15 @@ def solve_fused_rkc(fun, t_span, y0, rho, rtol=1e-4, atol=1e-6,
 
     eps32 = float(np.finfo(np.float32).eps)
     sqrtmin = float(np.sqrt(np.finfo(np.float32).tiny))
-    uround = eps32
+    # the stage recurrence runs in double-single (hi, lo) arithmetic:
+    # per-stage round-off injected into the Chebyshev recurrence (the
+    # quantity internal stability amplifies ~m^2, sommeijer.py:134-135)
+    # is ~eps32^2 instead of eps32, so the f64-grade stage cap applies.
+    # A hard cap of 200 bounds kernel time and the (damped) f32
+    # RHS-evaluation noise.
+    uround = eps32 * eps32
     mmax = int(max(np.round(np.sqrt(rtol / (10.0 * uround))), 2.0))
+    mmax = min(mmax, 200)
     mmax = int(m_max) if m_max is not None else mmax
     rho_const = None if callable(rho) else float(rho)
 
@@ -135,47 +144,76 @@ def solve_fused_rkc(fun, t_span, y0, rho, rtol=1e-4, atol=1e-6,
         def cond(st):
             return st.status == _RUNNING
 
-        def stages(t, y, f, h, m):
-            """Chebyshev three-term recurrence (sommeijer.py:273-329)."""
+        def stages(t, Y, f, h, m):
+            """Chebyshev three-term recurrence (sommeijer.py:273-329)
+            in double-single arithmetic.
+
+            The homogeneous part of the recurrence (mu, nu, 1-mu-nu and
+            the stage carries) runs in DS: round-off injected there is
+            what internal stability amplifies ~m^2.  The f-terms and
+            the w1/mus/th chain stay f32 — they are damped (f enters
+            with O(1/m^2) coefficients; w1 errors act as a relative
+            h perturbation, not per-stage noise).  ``Y`` is the DS
+            step-start state; returns the DS final stage.
+            """
             mf = m.astype(jnp.float32)
-            w0 = 1.0 + 2.0 / (13.0 * mf * mf)
-            temp1 = w0 * w0 - 1.0
+            # w0 = 1 + 2/(13 m^2) in DS (13 m^2 is exact in f32)
+            w0 = D.ds_add_f(D.ds_div(D.ds(jnp.float32(2.0)),
+                                     D.ds(13.0 * mf * mf)),
+                            jnp.float32(1.0))
+            two_w0 = D.ds_mul_f(w0, jnp.float32(2.0))
+            w0c = D.ds_collapse(w0)
+            temp1 = w0c * w0c - 1.0
             temp2 = jnp.sqrt(temp1)
-            arg = mf * jnp.log(w0 + temp2)
+            arg = mf * jnp.log(w0c + temp2)
             # Mosaic has no sinh/cosh primitives; arg is bounded
             # (~0.55 for all m), so the exp form is safe
             ea = jnp.exp(arg)
             ei = 1.0 / ea
             sinh_a = 0.5 * (ea - ei)
             cosh_a = 0.5 * (ea + ei)
-            w1 = sinh_a * temp1 / (cosh_a * mf * temp2 - w0 * sinh_a)
-            bj0 = 1.0 / (2.0 * w0) ** 2
-            mus0 = w1 * bj0
+            w1 = sinh_a * temp1 / (cosh_a * mf * temp2 - w0c * sinh_a)
+            bj0 = D.ds_div(D.ds(jnp.float32(1.0)),
+                           D.ds_mul(two_w0, two_w0))
+            mus0 = w1 * D.ds_collapse(bj0)
 
             def body(j, c):
                 (yjm2, yjm1, thjm2, thjm1, zjm2, zjm1, dzjm2, dzjm1,
                  d2zjm2, d2zjm1, bjm2, bjm1) = c
-                zj = 2.0 * w0 * zjm1 - zjm2
-                dzj = 2.0 * w0 * dzjm1 - dzjm2 + 2.0 * zjm1
-                d2zj = 2.0 * w0 * d2zjm1 - d2zjm2 + 4.0 * dzjm1
-                bj = d2zj / (dzj * dzj)
-                ajm1 = 1.0 - zjm1 * bjm1
-                mu = 2.0 * w0 * bj / bjm1
-                nu = -bj / bjm2
-                mus = mu * w1 / w0
+                zj = D.ds_add(D.ds_mul(two_w0, zjm1), D.ds_neg(zjm2))
+                dzj = D.ds_add(
+                    D.ds_add(D.ds_mul(two_w0, dzjm1), D.ds_neg(dzjm2)),
+                    D.ds_mul_f(zjm1, jnp.float32(2.0)))
+                d2zj = D.ds_add(
+                    D.ds_add(D.ds_mul(two_w0, d2zjm1),
+                             D.ds_neg(d2zjm2)),
+                    D.ds_mul_f(dzjm1, jnp.float32(4.0)))
+                bj = D.ds_div(d2zj, D.ds_mul(dzj, dzj))
+                ajm1 = D.ds_add_f(D.ds_neg(D.ds_mul(zjm1, bjm1)),
+                                  jnp.float32(1.0))
+                mu = D.ds_div(D.ds_mul(two_w0, bj), bjm1)
+                nu = D.ds_neg(D.ds_div(bj, bjm2))
+                cc1 = D.ds_add_f(D.ds_neg(D.ds_add(mu, nu)),
+                                 jnp.float32(1.0))
+                muc = D.ds_collapse(mu)
+                nuc = D.ds_collapse(nu)
+                ajc = D.ds_collapse(ajm1)
+                mus = muc * w1 / w0c
 
-                fj = fun(t + h * thjm1, yjm1)
-                yj = (mu * yjm1 + nu * yjm2 + (1.0 - mu - nu) * y
-                      + h * mus * (fj - ajm1 * f))
-                thj = mu * thjm1 + nu * thjm2 + mus * (1.0 - ajm1)
+                fj = fun(t + h * thjm1, D.ds_collapse(yjm1))
+                yj = D.ds_add(D.ds_add(D.ds_mul(mu, yjm1),
+                                       D.ds_mul(nu, yjm2)),
+                              D.ds_mul(cc1, Y))
+                yj = D.ds_add_f(yj, h * mus * (fj - ajc * f))
+                thj = muc * thjm1 + nuc * thjm2 + mus * (1.0 - ajc)
                 return (yjm1, yj, thjm1, thj, zjm1, zj, dzjm1, dzj,
                         d2zjm1, d2zj, bjm1, bj)
 
-            c0 = (y, y + h * mus0 * f,
+            c0 = (Y, D.ds_add_f(Y, h * mus0 * f),
                   jnp.float32(0.0), mus0,
-                  jnp.float32(1.0), w0,
-                  jnp.float32(0.0), jnp.float32(1.0),
-                  jnp.float32(0.0), jnp.float32(0.0),
+                  D.ds(jnp.float32(1.0)), w0,
+                  D.ds(jnp.float32(0.0)), D.ds(jnp.float32(1.0)),
+                  D.ds(jnp.float32(0.0)), D.ds(jnp.float32(0.0)),
                   bj0, bj0)
             c = jax.lax.fori_loop(2, m + 1, body, c0)
             return c[1]
@@ -201,14 +239,17 @@ def solve_fused_rkc(fun, t_span, y0, rho, rtol=1e-4, atol=1e-6,
                 jnp.float32(sqrtmin),
                 13.3 * uround * (jnp.abs(t) + absh) * (mf * mf - 1.0))
 
-            y_arg = y + st.y_lo
-            yk = stages(t, y_arg, f, h, m)
+            Y = (y, st.y_lo)
+            YK = stages(t, Y, f, h, m)
+            yk = D.ds_collapse(YK)
             f_new = fun(t + h, yk)
             nfev = nfev + (m - 1) + 1
 
             wt = atol_s + rtol_s * jnp.maximum(jnp.abs(y),
                                                jnp.abs(yk))
-            est = 0.8 * (y_arg - yk) + 0.4 * h * (f + f_new)
+            # y - yk in DS: the difference is O(tol), cancellation-safe
+            dy = D.ds_add(Y, D.ds_neg(YK))
+            est = 0.8 * D.ds_collapse(dy) + 0.4 * h * (f + f_new)
             err = jnp.sqrt(jnp.mean((est / wt) ** 2))
             bad = ~jnp.isfinite(err)
             err = jnp.where(bad, jnp.float32(10.0), err)
@@ -240,11 +281,9 @@ def solve_fused_rkc(fun, t_span, y0, rho, rtol=1e-4, atol=1e-6,
             t_new = jnp.where(is_last, tfs, t_adv)
             t_lo_new = jnp.where(is_last, 0.0, t_lo_adv)
 
-            # double-single solution carry: yk was computed from
-            # y + y_lo, so fold the increment in at full carry precision
-            inc = yk - y
-            y_hi, y_lo1 = _df_add(y, st.y_lo, inc)
-            y_hi, y_lo_new = _two_sum(y_hi, y_lo1)
+            # the stage recurrence already produced the DS solution;
+            # renormalize the pair for the carry
+            y_hi, y_lo_new = _two_sum(YK[0], YK[1])
 
             status = jnp.where(
                 bad, _OVERFLOW,
