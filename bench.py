@@ -118,6 +118,58 @@ def fused_side():
     return dt_f32, dt_comp
 
 
+def fused_esdirk_side():
+    """Implicit fused kernel: pendulum-DAE ensemble ms/step (round-1's
+    dispatch-bound config 4b ran at 2.7 ms/step on the XLA path)."""
+    import warnings
+    import jax
+    import jax.numpy as jnp
+    from extensisq_tpu.ops.fused_esdirk import solve_fused_esdirk
+    from extensisq_tpu import Kv3I
+    from extensisq_tpu.steppers import build_stepper
+    from extensisq_tpu.types import IVPParams
+
+    g = 9.81
+
+    def pend(t, s):
+        x, ya, vx, vy, lam = s[0], s[1], s[2], s[3], s[4]
+        return jnp.stack([
+            vx, vy, -lam * x, -lam * ya - g,
+            vx ** 2 + vy ** 2 - lam * (x ** 2 + ya ** 2) - g * ya])
+
+    B = 4096
+    ths = np.linspace(0.2, 1.2, B)
+    Y0 = np.stack([np.sin(ths), -np.cos(ths), np.zeros(B),
+                   np.zeros(B), np.zeros(B)], axis=1)
+    M = np.array([1.0, 1.0, 1.0, 1.0, 0.0])
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        stepper = build_stepper(Kv3I, pend, 5, np.float64,
+                                M=np.diag(M))
+    params = IVPParams(t_bound=jnp.asarray(10.0),
+                       direction=jnp.asarray(1.0),
+                       rtol=jnp.asarray(1e-4), atol=jnp.asarray(1e-6),
+                       max_step=jnp.asarray(np.inf))
+    states = jax.vmap(lambda y: stepper.init(0.0, y, params))(
+        jnp.asarray(Y0))
+    Y0f = np.asarray(states.y).astype(np.float32)
+    YP0 = np.asarray(states.yp).astype(np.float32)
+    run = jax.jit(lambda Y, YP: solve_fused_esdirk(
+        pend, (0.0, 10.0), Y, method=Kv3I, M=M, yp0_batch=YP,
+        rtol=1e-4, atol=1e-6, block_members=1024))
+    for _ in range(2):
+        out = run(Y0f, YP0)
+        np.asarray(out[0])
+    t0 = time.perf_counter()
+    reps = 3
+    for _ in range(reps):
+        out = run(Y0f, YP0)
+        np.asarray(out[0])
+    dt = (time.perf_counter() - t0) / reps
+    assert bool(np.all(np.asarray(out[1]) == 1))
+    return dt / int(np.asarray(out[2]).max())
+
+
 def main():
     tpu_dt, total_steps, total_fev, yf = tpu_side()
     scipy_dt, max_err = scipy_side(yf)
@@ -125,6 +177,10 @@ def main():
         fused_dt, fused_comp_dt = fused_side()
     except Exception:
         fused_dt = fused_comp_dt = None
+    try:
+        esdirk_ms_per_step = fused_esdirk_side() * 1e3
+    except Exception:
+        esdirk_ms_per_step = None
     speedup = scipy_dt / tpu_dt
     print(json.dumps({
         "metric": "vdp4096_ensemble_speedup_vs_scipy_1core",
@@ -143,6 +199,9 @@ def main():
                 round(fused_dt, 6) if fused_dt else None,
             "fused_pallas_compensated_official_tol_wall_s":
                 round(fused_comp_dt, 6) if fused_comp_dt else None,
+            "fused_esdirk_pendulum_dae_ms_per_step":
+                round(esdirk_ms_per_step, 4)
+                if esdirk_ms_per_step else None,
         },
     }))
 

@@ -80,6 +80,39 @@ def heat_1d_rhs_shardmap(mesh, axis="space", kappa=1.0, n=None, dx=None):
     return rhs
 
 
+def heat_3d_rhs_shardmap(mesh, shape, axis="space", kappa=1.0, dx=None):
+    """Periodic 3-D heat RHS, z-slabs sharded, explicit slab halos.
+
+    The 3-D instantiation of the same pattern: shard the leading grid
+    axis, keep the other two local, one :func:`halo_exchange` per eval.
+    Arithmetic twin of ``pde.heat_3d_rhs`` (bit-identical).  Requires
+    ``nz % mesh.shape[axis] == 0``.
+    """
+    nz, ny, nx = shape
+    if dx is None:
+        dx = 1.0 / nx
+    k = mesh.shape[axis]
+    if nz % k != 0:
+        raise ValueError(f"nz={nz} not divisible by mesh axis size {k}")
+
+    def local(y):
+        u = y.reshape(-1, ny, nx)
+        um = halo_exchange(u, axis, k)
+        lap = (um[:-2] + um[2:]
+               + jnp.roll(u, 1, 1) + jnp.roll(u, -1, 1)
+               + jnp.roll(u, 1, 2) + jnp.roll(u, -1, 2)
+               - 6.0 * u) / dx ** 2
+        return (kappa * lap).reshape(-1)
+
+    inner = shard_map(local, mesh=mesh, in_specs=P(axis),
+                      out_specs=P(axis))
+
+    def rhs(t, y):
+        return inner(y)
+
+    return rhs
+
+
 def brusselator_2d_rhs_shardmap(mesh, shape, axis="space", A=1.0, B=3.0,
                                 alpha=0.02, dx=None):
     """2-D Brusselator RHS, grid rows sharded, explicit row halos.

@@ -83,6 +83,26 @@ def brusselator_2d_rhs(shape, A=1.0, B=3.0, alpha=0.02, dx=None):
     return rhs
 
 
+def heat_3d_rhs(shape, kappa=1.0, dx=None):
+    """du/dt = kappa lap(u), periodic 3-D grid, flat state (the
+    RKC-paper problems' N=40^3 scale; BCs differ there — see
+    problems.combustion_3d for the exact flagship formulation).
+    Arithmetic ordering matches halo.heat_3d_rhs_shardmap exactly."""
+    nz, ny, nx = shape
+    if dx is None:
+        dx = 1.0 / nx
+
+    def rhs(t, y):
+        u = y.reshape(nz, ny, nx)
+        lap = (jnp.roll(u, 1, 0) + jnp.roll(u, -1, 0)
+               + jnp.roll(u, 1, 1) + jnp.roll(u, -1, 1)
+               + jnp.roll(u, 1, 2) + jnp.roll(u, -1, 2)
+               - 6.0 * u) / dx ** 2
+        return (kappa * lap).reshape(-1)
+
+    return rhs
+
+
 def brusselator_2d_rhs_interleaved(shape, A=1.0, B=3.0, alpha=0.02,
                                    dx=None):
     """2-D Brusselator with the interleaved flat layout ``(ny, nx, 2)``.

@@ -178,3 +178,29 @@ def test_shardmap_halo_matches_gspmd():
     assert int(out_h.nfev) == int(out_a.nfev)
     np.testing.assert_array_equal(np.asarray(out_h.y),
                                   np.asarray(out_a.y))
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_shardmap_3d_halo_matches_gspmd():
+    """3-D slab halos (ppermute) through a full SSV2stab solve are
+    bit-identical to the jnp.roll/GSPMD twin."""
+    from extensisq_tpu.parallel.pde import heat_3d_rhs
+    from extensisq_tpu.parallel.halo import heat_3d_rhs_shardmap
+
+    shape = (16, 8, 8)
+    mesh = make_mesh(("space",))
+    rhs_auto = heat_3d_rhs(shape, kappa=1e-3)
+    rhs_halo = heat_3d_rhs_shardmap(mesh, shape, kappa=1e-3)
+    nz, ny, nx = shape
+    z = np.linspace(0, 1, nz, endpoint=False)
+    y0 = np.tile(np.sin(2 * np.pi * z)[:, None, None],
+                 (1, ny, nx)).reshape(-1) + 1.0
+    y0s = shard_state(jnp.asarray(y0), mesh, P("space"))
+    run = lambda rhs: jax.jit(lambda y: solve(          # noqa: E731
+        rhs, (0.0, 1.0), y, method=SSV2stab, rtol=1e-5,
+        atol=1e-8))(y0s)
+    out_a, out_h = run(rhs_auto), run(rhs_halo)
+    assert int(out_h.status) == 1
+    assert int(out_h.nfev) == int(out_a.nfev)
+    np.testing.assert_array_equal(np.asarray(out_h.y),
+                                  np.asarray(out_a.y))

@@ -231,6 +231,45 @@ def config4():
           f"({int(out.nsteps.max())} steps max, "
           f"|len drift| {float(drift):.1e})")
 
+    # 4c: the fused Pallas implicit kernel on the same DAE ensemble
+    # (f32 fast path at rtol 1e-4): whole per-stage-Newton integration
+    # in ONE kernel; round-1's dispatch-bound 2.7 ms/step becomes
+    # ~0.06 ms/step on v5e
+    from extensisq_tpu.ops.fused_esdirk import solve_fused_esdirk
+    from extensisq_tpu.steppers import build_stepper
+    from extensisq_tpu.types import IVPParams
+
+    def pend_rows(t, s):
+        x, ya, vx, vy, lam = s[0], s[1], s[2], s[3], s[4]
+        return jnp.stack([
+            vx, vy, -lam * x, -lam * ya - gg,
+            vx ** 2 + vy ** 2 - lam * (x ** 2 + ya ** 2) - gg * ya])
+
+    import warnings as _w
+    with _w.catch_warnings():
+        _w.simplefilter("ignore")
+        stepper = build_stepper(Kv3I, pend_rows, 5, np.float64,
+                                M=np.asarray(Md))
+    pinit = IVPParams(t_bound=jnp.asarray(10.0),
+                      direction=jnp.asarray(1.0),
+                      rtol=jnp.asarray(1e-4), atol=jnp.asarray(1e-6),
+                      max_step=jnp.asarray(np.inf))
+    sts = jax.vmap(lambda y: stepper.init(0.0, y, pinit))(Y0d)
+    Y0f = np.asarray(sts.y).astype(np.float32)
+    YP0f = np.asarray(sts.yp).astype(np.float32)
+    runf = jax.jit(lambda Y, YP: solve_fused_esdirk(
+        pend_rows, (0.0, 10.0), Y, method=Kv3I,
+        M=np.diag(np.asarray(Md)), yp0_batch=YP, rtol=1e-4,
+        atol=1e-6, block_members=256))
+    dtf, outf = time_tpu(runf, Y0f, YP0f, reps=3)
+    stf = np.asarray(outf[1])
+    nsf = np.asarray(outf[2])
+    assert np.all(stf == 1)
+    print(f"4c pendulum DAE fused x{Bd} (rtol 1e-4): "
+          f"tpu {dtf*1e3:7.1f} ms "
+          f"({dtf / max(int(nsf.max()), 1) * 1e3:.3f} ms/step, "
+          f"{int(nsf.max())} steps max)")
+
 
 def config5():
     """2-D Brusselator: one 131k-state system + a 10k-member ensemble
