@@ -19,7 +19,12 @@ def norm(x):
     x = jnp.asarray(x)
     if x.size == 0:
         return jnp.asarray(0.0)
-    return jnp.sqrt(jnp.real(jnp.vdot(x, x)) / x.size)
+    # multiply+reduce rather than jnp.vdot: identical arithmetic, but
+    # a dot_general cannot lower through Mosaic inside the fused
+    # Pallas kernels (ops/fused_adams.py traces this very function)
+    if jnp.iscomplexobj(x):
+        return jnp.sqrt(jnp.sum(jnp.real(x * jnp.conj(x))) / x.size)
+    return jnp.sqrt(jnp.sum(x * x) / x.size)
 
 
 def calculate_scale(atol, rtol, y, y_new, _mean=False):

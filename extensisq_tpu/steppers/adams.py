@@ -30,6 +30,91 @@ _GSTR = np.array([0.5, 0.0833, 0.0417, 0.0264, 0.0188, 0.0143, 0.0114,
                   0.00936, 0.00789, 0.00679, 0.00592, 0.00524, 0.00468])
 
 
+def _mask2(mask, n):
+    """(rows,) bool mask -> (rows, n) bool via int32.
+
+    A direct ``mask[:, None]`` broadcast expands an i1 vector over a
+    minor dim, which Mosaic cannot lower ("insertion of minor dim that
+    is not a no-op only supported for 32-bit types"); the i32 detour is
+    value-identical and Mosaic-safe, so the stepper traces inside the
+    fused kernel (ops/fused_adams.py)."""
+    return (mask.astype(jnp.int32)[:, None]
+            + jnp.zeros((1, n), jnp.int32)) != 0
+
+
+def _where(c, a, b):
+    """Mosaic-safe ``jnp.where``.
+
+    Under the fused kernel's double vmap, a where whose condition has
+    fewer dims than its operands (e.g. a per-member scalar flag
+    selecting (k_max,) coefficient vectors) broadcasts an i1 array —
+    which Mosaic cannot lower.  Expand the condition through int32 to
+    the full output shape first; route bool-valued selects through
+    boolean algebra (no i1 selects either).  Value-identical to
+    jnp.where everywhere."""
+    a_arr = jnp.asarray(a)
+    b_arr = jnp.asarray(b)
+    shp = jnp.broadcast_shapes(jnp.shape(c), a_arr.shape, b_arr.shape)
+    if jnp.shape(c) != shp:
+        c = (jnp.asarray(c).astype(jnp.int32)
+             + jnp.zeros(shp, jnp.int32)) != 0
+    if a_arr.dtype == jnp.bool_ or b_arr.dtype == jnp.bool_:
+        return _bwhere(c, a_arr, b_arr)
+    return jnp.where(c, a, b)
+
+
+def _band(*ms):
+    """Elementwise AND of bool masks with MIXED shapes, Mosaic-safe:
+    broadcasting happens in int32 (Mosaic cannot broadcast i1)."""
+    shp = jnp.broadcast_shapes(*[jnp.shape(m) for m in ms])
+    acc = None
+    for m in ms:
+        mi = jnp.asarray(m).astype(jnp.int32)
+        acc = mi if acc is None else acc * mi
+    return (acc + jnp.zeros(shp, jnp.int32)) != 0
+
+
+def _bwhere(c, a, b):
+    """``jnp.where`` for BOOL operands as pure boolean algebra.
+
+    Mosaic cannot lower selects on i1 vectors; (c & a) | (~c & b) is
+    value-identical and made of plain mask ops, so the stepper traces
+    inside the fused kernel (ops/fused_adams.py)."""
+    a = jnp.asarray(a, bool)
+    b = jnp.asarray(b, bool)
+    return (c & a) | (~c & b)
+
+
+def _cumprod(x):
+    """Sequential cumulative product along the leading axis, unrolled.
+
+    The leading axis is the tiny static k_max bound; unrolling gives a
+    deterministic sequential evaluation order (jnp.cumprod may lower to
+    a log-step scan) and — critically — lowers to plain multiplies and
+    static slices that Pallas/Mosaic accepts, so the same stepper code
+    traces inside the fused kernel (ops/fused_adams.py).  jnp.split is
+    used instead of row indexing: under the kernel's double vmap the
+    arrays are 4-D and Mosaic only lowers 2-D gathers."""
+    parts = jnp.split(x, x.shape[0], axis=0)       # (1, ...) slices
+    rows = [parts[0]]
+    for i in range(1, len(parts)):
+        rows.append(rows[-1] * parts[i])
+    return jnp.concatenate(rows, axis=0)
+
+
+def _cumsum_rev(x):
+    """Reverse cumulative sum along the leading axis, unrolled
+    (jnp.cumsum(x[::-1], 0)[::-1] with sequential order)."""
+    parts = jnp.split(x, x.shape[0], axis=0)
+    rows = [None] * len(parts)
+    acc = parts[-1]
+    rows[-1] = acc
+    for i in range(len(parts) - 2, -1, -1):
+        acc = acc + parts[i]
+        rows[i] = acc
+    return jnp.concatenate(rows, axis=0)
+
+
 def _take(arr, i):
     """``arr[i]`` for a traced scalar index as a one-hot masked sum.
 
@@ -40,16 +125,25 @@ def _take(arr, i):
     """
     idx = jnp.arange(arr.shape[0])
     if arr.ndim == 1:
-        return jnp.sum(jnp.where(idx == i, arr, 0))
-    return jnp.sum(jnp.where((idx == i)[:, None], arr, 0), axis=0)
+        # anchor the mask on arr's VALUES so a STATIC index still
+        # yields a batched i32-expanded mask under vmap (zeros_like is
+        # constant-folded by the batching rule; x.astype(i32)*0 is not,
+        # and saturating float->int conversion makes inf/nan safe)
+        m = ((idx == i).astype(jnp.int32)
+             + arr.astype(jnp.int32) * 0) != 0
+        return jnp.sum(jnp.where(m, arr, 0))
+    return jnp.sum(jnp.where(_mask2(idx == i, arr.shape[1]), arr, 0),
+                   axis=0)
 
 
 def _put(arr, i, val):
     """``arr.at[i].set(val)`` for a traced scalar index as a where."""
     idx = jnp.arange(arr.shape[0])
     if arr.ndim == 1:
-        return jnp.where(idx == i, val, arr)
-    return jnp.where((idx == i)[:, None], val, arr)
+        m = ((idx == i).astype(jnp.int32)
+             + arr.astype(jnp.int32) * 0) != 0
+        return jnp.where(m, val, arr)
+    return jnp.where(_mask2(idx == i, arr.shape[1]), val, arr)
 
 
 class AdamsState(NamedTuple):
@@ -208,41 +302,41 @@ class AdamsStepper:
         # psi[nsm1] = h*ns ; psi[i] = h + psi_old[i-1] for i in [ns, k)
         psi_shift = jnp.concatenate([jnp.zeros(1, psi_old.dtype),
                                      psi_old[:-1]])
-        psi = jnp.where(idx == nsm1, h * ns,
-                        jnp.where((idx >= ns) & (idx < k),
+        psi = _where(idx == nsm1, h * ns,
+                        _where((idx >= ns) & (idx < k),
                                   h + psi_shift, psi_old))
-        psi = jnp.where(recompute, psi, psi_old)
+        psi = _where(recompute, psi, psi_old)
 
-        alpha = jnp.where(idx == nsm1, 1.0 / ns,
-                          jnp.where((idx >= ns) & (idx < k),
-                                    h / jnp.where(psi == 0, 1.0, psi),
+        alpha = _where(idx == nsm1, 1.0 / ns,
+                          _where((idx >= ns) & (idx < k),
+                                    h / _where(psi == 0, 1.0, psi),
                                     c.alpha))
-        alpha = jnp.where(recompute, alpha, c.alpha)
+        alpha = _where(recompute, alpha, c.alpha)
 
         # beta[i] = prod_{j=ns..i} psi[j-1]/psi_old[j-1]
-        ratio = jnp.where((idx >= ns) & (idx < k),
+        ratio = _where((idx >= ns) & (idx < k),
                           psi_shift * 0.0
                           + jnp.concatenate([jnp.ones(1, psi.dtype),
                                              psi[:-1]])
-                          / jnp.where(psi_shift == 0, 1.0, psi_shift),
+                          / _where(psi_shift == 0, 1.0, psi_shift),
                           1.0)
-        beta = jnp.where(idx == nsm1, 1.0,
-                         jnp.where((idx >= ns) & (idx < k),
-                                   jnp.cumprod(ratio), c.beta))
-        beta = jnp.where(recompute, beta, c.beta)
+        beta = _where(idx == nsm1, 1.0,
+                         _where((idx >= ns) & (idx < k),
+                                   _cumprod(ratio), c.beta))
+        beta = _where(recompute, beta, c.beta)
 
         # sig[j+1] = sig[nsm1-ish base] * prod_{i=nsm1..j} (i+1)*alpha[i]
-        factor = jnp.where((idx >= nsm1) & (idx < k),
+        factor = _where((idx >= nsm1) & (idx < k),
                            jnp.asarray(self.iq[:km]) * alpha, 1.0)
-        cp = jnp.cumprod(factor)
+        cp = _cumprod(factor)
         s_base = _take(c.sig, jnp.clip(nsm1, 0, km))
-        s_base = jnp.where(nsm1 == 0, 1.0, s_base)
+        s_base = _where(nsm1 == 0, 1.0, s_base)
         sig_tail = s_base * cp                      # value for index j+1
         midx = jnp.arange(km + 1)
         # sig_tail[clip(midx-1)] for midx = 0..km is the static
         # shift [sig_tail[0], sig_tail[0:km]]
         sig_tail_sh = jnp.concatenate([sig_tail[:1], sig_tail[:km]])
-        sig = jnp.where((midx >= ns) & (midx <= k) & recompute,
+        sig = _where(_band(midx >= ns, midx <= k, recompute),
                         sig_tail_sh, c.sig)
 
         # ---- v, w, g ----
@@ -254,29 +348,29 @@ class AdamsStepper:
         first_ns = ns == 1
 
         # ns == 1 branch (shampine.py:275-280)
-        v1 = jnp.where(idx < k, iqq, v)
+        v1 = _where(idx < k, iqq, v)
         w1 = v1
         ivc1 = jnp.asarray(0, jnp.int32)
-        kgi1 = jnp.where(k != 1, 1, 0).astype(jnp.int32)
-        gi1 = jnp.where((jnp.arange(km - 1) == 0) & (k != 1), w1[1], gi)
+        kgi1 = _where(k != 1, 1, 0).astype(jnp.int32)
+        gi1 = _where(_band(jnp.arange(km - 1) == 0, k != 1), w1[1], gi)
 
         # ns > 1 branch (shampine.py:282-309)
         raised = k > c.kprev
         use_iv = raised & (ivc != 0)
-        ivc2 = jnp.where(raised, jnp.where(use_iv, ivc - 1, ivc), ivc)
-        jv = jnp.where(use_iv,
+        ivc2 = _where(raised, _where(use_iv, ivc - 1, ivc), ivc)
+        jv = _where(use_iv,
                        kp1 - _take(iv, jnp.clip(ivc - 1, 0,
                                                 iv.shape[0] - 1)),
                        1).astype(jnp.int32)
         # fresh diagonal entry when the order was raised without a
         # stored iv pointer
         fresh = raised & (ivc == 0)
-        v2 = jnp.where(fresh & (idx == km1),
+        v2 = _where(_band(fresh, idx == km1),
                        _take(iqq, jnp.clip(km1, 0, km - 1)), v)
-        w2 = jnp.where(fresh & (idx == km1),
+        w2 = _where(_band(fresh, idx == km1),
                        _take(v2, jnp.clip(km1, 0, km - 1)), w)
-        kgi2 = jnp.where(fresh & (k == 2), 1, kgi).astype(jnp.int32)
-        gi2 = jnp.where((jnp.arange(km - 1) == 0) & fresh & (k == 2),
+        kgi2 = _where(fresh & (k == 2), 1, kgi).astype(jnp.int32)
+        gi2 = _where(_band(jnp.arange(km - 1) == 0, fresh, k == 2),
                         w2[1], gi)
 
         # sequential diagonal update: j = jv .. nsm1-1 (shampine.py:295-299)
@@ -288,61 +382,65 @@ class AdamsStepper:
             v2_i = _take(v2, i)
             newval = v2_i - alpha[min(j, km - 1)] \
                 * _take(v2, jnp.clip(i + 1, 0, km - 1))
-            v2 = _put(v2, i, jnp.where(active, newval, v2_i))
-        w2 = jnp.where(raised
-                       & (idx >= jnp.maximum(km1 - nsm1 + 1, 0))
-                       & (idx <= km1 - jv), v2, w2)
+            v2 = _put(v2, i, _where(active, newval, v2_i))
+        w2 = _where(_band(raised,
+                          idx >= jnp.maximum(km1 - nsm1 + 1, 0),
+                          idx <= km1 - jv), v2, w2)
         cond_kgi = raised & (k == ns) & (jv < nsm1)
-        kgi2 = jnp.where(cond_kgi, nsm1, kgi2).astype(jnp.int32)
-        gi2 = jnp.where((jnp.arange(km - 1) == jnp.clip(nsm1 - 1, 0,
-                                                        km - 2))
-                        & cond_kgi, v2[1], gi2)
+        kgi2 = _where(cond_kgi, nsm1, kgi2).astype(jnp.int32)
+        gi2 = _where(_band(jnp.arange(km - 1)
+                           == jnp.clip(nsm1 - 1, 0, km - 2),
+                           cond_kgi), v2[1], gi2)
 
         # main v update and w copy (shampine.py:301-309)
         limit1 = kp1 - ns
         v_shift = jnp.concatenate([v2[1:], jnp.zeros(1, v2.dtype)])
-        v2 = jnp.where(idx < limit1,
+        v2 = _where(idx < limit1,
                        v2 - _take(alpha, jnp.clip(nsm1, 0, km - 1))
                        * v_shift, v2)
-        w2 = jnp.where(idx < limit1 + 1, v2, w2)
+        w2 = _where(idx < limit1 + 1, v2, w2)
         g2 = _put(g, jnp.clip(ns, 0, km), v2[0])
-        kgi2 = jnp.where(limit1 != 1, ns, kgi2).astype(jnp.int32)
-        gi2 = jnp.where((jnp.arange(km - 1)
-                         == jnp.clip(nsm1, 0, km - 2)) & (limit1 != 1),
+        kgi2 = _where(limit1 != 1, ns, kgi2).astype(jnp.int32)
+        gi2 = _where(_band(jnp.arange(km - 1)
+                           == jnp.clip(nsm1, 0, km - 2), limit1 != 1),
                         v2[1], gi2)
         lower = k < kold
-        iv2 = jnp.where((jnp.arange(iv.shape[0])
-                         == jnp.clip(ivc2, 0, iv.shape[0] - 1)) & lower,
+        iv2 = _where(_band(jnp.arange(iv.shape[0])
+                           == jnp.clip(ivc2, 0, iv.shape[0] - 1),
+                           lower),
                         (limit1 + 2).astype(jnp.int32), iv)
-        ivc3 = jnp.where(lower, ivc2 + 1, ivc2).astype(jnp.int32)
+        ivc3 = _where(lower, ivc2 + 1, ivc2).astype(jnp.int32)
 
         # select ns==1 vs ns>1 results
-        v = jnp.where(first_ns, v1, v2)
-        w = jnp.where(first_ns, w1, w2)
-        gi = jnp.where(first_ns, gi1, gi2)
-        iv = jnp.where(first_ns, iv, iv2)
-        ivc = jnp.where(first_ns, ivc1, ivc3)
-        kgi = jnp.where(first_ns, kgi1, kgi2)
-        g = jnp.where(first_ns, g, g2)
+        v = _where(first_ns, v1, v2)
+        w = _where(first_ns, w1, w2)
+        gi = _where(first_ns, gi1, gi2)
+        iv = _where(first_ns, iv, iv2)
+        ivc = _where(first_ns, ivc1, ivc3)
+        kgi = _where(first_ns, kgi1, kgi2)
+        g = _where(first_ns, g, g2)
 
         # compute the g coefficients in w (shampine.py:311-316)
         for i in range(km):
             active = (i >= ns) & (i < k)
             limit2 = k - i
             w_shift = jnp.concatenate([w[1:], jnp.zeros(1, w.dtype)])
-            w = jnp.where((idx < limit2) & active,
+            w = _where(_band(idx < limit2, active),
                           w - alpha[min(i, km - 1)] * w_shift, w)
-            g = g.at[min(i + 1, km)].set(
-                jnp.where(active, w[0], g[min(i + 1, km)]))
+            # where-based static write: .at[].set lowers to a scatter
+            # primitive, which Pallas TPU cannot lower (fused_adams
+            # traces this function); arithmetic-identical
+            g = _put(g, min(i + 1, km),
+                     _where(active, w[0], g[min(i + 1, km)]))
 
         def keep(x_new, x_old):
-            return jnp.where(recompute, x_new, x_old)
+            return _where(recompute, x_new, x_old)
 
         return (psi, alpha, beta, sig, keep(v, c.v), keep(w, c.w),
                 keep(g, c.g), keep(gi, c.gi),
-                jnp.where(recompute, iv, c.iv),
-                jnp.where(recompute, ivc, c.ivc).astype(jnp.int32),
-                jnp.where(recompute, kgi, c.kgi).astype(jnp.int32))
+                _where(recompute, iv, c.iv),
+                _where(recompute, ivc, c.ivc).astype(jnp.int32),
+                _where(recompute, kgi, c.kgi).astype(jnp.int32))
 
     # -- one step --------------------------------------------------------------
 
@@ -355,9 +453,9 @@ class AdamsStepper:
         kp1, km1, km2 = k + 1, k - 1, k - 2
         # ns counts steps taken at this h (shampine.py:251-256):
         # reset when h differs from the last successful step's h
-        ns = jnp.where(h != state.hold, jnp.asarray(0, jnp.int32),
+        ns = _where(h != state.hold, jnp.asarray(0, jnp.int32),
                        c.ns)
-        ns = jnp.where(ns <= state.kold, ns + 1, ns)
+        ns = _where(ns <= state.kold, ns + 1, ns)
 
         cc = c._replace(ns=ns)
         (psi, alpha, beta, sig, v, w, g, gi, iv, ivc, kgi) = \
@@ -372,19 +470,27 @@ class AdamsStepper:
         beta_ext = jnp.concatenate([beta, beta[km - 1:km],
                                     beta[km - 1:km]])
         g_ext = jnp.concatenate([g, g[km:km + 1]])
-        phi = jnp.where(((idx_r >= ns) & (idx_r < k))[:, None],
+        phi = _where(_mask2((idx_r >= ns) & (idx_r < k),
+                               phi.shape[1]),
                         phi * beta_ext[:, None], phi)
         phi_k = _take(phi, jnp.clip(k, 0, km + 1))
         phi = _put(phi, jnp.clip(kp1, 0, km + 1), phi_k)
         phi = _put(phi, jnp.clip(k, 0, km + 1), jnp.zeros_like(phi_k))
-        gw = jnp.where(idx_r < k, g_ext, 0.0)
-        p = h * jnp.einsum("s,sn->n", gw.astype(self.real_dtype),
-                           phi.astype(self.dtype)) + y0
+        gw = _where(idx_r < k, g_ext, 0.0)
+        if getattr(self, "matmul_free", False):
+            # Pallas path: Mosaic cannot lower the batched dot_general
+            # this einsum becomes under the fused kernel's double vmap;
+            # an elementwise multiply + axis reduction is equivalent
+            p = h * jnp.sum(gw.astype(self.real_dtype)[:, None]
+                            * phi.astype(self.dtype), axis=0) + y0
+        else:
+            p = h * jnp.einsum("s,sn->n", gw.astype(self.real_dtype),
+                               phi.astype(self.dtype)) + y0
         # reverse cumulative sum over rows < k
-        masked = jnp.where((idx_r < k)[:, None], phi,
+        masked = _where(_mask2(idx_r < k, phi.shape[1]), phi,
                            jnp.zeros_like(phi))
-        rev = jnp.cumsum(masked[::-1], axis=0)[::-1]
-        phi = jnp.where((idx_r < k)[:, None], rev, phi)
+        rev = _cumsum_rev(masked)
+        phi = _where(_mask2(idx_r < k, phi.shape[1]), rev, phi)
 
         x = x0 + h
         yp_pred = self.fun(x, p)
@@ -412,72 +518,73 @@ class AdamsStepper:
         erk = erk * _take(sigj, jnp.clip(k, 0, km)) \
             * _take(gstr, jnp.clip(km1, 0, 12))
 
-        knew = jnp.where(
+        knew = _where(
             (k > 2) & (jnp.maximum(erkm1, erkm2) < erk), km1,
-            jnp.where((k == 2) & (erkm1 < 0.5 * erk), km1, k))
+            _where((k == 2) & (erkm1 < 0.5 * erk), km1, k))
 
         success = err <= self.eps
 
         # block 3: failure restore (shampine.py:369-398)
         phi_up = jnp.concatenate([phi[1:], phi[km + 1:km + 2]])
-        phi_r = jnp.where((idx_r < k)[:, None], phi - phi_up, phi)
-        phi_r = jnp.where(
-            (idx_r < k)[:, None],
-            phi_r / jnp.where(beta_ext[:, None] == 0, 1.0,
+        phi_r = _where(_mask2(idx_r < k, phi.shape[1]),
+                          phi - phi_up, phi)
+        phi_r = _where(
+            _mask2(idx_r < k, phi.shape[1]),
+            phi_r / _where(beta_ext[:, None] == 0, 1.0,
                               beta_ext[:, None]), phi_r)
         psi_up = jnp.concatenate([psi[1:], psi[km - 1:km]])
         idx_k = jnp.arange(km)
-        psi_r = jnp.where(idx_k < km1, psi_up - h, psi)
+        psi_r = _where(idx_k < km1, psi_up - h, psi)
 
         ifail = c.ifail + 1
-        temp2 = jnp.where((ifail >= 4) & (self.p5eps < 0.25 * erk),
+        temp2 = _where((ifail >= 4) & (self.p5eps < 0.25 * erk),
                           jnp.sqrt(self.p5eps / erk), 0.5)
-        knew_fail = jnp.where(ifail >= 3, 1, knew).astype(jnp.int32)
+        knew_fail = _where(ifail >= 3, 1, knew).astype(jnp.int32)
         h_fail = h * temp2
-        status = jnp.where((~success)
+        status = _where((~success)
                            & (jnp.abs(h_fail) < min_step),
                            jnp.asarray(TOO_SMALL_STEP, jnp.int32),
                            c.status)
 
         return _Carry(
-            h=jnp.where(success, h, h_fail),
-            k=jnp.where(success, k, knew_fail),
+            h=_where(success, h, h_fail),
+            k=_where(success, k, knew_fail),
             # dsteps sets ns=0 on EVERY rejection (shampine.py:394);
             # relying on h != hold misses the h_fail == hold case
             # (rejected doubled step: 0.5*2*hold is bit-exact hold)
-            ns=jnp.where(success, ns, jnp.asarray(0, jnp.int32)),
+            ns=_where(success, ns, jnp.asarray(0, jnp.int32)),
             kprev=k,
-            ifail=jnp.where(success, c.ifail, ifail),
-            phase1=jnp.where(success, c.phase1, False),
-            phi=jnp.where(success, phi, phi_r),
-            psi=jnp.where(success, psi, psi_r),
+            ifail=_where(success, c.ifail, ifail),
+            phase1=_bwhere(success, c.phase1, False),
+            phi=_where(success, phi, phi_r),
+            psi=_where(success, psi, psi_r),
             alpha=alpha, beta=beta, sig=sig, v=v, w=w, g=g,
             gi=gi, iv=iv, ivc=ivc, kgi=kgi,
             success=success,
             status=status,
-            p=jnp.where(success, p, c.p),
-            yp_pred=jnp.where(success, yp_pred, c.yp_pred),
-            wt=jnp.where(success, wt, c.wt),
+            p=_where(success, p, c.p),
+            yp_pred=_where(success, yp_pred, c.yp_pred),
+            wt=_where(success, wt, c.wt),
             erk=erk, erkm1=erkm1, erkm2=erkm2,
             knew=knew.astype(jnp.int32),
             nfev=nfev,
-            nfailed=c.nfailed + jnp.where(success, 0, 1))
+            nfailed=c.nfailed + _where(success, 0, 1))
 
     def step(self, params, state):
         x0, y0, yp0 = state.t, state.y, state.yp
         min_step = self.fouru * jnp.abs(x0)
 
         # stiffness hint (shampine.py:198-207)
-        kle4 = jnp.where(state.kold > 4, 0, state.kle4 + 1)
+        kle4 = _where(state.kold > 4, 0, state.kle4 + 1)
         stiff_flag = state.stiff_flag | ((kle4 > 50) & (self.k_max > 4))
-        kle4 = jnp.where(kle4 > 50, 0, kle4)
+        kle4 = _where(kle4 > 50, 0, kle4)
 
         d = params.t_bound - x0
         near_end = jnp.abs(d) <= min_step
 
         # --- normal path ---
         h_in = state.h
-        h_in = jnp.where(params.direction * (h_in - d) > 0, d, h_in)
+        h_in = _where(params.direction * (h_in - d) > 0, d, h_in)
         h_in = jnp.sign(h_in) * jnp.minimum(params.max_step,
                                             jnp.abs(h_in))
 
@@ -501,10 +608,10 @@ class AdamsStepper:
             g=state.g, gi=state.gi, iv=state.iv, ivc=state.ivc,
             kgi=state.kgi,
             success=near_end,        # skip the loop on extrapolation
-            status=jnp.where(
+            status=_where(
                 tol_tight & ~near_end,
                 jnp.asarray(TOL_TOO_TIGHT, jnp.int32),
-                jnp.where((jnp.abs(h_in) < min_step) & ~near_end,
+                _where((jnp.abs(h_in) < min_step) & ~near_end,
                           jnp.asarray(TOO_SMALL_STEP, jnp.int32),
                           state.status)),
             p=y0, yp_pred=yp0, wt=state.wt,
@@ -532,10 +639,16 @@ class AdamsStepper:
         x = x0 + h
         g_k = _take(c.g, jnp.clip(k, 0, km))
         y_corr = h * g_k * (c.yp_pred - c.phi[0]) + c.p
-        yp_new = jax.lax.cond(
-            ok, lambda _: self.fun(x, y_corr), lambda _: yp0,
-            operand=None)
-        nfev = c.nfev + jnp.where(ok, 1, 0)
+        if getattr(self, "matmul_free", False):
+            # fused-kernel path: cond batches to a select whose i1
+            # predicate must broadcast over the state — unsupported in
+            # Mosaic; evaluate and merge instead (nfev still gated)
+            yp_new = _where(ok, self.fun(x, y_corr), yp0)
+        else:
+            yp_new = jax.lax.cond(
+                ok, lambda _: self.fun(x, y_corr), lambda _: yp0,
+                operand=None)
+        nfev = c.nfev + _where(ok, 1, 0)
 
         idx_r = jnp.arange(km + 2)
         phi = c.phi
@@ -543,7 +656,8 @@ class AdamsStepper:
         phi = _put(phi, jnp.clip(k, 0, km + 1), phi_k_new)
         phi = _put(phi, jnp.clip(kp1, 0, km + 1),
                    phi_k_new - _take(phi, jnp.clip(kp1, 0, km + 1)))
-        phi = jnp.where((idx_r < k)[:, None], phi + phi_k_new[None, :],
+        phi = _where(_mask2(idx_r < k, phi.shape[1]),
+                        phi + phi_k_new[None, :],
                         phi)
 
         # order selection for the next step (shampine.py:420-455)
@@ -559,19 +673,19 @@ class AdamsStepper:
         raise2 = (k != 1) & ~lower & ~((erkp1 > c.erk)
                                        | (k == self.k_max))
 
-        k_next = jnp.where(
+        k_next = _where(
             phase1, kp1,
-            jnp.where(c.knew == km1, km1,
-                      jnp.where(can_est & raise1, kp1,
-                                jnp.where(can_est & lower, km1,
-                                          jnp.where(can_est & raise2,
+            _where(c.knew == km1, km1,
+                      _where(can_est & raise1, kp1,
+                                _where(can_est & lower, km1,
+                                          _where(can_est & raise2,
                                                     kp1, k)))))
-        erk_next = jnp.where(
+        erk_next = _where(
             phase1, erkp1,
-            jnp.where(c.knew == km1, c.erkm1,
-                      jnp.where(can_est & raise1, erkp1,
-                                jnp.where(can_est & lower, c.erkm1,
-                                          jnp.where(can_est & raise2,
+            _where(c.knew == km1, c.erkm1,
+                      _where(can_est & raise1, erkp1,
+                                _where(can_est & lower, c.erkm1,
+                                          _where(can_est & raise2,
                                                     erkp1, c.erk)))))
 
         two_next = _take(jnp.asarray(self.two),
@@ -582,19 +696,19 @@ class AdamsStepper:
             ** (1.0 / (k_next.astype(self.real_dtype) + 1.0))
         h_red = jnp.abs(h) * jnp.clip(r, 0.5, 0.9)
         h_red = jnp.sign(h) * jnp.maximum(h_red, min_step)
-        h_next = jnp.where(double, h + h, jnp.where(keep_h, h, h_red))
+        h_next = _where(double, h + h, _where(keep_h, h, h_red))
 
         is_last = ok & (x == params.t_bound)
         # h was clamped to d upfront; landing detection via remaining gap
         is_last = ok & (jnp.abs(params.t_bound - x)
                         <= self.fouru * jnp.abs(x))
-        t_new = jnp.where(is_last, params.t_bound, x)
+        t_new = _where(is_last, params.t_bound, x)
 
         # --- near-end linear extrapolation (shampine.py:209-217) ---
         y_ext = y0 + d * yp0
 
         ok_any = ok | near_end
-        status = jnp.where(
+        status = _where(
             (c.status == RUNNING) & (is_last | near_end),
             jnp.asarray(FINISHED, jnp.int32), c.status)
 
@@ -612,39 +726,39 @@ class AdamsStepper:
         fb_kprev = c.kprev if flat else state.kprev
 
         return AdamsState(
-            t=jnp.where(near_end, params.t_bound,
-                        jnp.where(ok, t_new, state.t)),
-            y=jnp.where(near_end, y_ext, jnp.where(ok, y_corr, state.y)),
-            yp=jnp.where(ok, yp_new, state.yp),
-            h=jnp.where(ok, h_next, jnp.where(near_end, state.h, c.h)),
-            hold=jnp.where(ok, h, state.hold),
-            wt=jnp.where(ok, c.wt, state.wt),
-            k=jnp.where(ok, k_next, jnp.where(near_end, state.k, c.k))
+            t=_where(near_end, params.t_bound,
+                        _where(ok, t_new, state.t)),
+            y=_where(near_end, y_ext, _where(ok, y_corr, state.y)),
+            yp=_where(ok, yp_new, state.yp),
+            h=_where(ok, h_next, _where(near_end, state.h, c.h)),
+            hold=_where(ok, h, state.hold),
+            wt=_where(ok, c.wt, state.wt),
+            k=_where(ok, k_next, _where(near_end, state.k, c.k))
             .astype(jnp.int32),
-            kold=jnp.where(near_end, 0, jnp.where(ok, k, state.kold))
+            kold=_where(near_end, 0, _where(ok, k, state.kold))
             .astype(jnp.int32),
-            kprev=jnp.where(ok, c.kprev, fb_kprev).astype(jnp.int32),
-            ns=jnp.where(ok, c.ns, fb_ns).astype(jnp.int32),
-            phase1=jnp.where(ok, phase1, c.phase1),
+            kprev=_where(ok, c.kprev, fb_kprev).astype(jnp.int32),
+            ns=_where(ok, c.ns, fb_ns).astype(jnp.int32),
+            phase1=_bwhere(ok, phase1, c.phase1),
             ivc=c.ivc, kgi=c.kgi, iv=c.iv, gi=c.gi,
-            phi=jnp.where(ok, phi, fb_phi),
-            psi=jnp.where(ok, c.psi, fb_psi),
-            alpha=jnp.where(ok, c.alpha, fb_alpha),
-            beta=jnp.where(ok, c.beta, fb_beta),
-            sig=jnp.where(ok, c.sig, fb_sig),
-            v=jnp.where(ok, c.v, fb_v),
-            w=jnp.where(ok, c.w, fb_w),
-            g=jnp.where(ok, c.g, fb_g),
+            phi=_where(ok, phi, fb_phi),
+            psi=_where(ok, c.psi, fb_psi),
+            alpha=_where(ok, c.alpha, fb_alpha),
+            beta=_where(ok, c.beta, fb_beta),
+            sig=_where(ok, c.sig, fb_sig),
+            v=_where(ok, c.v, fb_v),
+            w=_where(ok, c.w, fb_w),
+            g=_where(ok, c.g, fb_g),
             status=status,
             extrapolated=near_end,
             kle4=kle4, stiff_flag=stiff_flag,
-            t_old=jnp.where(ok_any, x0, state.t_old),
-            y_old=jnp.where(ok_any, y0, state.y_old),
-            yp_old=jnp.where(ok_any, yp0, state.yp_old),
-            h_previous=jnp.where(near_end, d,
-                                 jnp.where(ok, h, state.h_previous)),
+            t_old=_where(ok_any, x0, state.t_old),
+            y_old=_where(ok_any, y0, state.y_old),
+            yp_old=_where(ok_any, yp0, state.yp_old),
+            h_previous=_where(near_end, d,
+                                 _where(ok, h, state.h_previous)),
             nfev=nfev,
-            nsteps=state.nsteps + jnp.where(ok_any, 1, 0),
+            nsteps=state.nsteps + _where(ok_any, 1, 0),
             nfailed=c.nfailed)
 
     # -- flat (attempt-level) stepping for the device driver -------------------
@@ -668,35 +782,35 @@ class AdamsStepper:
         min_step = self.fouru * jnp.abs(x0)
 
         # stiffness hint (shampine.py:198-207), once per step
-        kle4_f = jnp.where(state.kold > 4, 0, state.kle4 + 1)
+        kle4_f = _where(state.kold > 4, 0, state.kle4 + 1)
         stiff_f = state.stiff_flag | ((kle4_f > 50) & (self.k_max > 4))
-        kle4_f = jnp.where(kle4_f > 50, 0, kle4_f)
-        kle4 = jnp.where(fresh, kle4_f, state.kle4)
-        stiff_flag = jnp.where(fresh, stiff_f, state.stiff_flag)
+        kle4_f = _where(kle4_f > 50, 0, kle4_f)
+        kle4 = _where(fresh, kle4_f, state.kle4)
+        stiff_flag = _bwhere(fresh, stiff_f, state.stiff_flag)
 
         d = params.t_bound - x0
         near_end = jnp.abs(d) <= min_step
 
         h_clamped = state.h
-        h_clamped = jnp.where(params.direction * (h_clamped - d) > 0,
+        h_clamped = _where(params.direction * (h_clamped - d) > 0,
                               d, h_clamped)
         h_clamped = jnp.sign(h_clamped) * jnp.minimum(
             params.max_step, jnp.abs(h_clamped))
-        h_in = jnp.where(fresh, h_clamped, state.h)
+        h_in = _where(fresh, h_clamped, state.h)
 
         round_ = self.twou * norm(y0 / state.wt)
         tol_tight = self.p5eps < round_
 
-        status0 = jnp.where(
+        status0 = _where(
             fresh & tol_tight & ~near_end,
             jnp.asarray(TOL_TOO_TIGHT, jnp.int32),
-            jnp.where(fresh & (jnp.abs(h_in) < min_step) & ~near_end,
+            _where(fresh & (jnp.abs(h_in) < min_step) & ~near_end,
                       jnp.asarray(TOO_SMALL_STEP, jnp.int32),
                       state.status))
 
         c0 = _Carry(
             h=h_in, k=state.k, ns=state.ns, kprev=state.kprev,
-            ifail=jnp.where(fresh, 0, ifail), phase1=state.phase1,
+            ifail=_where(fresh, 0, ifail), phase1=state.phase1,
             phi=state.phi, psi=state.psi, alpha=state.alpha,
             beta=state.beta, sig=state.sig, v=state.v, w=state.w,
             g=state.g, gi=state.gi, iv=state.iv, ivc=state.ivc,
@@ -709,10 +823,17 @@ class AdamsStepper:
             erkm2=jnp.asarray(0.0, self.real_dtype),
             knew=state.k, nfev=state.nfev, nfailed=state.nfailed)
 
-        c = jax.lax.cond(
-            (~c0.success) & (c0.status == RUNNING),
-            lambda cc: self._attempt(params, state, min_step, cc),
-            lambda cc: cc, c0)
+        # attempt + explicit per-leaf merge.  (lax.cond batches to a
+        # select over the whole carry — including its BOOL leaves,
+        # which Mosaic cannot select on inside the fused kernel; the
+        # merge is value-identical and routes bool leaves through
+        # boolean algebra.)
+        do = (~c0.success) & (c0.status == RUNNING)
+        c1 = self._attempt(params, state, min_step, c0)
+        c = jax.tree.map(
+            lambda a, b: (_bwhere(do, a, b)
+                          if jnp.asarray(a).dtype == jnp.bool_
+                          else _where(do, a, b)), c1, c0)
 
         new_state = self._finalize(params, state, c, near_end, d,
                                    min_step, kle4, stiff_flag, flat=True)
