@@ -8,23 +8,25 @@ of thousands of times.  Here the entire integration runs inside one
 ``pallas_call`` — per-iteration cost drops from ~0.3-0.5 ms of
 dispatch to microseconds of VPU arithmetic.
 
-Unlike the other fused kernels, this one does NOT reimplement the
-stepper: ``steppers/adams.py`` is already straight-line masked
-arithmetic over tiny static-shape arrays (no dynamic gathers — the
-one-hot ``_take``/``_put`` forms, unrolled ``_cumprod``/``_cumsum_rev``),
-so the SAME ``step_flat`` traces into the kernel under a double
-``jax.vmap`` that appends the (sub, 128) member tiling as trailing
-axes.  One stepper, three execution tiers: host driver, XLA device
-loop, fused kernel.
+The kernel is a HAND-TILED translation of steppers/adams.py (itself
+the dsteps/DDEABM port, shampine.py:180-480): every per-member scalar
+is an (sub, 128) tile, every k_max-indexed vector is a Python LIST of
+tiles, and the dynamic index ranges of the dsteps recurrences become
+per-row masks — exactly the fused_esdirk architecture.  (A double-vmap
+of the stepper traces but batches with leading batch dims, which
+Mosaic lays out catastrophically; lists of member tiles keep every op
+2-D.)  All selection is arithmetic blending (Mosaic rejects i1
+broadcasts/selects); NaN/Inf from overflowing members are sanitized
+bit-level before entering the carry, as in ops/fused_erk.py.
 
-The while carry is the solver-state pytree PACKED into one f32 array
-and one i32 array of per-member rows (bools encoded as i32): Mosaic
-rejects bool-carried selects, and packing also keeps the carry layout
-trivially stable.  f32 only — the fast path for rtol >= ~1e-4; the
-XLA f64 path remains the conformance solver.  The user RHS is the
-ordinary ``fun(t, y)`` with ``y`` of shape (n,) (vmap batches it).
+f32 only — the fast path for rtol >= ~1e-4; the XLA f64 path remains
+the conformance solver.  Dropped relative to the XLA stepper: dense
+output / t_old bookkeeping and the kle4 stiffness hint.  ``n <= 8``
+(small-system ensembles).  The user RHS is the ordinary ``fun(t, y)``
+row convention of the other fused kernels: ``y`` is the (n, ...) stack
+of member tiles and the result stacks rows.
 """
-from typing import Any
+from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -32,25 +34,45 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..steppers.adams import AdamsStepper
+from ..steppers.adams import AdamsStepper, _GSTR
 from ..types import IVPParams
+from .fused_erk import _fblend, _iblend, _sanitize
 
-_RUNNING, _FINISHED = 0, 1
-_OVERFLOW = 3
+_RUNNING, _FINISHED, _TOO_SMALL, _OVERFLOW = 0, 1, 2, 3
 
 
-def _pack_template(state, aux):
-    """Leaf bookkeeping: (treedefs, per-leaf (shape, size, kind))."""
-    leaves_s, td_s = jax.tree.flatten(state)
-    leaves_a, td_a = jax.tree.flatten(aux)
-    spec = []
-    for leaf in leaves_s + leaves_a:
-        arr = jnp.asarray(leaf)
-        kind = ("f" if jnp.issubdtype(arr.dtype, jnp.floating)
-                else "b" if arr.dtype == jnp.bool_ else "i")
-        spec.append((arr.shape, int(np.prod(arr.shape, dtype=int)),
-                     kind, arr.dtype))
-    return td_s, td_a, len(leaves_s), spec
+class _K(NamedTuple):
+    """While-loop carry: per-member tiles; vectors as tuples."""
+    it: Any
+    t: Any
+    h: Any
+    hold: Any
+    y: Any            # tuple (n)
+    yp: Any           # tuple (n)
+    wt: Any           # tuple (n)
+    phi: Any          # tuple (km+2) of tuple (n)
+    psi: Any          # tuple (km)
+    alpha: Any
+    beta: Any
+    sig: Any          # tuple (km+1)
+    v: Any
+    w: Any
+    g: Any            # tuple (km+1)
+    gi: Any           # tuple (km-1)
+    iv: Any           # tuple (km-2) i32
+    k: Any            # i32 tiles
+    kold: Any
+    kprev: Any
+    ns: Any
+    ivc: Any
+    kgi: Any
+    phase1: Any       # i32 mask
+    fresh: Any        # i32 mask
+    ifail: Any
+    status: Any
+    nfev: Any
+    nsteps: Any
+    nfailed: Any
 
 
 def solve_fused_adams(fun, t_span, y0_batch, rtol=1e-4, atol=1e-6,
@@ -58,12 +80,15 @@ def solve_fused_adams(fun, t_span, y0_batch, rtol=1e-4, atol=1e-6,
                       block_members=1024, interpret=False):
     """Integrate an ensemble with SWAG entirely in one TPU kernel.
 
-    y0_batch: (B, n) float32.  Returns (y_final (B, n), status (B,),
-    nsteps (B,), nfev (B,)) with the fused status convention
-    (1 finished, 2 too-small-step/tol-too-tight, 3 overflow/step cap).
+    y0_batch: (B, n) float32, n <= 8.  Returns (y_final (B, n),
+    status (B,), nsteps (B,), nfev (B,)) with the fused status
+    convention (1 finished, 2 too-small-step, 3 overflow/step cap).
     """
     y0_batch = jnp.asarray(y0_batch, jnp.float32)
     n_total, n = y0_batch.shape
+    if n > 8:
+        raise ValueError("fused SWAG targets small systems (n <= 8)")
+    km = int(k_max)
     bm = block_members
     if bm % 128:
         raise ValueError("block_members must be a multiple of 128")
@@ -75,160 +100,604 @@ def solve_fused_adams(fun, t_span, y0_batch, rtol=1e-4, atol=1e-6,
     grid = B // bm
     sub = bm // 128
 
-    t0, tf = t_span
-    t0 = float(t0)
-    tf = float(tf)
+    t0 = float(t_span[0])
+    tf = float(t_span[1])
+    direction = float(np.sign(tf - t0) or 1.0)
+    eps32 = float(np.finfo(np.float32).eps)
+    fouru = 4.0 * eps32
+    gstr = [float(v) for v in _GSTR]
+    iqq = [float(1.0 / (q * (q + 1.0))) for q in range(1, km + 2)]
 
+    # initial state via the XLA stepper (h_start etc.), then packed
+    # into one f32 and one i32 row array
     stepper = AdamsStepper(fun, n, np.float32,
-                           options={"k_max": int(k_max)})
-
-    # initial state on the XLA path (h_start etc. — one-time); x64 OFF
-    # so every constant baked into the traced kernel is 32-bit
+                           options={"k_max": km})
     with jax.enable_x64(False):
         params = IVPParams(
             t_bound=jnp.asarray(tf, jnp.float32),
-            direction=jnp.asarray(np.sign(tf - t0) or 1.0,
-                                  jnp.float32),
+            direction=jnp.asarray(direction, jnp.float32),
             rtol=jnp.asarray(rtol, jnp.float32),
             atol=jnp.asarray(atol, jnp.float32),
-            max_step=jnp.asarray(np.inf, jnp.float32))
+            max_step=jnp.asarray(np.finfo(np.float32).max, jnp.float32))
         states0 = jax.vmap(
             lambda y: stepper.init(t0, y, params,
                                    first_step=first_step))(y0_batch)
-        aux0 = (jnp.ones((B,), bool), jnp.zeros((B,), jnp.int32))
 
-    # template from one member for shapes/dtypes
-    st1 = jax.tree.map(lambda l: l[0], states0)
-    ax1 = jax.tree.map(lambda l: l[0], aux0)
-    td_s, td_a, n_state_leaves, spec = _pack_template(st1, ax1)
-
-    f_rows = sum(s for (_, s, k, _) in spec if k == "f")
-    i_rows = sum(s for (_, s, k, _) in spec if k != "f")
-
-    def pack(state, aux, batch_last):
-        """Flatten pytrees into (rows, ...) f32 / i32 arrays."""
-        leaves = jax.tree.leaves(state) + jax.tree.leaves(aux)
-        fparts, iparts = [], []
-        for leaf, (shape, size, kind, _) in zip(leaves, spec):
-            if batch_last:
-                flat = leaf.reshape((size,) + leaf.shape[len(shape):])
-            else:
-                flat = leaf.reshape(leaf.shape[:1] + (size,))
-            (fparts if kind == "f" else iparts).append(
-                flat.astype(jnp.float32 if kind == "f" else jnp.int32))
-        ax = 0 if batch_last else 1
-        return (jnp.concatenate(fparts, axis=ax),
-                jnp.concatenate(iparts, axis=ax))
-
-    def unpack(F, I):
-        """(rows, sub, 128) packs -> (state, aux) with member tiles
-        as trailing axes."""
-        leaves = []
-        fo = io = 0
-        for shape, size, kind, dtype in spec:
-            if kind == "f":
-                part = F[fo:fo + size]
-                fo += size
-            else:
-                part = I[io:io + size]
-                io += size
-            part = part.reshape(shape + part.shape[1:])
-            if kind == "b":
-                part = part != 0
-            leaves.append(part)
-        state = jax.tree.unflatten(td_s, leaves[:n_state_leaves])
-        aux = jax.tree.unflatten(td_a, leaves[n_state_leaves:])
-        return state, aux
-
-    F0, I0 = pack(states0, aux0, batch_last=False)   # (B, f_rows) etc
-    F0 = F0.T       # (f_rows, B)
-    I0 = I0.T
-
-    # index of the status / nsteps rows inside the int pack (for the
-    # loop condition and the step cap)
-    int_leaf_names = []
-    names_s = list(type(st1)._fields)
-    leaves_by_name = list(zip(names_s, jax.tree.leaves(st1)))
-    io = 0
-    int_offsets = {}
-    si = 0
-    for (shape, size, kind, _), (name, _l) in zip(
-            spec[:n_state_leaves], leaves_by_name):
-        if kind != "f":
-            int_offsets[name] = io
-            io += size
-        si += 1
-    status_row = int_offsets["status"]
-    nsteps_row = int_offsets["nsteps"]
-    nfev_row = int_offsets["nfev"]
-    del int_leaf_names
-
-    # y rows inside the float pack
-    fo = 0
-    f_offsets = {}
-    for (shape, size, kind, _), (name, _l) in zip(
-            spec[:n_state_leaves], leaves_by_name):
-        if kind == "f":
-            f_offsets[name] = (fo, size)
-            fo += size
-    y_off, y_size = f_offsets["y"]
+    # float rows: t, h, hold, y(n), yp(n), wt(n), phi((km+2)*n),
+    # psi(km), alpha(km), beta(km), sig(km+1), v(km), w(km), g(km+1),
+    # gi(km-1)
+    fparts = [states0.t[:, None], states0.h[:, None],
+              states0.hold[:, None], states0.y, states0.yp, states0.wt,
+              states0.phi.reshape(B, -1), states0.psi, states0.alpha,
+              states0.beta, states0.sig, states0.v, states0.w,
+              states0.g, states0.gi]
+    F0 = jnp.concatenate([p.astype(jnp.float32) for p in fparts],
+                         axis=1).T                      # (f_rows, B)
+    # int rows: k, kold, kprev, ns, ivc, kgi, iv(km-2), phase1, status,
+    # nfev, nsteps, nfailed
+    iparts = [states0.k[:, None], states0.kold[:, None],
+              states0.kprev[:, None], states0.ns[:, None],
+              states0.ivc[:, None], states0.kgi[:, None], states0.iv,
+              states0.phase1[:, None].astype(jnp.int32),
+              states0.status[:, None], states0.nfev[:, None],
+              states0.nsteps[:, None], states0.nfailed[:, None],
+              jnp.ones((B, 1), jnp.int32),       # fresh
+              jnp.zeros((B, 1), jnp.int32)]      # ifail
+    I0 = jnp.concatenate([p.astype(jnp.int32) for p in iparts],
+                         axis=1).T
+    f_rows = F0.shape[0]
+    i_rows = I0.shape[0]
+    n_iv = max(km - 2, 1)
+    status_row = 6 + n_iv + 1
 
     def kernel(F_ref, I_ref, yout_ref, stat_ref, nstep_ref, nfev_ref):
-        import copy
+        F_in = F_ref[:].reshape(f_rows, sub, 128)
+        I_in = I_ref[:].reshape(i_rows, sub, 128)
+        fzero = F_in[0] * 0.0
+        izero = fzero.astype(jnp.int32)
 
-        F = F_ref[:].reshape(f_rows, sub, 128)
-        I = I_ref[:].reshape(i_rows, sub, 128)
-        it0 = jnp.zeros((), jnp.int32)
+        # the while carry is just (F, I, it): three consolidated
+        # arrays.  Carrying the ~100 individual member tiles instead
+        # costs ~180 us/iteration of fixed overhead on v5e.
+        def unpack(F, I, it):
+            def frows(off, count):
+                return [F[off + r] for r in range(count)]
 
-        # Pallas rejects captured float-array constants; rebuild the
-        # stepper's coefficient tables in-trace, anchored on a traced
-        # zero (stacks of literal+zero scalars lower fine), and use
-        # literal scalars for params.
-        z = F[0, 0, 0] * 0.0
-        stp = copy.copy(stepper)
-        stp.matmul_free = True
-        stp.iq = jnp.stack([z + float(v) for v in stepper.iq])
-        stp.iqq = jnp.stack([z + float(v) for v in stepper.iqq])
-        stp.gstr = jnp.stack([z + float(v) for v in stepper.gstr])
-        stp.two = jnp.stack([z + float(v) for v in stepper.two])
-        params_k = IVPParams(
-            t_bound=np.float32(tf),
-            direction=np.float32(np.sign(tf - t0) or 1.0),
-            rtol=np.float32(rtol), atol=np.float32(atol),
-            max_step=np.float32(np.finfo(np.float32).max))
+            fo = 3
+            y = frows(fo, n); fo += n
+            yp = frows(fo, n); fo += n
+            wt = frows(fo, n); fo += n
+            phi = [frows(fo + i * n, n) for i in range(km + 2)]
+            fo += (km + 2) * n
+            psi = frows(fo, km); fo += km
+            alpha = frows(fo, km); fo += km
+            beta = frows(fo, km); fo += km
+            sig = frows(fo, km + 1); fo += km + 1
+            v = frows(fo, km); fo += km
+            w = frows(fo, km); fo += km
+            g = frows(fo, km + 1); fo += km + 1
+            gi = frows(fo, km - 1); fo += km - 1
+            io = 6
+            iv = [I[io + r] for r in range(n_iv)]; io += n_iv
+            return _K(
+                it=it, t=F[0], h=F[1], hold=F[2],
+                y=tuple(y), yp=tuple(yp), wt=tuple(wt),
+                phi=tuple(tuple(rw) for rw in phi),
+                psi=tuple(psi), alpha=tuple(alpha), beta=tuple(beta),
+                sig=tuple(sig), v=tuple(v), w=tuple(w), g=tuple(g),
+                gi=tuple(gi), iv=tuple(iv),
+                k=I[0], kold=I[1], kprev=I[2], ns=I[3], ivc=I[4],
+                kgi=I[5], phase1=I[io], status=I[io + 1],
+                nfev=I[io + 2], nsteps=I[io + 3], nfailed=I[io + 4],
+                fresh=I[io + 5], ifail=I[io + 6])
 
-        step2 = jax.vmap(jax.vmap(
-            lambda s, a: stp.step_flat(params_k, s, a),
-            in_axes=(-1, -1), out_axes=(-1, -1, -1)),
-            in_axes=(-1, -1), out_axes=(-1, -1, -1))
+        def pack(st):
+            frows_out = [st.t, st.h, st.hold]
+            frows_out += list(st.y) + list(st.yp) + list(st.wt)
+            for rw in st.phi:
+                frows_out += list(rw)
+            frows_out += (list(st.psi) + list(st.alpha)
+                          + list(st.beta) + list(st.sig) + list(st.v)
+                          + list(st.w) + list(st.g) + list(st.gi))
+            irows_out = [st.k, st.kold, st.kprev, st.ns, st.ivc,
+                         st.kgi] + list(st.iv) \
+                + [st.phase1, st.status, st.nfev, st.nsteps,
+                   st.nfailed, st.fresh, st.ifail]
+            return jnp.stack(frows_out), jnp.stack(irows_out)
 
-        def cond(carry):
-            _F, I_c, it = carry
-            status = I_c[status_row]
-            run = jnp.where(status == _RUNNING,
-                            jnp.ones_like(status),
-                            jnp.zeros_like(status))
+        tfs = tf + fzero
+        dirs = direction
+
+        # --- tile/list helpers (2-D only) -------------------------------
+        # arithmetic blends, not selects: measured ~1.5x faster on v5e
+        # (select_n lowers to more mask traffic than mul/add here)
+        def fb(c, a, b):
+            return _fblend(c, a, b)
+
+        def ib(c, a, b):
+            return _iblend(c, a, b)
+
+        def vsel(c, la, lb):
+            return [fb(c, a, b) for a, b in zip(la, lb)]
+
+        def visel(c, la, lb):
+            return [ib(c, a, b) for a, b in zip(la, lb)]
+
+        def vtake(lst, i):
+            acc = fzero
+            for r, tile in enumerate(lst):
+                acc = acc + fb(i == r, tile, fzero)
+            return acc
+
+        def vitake(lst, i):
+            acc = izero
+            for r, tile in enumerate(lst):
+                acc = acc + ib(i == r, tile, izero)
+            return acc
+
+        def vput(lst, i, val):
+            return [fb(i == r, val, tile)
+                    for r, tile in enumerate(lst)]
+
+        def ctake(vals, i):
+            """gather from a list of PYTHON floats by int tile."""
+            acc = fzero
+            for r, cval in enumerate(vals):
+                acc = acc + fb(i == r, fzero + cval, fzero)
+            return acc
+
+        def member_norm(rows):
+            acc = fzero
+            for r in rows:
+                acc = acc + r * r
+            return jnp.sqrt(acc * (1.0 / len(rows)))
+
+        def cliped(i, lo, hi):
+            return jnp.clip(i, lo, hi)
+
+        def fcall(tt, rows):
+            out = fun(tt, jnp.stack(rows))
+            return [out[r] for r in range(n)]
+
+        # --- block 1: coefficients (dsteps blocks; adams.py:292-443) ----
+        def coefficients(hh, kk, nss, c_psi, c_alpha, c_beta, c_sig,
+                         c_v, c_w, c_g, c_gi, c_iv, c_ivc, c_kgi,
+                         c_kprev, kold_):
+            kp1 = kk + 1
+            km1 = kk - 1
+            nsm1 = nss - 1
+            recompute = (kk >= nss).astype(jnp.float32)
+
+            psi_n = []
+            for r in range(km):
+                prev = c_psi[r - 1] if r > 0 else fzero
+                val = fb(r == nsm1, hh * nss.astype(jnp.float32),
+                         fb((r >= nss) & (r < kk), hh + prev,
+                            c_psi[r]))
+                psi_n.append(val)
+            psi_n = [recompute * a + (1.0 - recompute) * b
+                     for a, b in zip(psi_n, c_psi)]
+
+            alpha_n = []
+            for r in range(km):
+                safe = fb(psi_n[r] == 0.0, fzero + 1.0, psi_n[r])
+                val = fb(r == nsm1,
+                         1.0 / jnp.maximum(nss.astype(jnp.float32),
+                                           1.0),
+                         fb((r >= nss) & (r < kk), hh / safe,
+                            c_alpha[r]))
+                alpha_n.append(val)
+            alpha_n = [recompute * a + (1.0 - recompute) * b
+                       for a, b in zip(alpha_n, c_alpha)]
+
+            # beta: cumulative product of psi[r-1]/psi_old[r-1] over
+            # r in [ns, k), 1 at r == ns-1
+            beta_n = []
+            run = fzero + 1.0
+            for r in range(km):
+                num = psi_n[r - 1] if r > 0 else fzero + 1.0
+                den = c_psi[r - 1] if r > 0 else fzero + 1.0
+                den = fb(den == 0.0, fzero + 1.0, den)
+                ratio = fb((r >= nss) & (r < kk), num / den,
+                           fzero + 1.0)
+                # reset the running product at r == ns (start of range)
+                run = fb(r == nss, ratio, run * ratio)
+                val = fb(r == nsm1, fzero + 1.0,
+                         fb((r >= nss) & (r < kk), run, c_beta[r]))
+                beta_n.append(val)
+            beta_n = [recompute * a + (1.0 - recompute) * b
+                      for a, b in zip(beta_n, c_beta)]
+
+            # sig[j+1] = sig_base * prod_{i=ns-1..j} (i+1) alpha[i]
+            s_base = vtake(c_sig, cliped(nsm1, 0, km))
+            s_base = fb(nsm1 == 0, fzero + 1.0, s_base)
+            sig_n = list(c_sig)
+            run = fzero + 1.0
+            tail = []
+            for r in range(km):
+                fac = fb((r >= nsm1) & (r < kk),
+                         float(r + 1) * alpha_n[r], fzero + 1.0)
+                run = run * fac
+                tail.append(s_base * run)
+            for m in range(km + 1):
+                src = tail[max(m - 1, 0)]
+                cond = ((m >= nss) & (m <= kk)).astype(jnp.float32) \
+                    * recompute
+                sig_n[m] = cond * src + (1.0 - cond) * c_sig[m]
+
+            first_ns = nss == 1
+
+            # ns == 1 branch
+            v1 = [fb(r < kk, fzero + iqq[r], c_v[r])
+                  for r in range(km)]
+            w1 = list(v1)
+            ivc1 = izero
+            kgi1 = ib(kk != 1, izero + 1, izero)
+            gi1 = list(c_gi)
+            if km > 1:
+                gi1[0] = fb((kk != 1), w1[1], c_gi[0])
+
+            # ns > 1 branch
+            raised = kk > c_kprev
+            use_iv = raised & (c_ivc != 0)
+            ivc2 = ib(raised, ib(use_iv, c_ivc - 1, c_ivc), c_ivc)
+            jv = ib(use_iv,
+                    kp1 - vitake(c_iv, cliped(c_ivc - 1, 0,
+                                              n_iv - 1)),
+                    izero + 1)
+            freshd = raised & (c_ivc == 0)
+            v2 = list(c_v)
+            w2 = list(c_w)
+            v2[km - 1] = fb(freshd, fzero + iqq[km - 1], v2[km - 1])
+            w2[km - 1] = fb(freshd, v2[km - 1], w2[km - 1])
+            kgi2 = ib(freshd & (kk == 2), izero + 1, c_kgi)
+            gi2 = list(c_gi)
+            if km > 1:
+                gi2[0] = fb(freshd & (kk == 2), w2[1], gi2[0])
+
+            # sequential diagonal update j = jv .. ns-2; the row index
+            # km-1-j is STATIC, so this is direct list access (the XLA
+            # stepper needs one-hot take/put only because its j is a
+            # lax loop counter)
+            for j in range(km):
+                active = raised & (j >= jv) & (j < nsm1)
+                i_r = max(min(km - 1 - j, km - 1), 0)
+                newval = v2[i_r] - alpha_n[min(j, km - 1)] \
+                    * v2[min(i_r + 1, km - 1)]
+                v2[i_r] = fb(active, newval, v2[i_r])
+            lowlim = jnp.maximum(km - 1 - nsm1 + 1, 0)
+            for r in range(km):
+                cond = raised & (r >= lowlim) & (r <= km - 1 - jv)
+                w2[r] = fb(cond, v2[r], w2[r])
+            cond_kgi = raised & (kk == nss) & (jv < nsm1)
+            kgi2 = ib(cond_kgi, nsm1, kgi2)
+            for r in range(km - 1):
+                gi2[r] = fb((r == cliped(nsm1 - 1, 0, km - 2))
+                            & cond_kgi, v2[1], gi2[r])
+
+            # main v update and w copy
+            limit1 = kp1 - nss
+            alpha_ns = vtake(alpha_n, cliped(nsm1, 0, km - 1))
+            v2 = [fb(r < limit1,
+                     v2[r] - alpha_ns * (v2[r + 1] if r + 1 < km
+                                         else fzero), v2[r])
+                  for r in range(km)]
+            w2 = [fb(r < limit1 + 1, v2[r], w2[r]) for r in range(km)]
+            g2 = vput(list(c_g), cliped(nss, 0, km), v2[0])
+            kgi2 = ib(limit1 != 1, nss, kgi2)
+            for r in range(km - 1):
+                gi2[r] = fb((r == cliped(nsm1, 0, km - 2))
+                            & (limit1 != 1), v2[1], gi2[r])
+            lower = kk < kold_
+            iv2 = [ib((r == cliped(ivc2, 0, n_iv - 1)) & lower,
+                      limit1 + 2, c_iv[r]) for r in range(n_iv)]
+            ivc3 = ib(lower, ivc2 + 1, ivc2)
+
+            # merge ns==1 / ns>1
+            v_n = vsel(first_ns, v1, v2)
+            w_n = vsel(first_ns, w1, w2)
+            gi_n = vsel(first_ns, gi1, gi2)
+            iv_n = visel(first_ns, c_iv, iv2)
+            ivc_n = ib(first_ns, ivc1, ivc3)
+            kgi_n = ib(first_ns, kgi1, kgi2)
+            g_n = vsel(first_ns, c_g, g2)
+
+            # g coefficients in w
+            for i in range(km):
+                active = (i >= nss) & (i < kk)
+                limit2 = kk - i
+                w_n = [fb((r < limit2) & active,
+                          w_n[r] - alpha_n[min(i, km - 1)]
+                          * (w_n[r + 1] if r + 1 < km else fzero),
+                          w_n[r]) for r in range(km)]
+                j = min(i + 1, km)
+                g_n[j] = fb(active, w_n[0], g_n[j])
+
+            def keep(ln, lo):
+                return [recompute * a + (1.0 - recompute) * b
+                        for a, b in zip(ln, lo)]
+
+            rc_b = recompute != 0.0
+            return (psi_n, alpha_n, beta_n,
+                    [recompute * a + (1.0 - recompute) * b
+                     for a, b in zip(sig_n, c_sig)],
+                    keep(v_n, c_v), keep(w_n, c_w), keep(g_n, c_g),
+                    keep(gi_n, c_gi), visel(rc_b, iv_n, c_iv),
+                    ib(rc_b, ivc_n, c_ivc), ib(rc_b, kgi_n, c_kgi))
+
+        # ------------------------------------------------------------------
+        def cond_loop(carry):
+            F, I, it = carry
+            run = ib(I[status_row] == _RUNNING, izero + 1, izero)
             return (jnp.max(run) > 0) & (it < max_steps)
 
         def body(carry):
-            F_c, I_c, it = carry
-            state, aux = unpack(F_c, I_c)
-            new, aux_new, _acc = step2(state, aux)
-            F_n, I_n = pack(new, aux_new, batch_last=True)
-            return F_n, I_n, it + 1
+            F, I, it = carry
+            st = unpack(F, I, it)
+            running = st.status == _RUNNING
+            min_step = fouru * jnp.abs(st.t)
+            d = tfs - st.t
+            near_end = jnp.abs(d) <= min_step
 
-        F_f, I_f, it_f = jax.lax.while_loop(cond, body, (F, I, it0))
+            fresh_b = st.fresh != 0
+            # clamp h toward the boundary on fresh steps
+            h_cl = fb(dirs * (st.h - d) > 0, d, st.h)
+            h_in = fb(fresh_b, h_cl, st.h)
+            ifail = ib(fresh_b, izero, st.ifail)
 
-        status = I_f[status_row]
-        # step-cap members report overflow like the other kernels
-        hit_cap = (status == _RUNNING) & (it_f >= max_steps)
-        status = status + jnp.where(hit_cap,
-                                    jnp.full_like(status, _OVERFLOW),
-                                    jnp.zeros_like(status))
-        yout_ref[:] = F_f[y_off:y_off + y_size].reshape(n, bm).T
-        stat_ref[:] = status.reshape(1, bm)
-        nstep_ref[:] = I_f[nsteps_row].reshape(1, bm)
-        nfev_ref[:] = I_f[nfev_row].reshape(1, bm)
+            kk, nss = st.k, st.ns
+            kp1, km1, km2 = kk + 1, kk - 1, kk - 2
+
+            # ns update (reset on h change happened via ns=0 writeback)
+            ns2 = ib(h_in != st.hold, izero, nss)
+            ns2 = ib(ns2 <= st.kold, ns2 + 1, ns2)
+
+            (psi_n, alpha_n, beta_n, sig_n, v_n, w_n, g_n, gi_n,
+             iv_n, ivc_n, kgi_n) = coefficients(
+                h_in, kk, ns2, st.psi, st.alpha, st.beta, st.sig,
+                st.v, st.w, st.g, st.gi, st.iv, st.ivc, st.kgi,
+                st.kprev, st.kold)
+
+            # block 2: predict
+            beta_ext = beta_n + [beta_n[km - 1], beta_n[km - 1]]
+            g_ext = g_n + [g_n[km]]
+            phi_n = [[fb((r >= ns2) & (r < kk),
+                         st.phi[r][j] * beta_ext[r], st.phi[r][j])
+                      for j in range(n)] for r in range(km + 2)]
+            phi_k = [vtake([phi_n[r][j] for r in range(km + 2)],
+                           cliped(kk, 0, km + 1)) for j in range(n)]
+            for j in range(n):
+                col = [phi_n[r][j] for r in range(km + 2)]
+                col = vput(col, cliped(kp1, 0, km + 1), phi_k[j])
+                col = vput(col, cliped(kk, 0, km + 1), fzero)
+                for r in range(km + 2):
+                    phi_n[r][j] = col[r]
+            p = []
+            for j in range(n):
+                acc = fzero
+                for r in range(km + 1):
+                    gw = fb(r < kk, g_ext[r], fzero)
+                    acc = acc + gw * phi_n[r][j]
+                p.append(h_in * acc + st.y[j])
+            # reverse cumulative sum over rows < k
+            for j in range(n):
+                acc = fzero
+                new_col = [None] * (km + 2)
+                for r in range(km + 1, -1, -1):
+                    masked = fb(r < kk, phi_n[r][j], fzero)
+                    acc = acc + masked
+                    new_col[r] = fb(r < kk, acc, phi_n[r][j])
+                for r in range(km + 2):
+                    phi_n[r][j] = new_col[r]
+
+            x = st.t + h_in
+            yp_pred = fcall(x, p)
+            attempted = running & ~near_end
+            nfev2 = st.nfev + ib(attempted, izero + 1, izero)
+
+            wtn = [jnp.float32(atol) + jnp.float32(rtol) * 0.5
+                   * (jnp.abs(p[j]) + jnp.abs(st.y[j]))
+                   for j in range(n)]
+            inv_wt = [1.0 / wtn[j] for j in range(n)]
+            temp4 = [yp_pred[j] - phi_n[0][j] for j in range(n)]
+            absh = jnp.abs(h_in)
+
+            erk = absh * member_norm([temp4[j] * inv_wt[j]
+                                      for j in range(n)])
+            phi_km1 = [vtake([phi_n[r][j] for r in range(km + 2)],
+                             cliped(km1, 0, km + 1)) for j in range(n)]
+            phi_km2 = [vtake([phi_n[r][j] for r in range(km + 2)],
+                             cliped(km2, 0, km + 1)) for j in range(n)]
+            erkm1 = absh * member_norm(
+                [(phi_km1[j] + temp4[j]) * inv_wt[j]
+                 for j in range(n)]) \
+                * vtake(sig_n, cliped(km1, 0, km)) \
+                * ctake(gstr, cliped(km2, 0, 12))
+            erkm2 = absh * member_norm(
+                [(phi_km2[j] + temp4[j]) * inv_wt[j]
+                 for j in range(n)]) \
+                * vtake(sig_n, cliped(km2, 0, km)) \
+                * ctake(gstr, cliped(km2 - 1, 0, 12))
+            err = erk * (vtake(g_n, cliped(km1, 0, km))
+                         - vtake(g_n, cliped(kk, 0, km)))
+            erk = erk * vtake(sig_n, cliped(kk, 0, km)) \
+                * ctake(gstr, cliped(km1, 0, 12))
+            err, bad_e = _sanitize(err)
+            err = err + bad_e.astype(jnp.float32) * 10.0
+
+            knew = ib((kk > 2) & (jnp.maximum(erkm1, erkm2) < erk),
+                      km1,
+                      ib((kk == 2) & (erkm1 < 0.5 * erk), km1, kk))
+
+            success = (err <= 1.0) & running & ~near_end & ~bad_e
+
+            # block 3: failure restore
+            phi_r = [[None] * n for _ in range(km + 2)]
+            for j in range(n):
+                for r in range(km + 2):
+                    up = phi_n[r + 1][j] if r + 1 < km + 2 \
+                        else phi_n[km + 1][j]
+                    val = fb(r < kk, phi_n[r][j] - up, phi_n[r][j])
+                    bsafe = fb(beta_ext[r] == 0.0, fzero + 1.0,
+                               beta_ext[r])
+                    phi_r[r][j] = fb(r < kk, val / bsafe, val)
+            psi_r = [fb(r < km1,
+                        (psi_n[r + 1] if r + 1 < km
+                         else psi_n[km - 1]) - h_in, psi_n[r])
+                     for r in range(km)]
+
+            ifail2 = ifail + 1
+            temp2 = fb((ifail2 >= 4) & (0.5 < 0.25 * erk),
+                       jnp.sqrt(0.5 / jnp.maximum(erk, 1e-30)),
+                       fzero + 0.5)
+            knew_fail = ib(ifail2 >= 3, izero + 1, knew)
+            h_fail = h_in * temp2
+            failed = attempted & ~success
+            status2 = ib(failed & (jnp.abs(h_fail) < min_step),
+                         izero + _TOO_SMALL, st.status)
+
+            # block 4: correct, evaluate, order/step selection
+            g_k = vtake(g_n, cliped(kk, 0, km))
+            y_corr = [h_in * g_k * temp4[j] + p[j] for j in range(n)]
+            yp_new = fcall(x, y_corr)
+            nfev2 = nfev2 + ib(success, izero + 1, izero)
+
+            phi_f = [[None] * n for _ in range(km + 2)]
+            for j in range(n):
+                col = [phi_n[r][j] for r in range(km + 2)]
+                pkn = yp_new[j] - phi_n[0][j]
+                col = vput(col, cliped(kk, 0, km + 1), pkn)
+                col = vput(col, cliped(kp1, 0, km + 1),
+                           pkn - vtake(col, cliped(kp1, 0, km + 1)))
+                for r in range(km + 2):
+                    phi_f[r][j] = fb(r < kk, col[r] + pkn, col[r])
+
+            phase1_b = (st.phase1 != 0) & ~((knew == km1)
+                                            | (kk == km))
+            phi_kp1 = [vtake([phi_f[r][j] for r in range(km + 2)],
+                             cliped(kp1, 0, km + 1)) for j in range(n)]
+            erkp1 = ctake(gstr, cliped(kk, 0, 12)) * absh \
+                * member_norm([phi_kp1[j] / wtn[j] for j in range(n)])
+            can_est = (~phase1_b) & (knew != km1) & (kk < ns2)
+
+            raise1 = (kk == 1) & (erkp1 < 0.5 * erk) & (kk < km)
+            lower_b = (kk != 1) & (erkm1 <= jnp.minimum(erk, erkp1))
+            raise2 = (kk != 1) & ~lower_b & ~((erkp1 > erk)
+                                              | (kk == km))
+
+            k_next = ib(phase1_b, kp1,
+                        ib(knew == km1, km1,
+                           ib(can_est & raise1, kp1,
+                              ib(can_est & lower_b, km1,
+                                 ib(can_est & raise2, kp1, kk)))))
+            erk_next = fb(phase1_b, erkp1,
+                          fb(knew == km1, erkm1,
+                             fb(can_est & raise1, erkp1,
+                                fb(can_est & lower_b, erkm1,
+                                   fb(can_est & raise2, erkp1, erk)))))
+
+            two_next = ctake([float(2.0 ** (q + 1))
+                              for q in range(km + 2)],
+                             cliped(k_next, 0, km + 1))
+            double = phase1_b | (0.5 >= erk_next * two_next)
+            keep_h = 0.5 >= erk_next
+            # r = (0.5/erk_next)^(1/(k_next+1)) via exp/log
+            rr = jnp.exp(jnp.log(jnp.maximum(
+                0.5 / jnp.maximum(erk_next, 1e-30), 1e-30))
+                / (k_next.astype(jnp.float32) + 1.0))
+            h_red = absh * jnp.clip(rr, 0.5, 0.9)
+            h_red = jnp.sign(h_in) * jnp.maximum(h_red, min_step)
+            h_next = fb(double, h_in + h_in,
+                        fb(keep_h, h_in, h_red))
+
+            is_last = success & (jnp.abs(tfs - x)
+                                 <= fouru * jnp.abs(x))
+            t_new = fb(is_last, tfs, x)
+
+            # near-end linear extrapolation
+            y_ext = [st.y[j] + d * st.yp[j] for j in range(n)]
+            extrap = running & near_end
+
+            ok = success
+            ok_any = ok | extrap
+            status3 = ib((status2 == _RUNNING) & (is_last | extrap),
+                         izero + _FINISHED, status2)
+            hit_cap = (st.it + 1 >= max_steps) & (status3 == _RUNNING)
+            status3 = ib(hit_cap, izero + _OVERFLOW, status3)
+
+            # writeback (flat semantics: failed-attempt restores carry)
+            y_out = []
+            for j in range(n):
+                val = fb(extrap, y_ext[j],
+                         fb(ok, y_corr[j], st.y[j]))
+                val, _ = _sanitize(val)
+                y_out.append(val)
+            yp_out = []
+            for j in range(n):
+                val = fb(ok, yp_new[j], st.yp[j])
+                val, _ = _sanitize(val)
+                yp_out.append(val)
+            h_out = fb(ok, h_next, fb(extrap, st.h, h_fail))
+            h_out = fb(attempted | extrap, h_out, st.h)
+            h_out, _ = _sanitize(h_out)
+            phi_out = [[fb(attempted,
+                           fb(ok, phi_f[r][j], phi_r[r][j]),
+                           st.phi[r][j])
+                        for j in range(n)] for r in range(km + 2)]
+            psi_out = [fb(attempted, fb(ok, psi_n[r], psi_r[r]),
+                          st.psi[r]) for r in range(km)]
+
+            def outv(new, old):
+                return [fb(attempted, a, b) for a, b in zip(new, old)]
+
+            def outiv(new, old):
+                return [ib(attempted, a, b) for a, b in zip(new, old)]
+
+            st2 = _K(
+                it=st.it + 1,
+                t=fb(extrap, tfs, fb(ok, t_new, st.t)),
+                h=h_out,
+                hold=fb(ok, h_in, st.hold),
+                y=tuple(y_out), yp=tuple(yp_out),
+                wt=tuple([fb(ok, wtn[j], st.wt[j]) for j in range(n)]),
+                phi=tuple(tuple(rw) for rw in phi_out),
+                psi=tuple(psi_out),
+                alpha=tuple(outv(alpha_n, st.alpha)),
+                beta=tuple(outv(beta_n, st.beta)),
+                sig=tuple(outv(sig_n, st.sig)),
+                v=tuple(outv(v_n, st.v)),
+                w=tuple(outv(w_n, st.w)),
+                g=tuple(outv(g_n, st.g)),
+                gi=tuple(outv(gi_n, st.gi)),
+                iv=tuple(outiv(iv_n, st.iv)),
+                k=ib(attempted, ib(ok, k_next, knew_fail), st.k),
+                kold=ib(extrap, izero, ib(ok, kk, st.kold)),
+                kprev=ib(attempted, kk, st.kprev),
+                ns=ib(attempted, ib(ok, ns2, izero), st.ns),
+                ivc=ib(attempted, ivc_n, st.ivc),
+                kgi=ib(attempted, kgi_n, st.kgi),
+                phase1=ib(attempted,
+                          ib(ok, phase1_b.astype(jnp.int32),
+                             izero), st.phase1),
+                fresh=ib(ok | (status3 != _RUNNING) | extrap,
+                         izero + 1, izero),
+                ifail=ib(ok, izero, ifail2),
+                status=status3,
+                nfev=nfev2,
+                nsteps=st.nsteps + ib(ok_any, izero + 1, izero),
+                nfailed=st.nfailed + ib(failed, izero + 1, izero))
+            F2, I2 = pack(st2)
+            return F2, I2, st2.it
+
+        Ff, If, _ = jax.lax.while_loop(
+            cond_loop, body,
+            (F_in, I_in, jnp.zeros((), jnp.int32)))
+        stf = unpack(Ff, If, jnp.zeros((), jnp.int32))
+
+        yout_ref[:] = jnp.stack(list(stf.y)).reshape(n, bm).T
+        stat_ref[:] = stf.status.reshape(1, bm)
+        nstep_ref[:] = stf.nsteps.reshape(1, bm)
+        nfev_ref[:] = stf.nfev.reshape(1, bm)
 
     out_shapes = (
         jax.ShapeDtypeStruct((B, n), jnp.float32),

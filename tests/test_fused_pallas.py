@@ -285,3 +285,28 @@ def test_fused_esdirk_pendulum_dae():
                          method=Kv3I, M=M, rtol=1e-4, atol=1e-6)
     assert np.max(np.abs(y - np.asarray(out.y))) < 1e-3
     assert np.max(np.abs(y[:, 0] ** 2 + y[:, 1] ** 2 - 1.0)) < 1e-3
+
+
+def test_fused_adams_vdp():
+    """Fused SWAG kernel (hand-tiled dsteps: variable order, PECE,
+    phi memory — all in one pallas_call): step-count and endpoint
+    agreement with the f64 XLA path."""
+    from extensisq_tpu.ops.fused_adams import solve_fused_adams
+    from extensisq_tpu import SWAG
+
+    def vdp5(t, y):
+        return jnp.stack([y[1], 5.0 * (1 - y[0] ** 2) * y[1] - y[0]])
+
+    B = 128
+    Y0 = np.stack([np.linspace(1.9, 2.1, B), np.zeros(B)],
+                  axis=1).astype(np.float32)
+    y, st, ns, nf = solve_fused_adams(vdp5, (0.0, 2.0), Y0, rtol=1e-4,
+                                      atol=1e-6, k_max=6,
+                                      block_members=128,
+                                      interpret=True)
+    assert np.all(np.asarray(st) == 1)
+    out = solve_ensemble(vdp5, (0.0, 2.0), jnp.asarray(Y0, jnp.float64),
+                         method=SWAG, rtol=1e-4, atol=1e-6, k_max=6)
+    assert abs(float(np.asarray(ns).mean())
+               - float(np.asarray(out.nsteps).mean())) < 2.0
+    assert np.max(np.abs(np.asarray(y) - np.asarray(out.y))) < 1e-3

@@ -101,6 +101,22 @@ def config2():
         lambda t, y: [y[1], mu * (1 - y[0] ** 2) * y[1] - y[0]],
         (0, n_windows * window), np.asarray(Y0), "SWAG", 1, B,
         1e-6, 1e-9)
+    # 2b: the fused Pallas SWAG kernel — the whole 43k-step horizon in
+    # ONE kernel (no windowing, no per-iteration dispatch), f32 fast
+    # path at rtol 1e-4 (f32 cannot run 1e-6)
+    from extensisq_tpu.ops.fused_adams import solve_fused_adams
+    runf = jax.jit(lambda Y: solve_fused_adams(
+        f, (0.0, n_windows * window), Y, rtol=1e-4, atol=1e-6,
+        block_members=256))
+    Y0f = np.asarray(Y0, np.float32)
+    dtf, outf = time_tpu(runf, Y0f, reps=2)
+    stf = np.asarray(outf[1])
+    nsf = np.asarray(outf[2])
+    assert np.all(stf == 1)
+    print(f"2b VdP mu=1e3 fused-SWAG x{B} (t=20, rtol 1e-4): "
+          f"tpu {dtf:7.2f} s ({dtf / max(int(nsf.max()), 1) * 1e6:.0f} "
+          f"us/step, {int(nsf.max())} steps max)")
+
     print(f"2 VdP mu=1e3 SWAG x{B} (t=20): tpu {dt:7.1f} s | "
           f"scipy-1core ~{sc:6.1f} s | speedup {sc/dt:7.0f}x "
           f"(~{steps} steps/member)")
