@@ -310,3 +310,30 @@ def test_fused_adams_vdp():
     assert abs(float(np.asarray(ns).mean())
                - float(np.asarray(out.nsteps).mean())) < 2.0
     assert np.max(np.abs(np.asarray(y) - np.asarray(out.y))) < 1e-3
+
+
+def test_fused_esdirk_trbdf2_filter_error():
+    """TRBDF2 exercises the filter_error branch (err -> M W^-1 Sc err)
+    of the fused implicit kernel."""
+    from extensisq_tpu.ops.fused_esdirk import solve_fused_esdirk
+    from extensisq_tpu import TRBDF2
+
+    def rob(t, y):
+        return jnp.stack([-0.04 * y[0] + 1e4 * y[1] * y[2],
+                          0.04 * y[0] - 1e4 * y[1] * y[2]
+                          - 3e7 * y[1] ** 2,
+                          3e7 * y[1] ** 2])
+
+    B = 128
+    Y0 = np.tile(np.array([1.0, 0.0, 0.0], np.float32), (B, 1))
+    Y0[:, 0] = np.linspace(0.9, 1.1, B)
+    y, st, ns, nf = solve_fused_esdirk(rob, (0.0, 100.0), Y0,
+                                       method=TRBDF2, rtol=1e-4,
+                                       atol=1e-8, block_members=128,
+                                       interpret=True)
+    assert np.all(np.asarray(st) == 1)
+    out = solve_ensemble(rob, (0.0, 100.0), jnp.asarray(Y0, jnp.float64),
+                         method=TRBDF2, rtol=1e-4, atol=1e-8)
+    rel = np.max(np.abs(np.asarray(y) - np.asarray(out.y))
+                 / (1e-8 + np.abs(np.asarray(out.y))))
+    assert rel < 1e-3

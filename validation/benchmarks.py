@@ -217,6 +217,28 @@ def config4():
     print(f"4 Robertson Kv3I x{B}:     tpu {dt*1e3:7.1f} ms | "
           f"scipy-1core ~{sc:6.1f} s | speedup {sc/dt:7.0f}x")
 
+    # 4a-fused: the same Robertson ensemble entirely in one kernel
+    # (f32 fast path at rtol 1e-4; endpoint agrees with the reference
+    # implementation to ~4e-5 rel at t=1e6, 172 vs 174 steps)
+    from extensisq_tpu.ops.fused_esdirk import solve_fused_esdirk
+
+    def rob_rows(t, y):
+        return jnp.stack([-0.04 * y[0] + 1e4 * y[1] * y[2],
+                          0.04 * y[0] - 1e4 * y[1] * y[2]
+                          - 3e7 * y[1] ** 2,
+                          3e7 * y[1] ** 2])
+
+    Y0f = np.tile(np.array([1.0, 0.0, 0.0], np.float32), (B, 1))
+    Y0f[:, 0] = np.linspace(0.9, 1.1, B)
+    runf = jax.jit(lambda Y: solve_fused_esdirk(
+        rob_rows, (0.0, 1e6), Y, method=Kv3I, rtol=1e-4, atol=1e-8,
+        block_members=512))
+    dtf, outf = time_tpu(runf, Y0f, reps=3)
+    assert np.all(np.asarray(outf[1]) == 1)
+    print(f"4a-fused Robertson x{B} (rtol 1e-4, t=1e6): "
+          f"tpu {dtf*1e3:7.1f} ms "
+          f"({int(np.asarray(outf[2]).max())} steps max)")
+
     # index-1 Cartesian pendulum DAE ensemble, Kv3I + mass matrix:
     # state (x, y, vx, vy, lam), M = diag(1,1,1,1,0); the algebraic row
     # is the twice-differentiated length constraint.  (TRBDF2 is
