@@ -36,7 +36,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..steppers.adams import AdamsStepper, _GSTR
 from ..types import IVPParams
-from .fused_erk import _fblend, _iblend, _sanitize
+from .fused_erk import _fblend, _iblend, _sanitize, _df_add
 
 _RUNNING, _FINISHED, _TOO_SMALL, _OVERFLOW = 0, 1, 2, 3
 
@@ -45,6 +45,7 @@ class _K(NamedTuple):
     """While-loop carry: per-member tiles; vectors as tuples."""
     it: Any
     t: Any
+    t_lo: Any
     h: Any
     hold: Any
     y: Any            # tuple (n)
@@ -105,6 +106,13 @@ def solve_fused_adams(fun, t_span, y0_batch, rtol=1e-4, atol=1e-6,
     direction = float(np.sign(tf - t0) or 1.0)
     eps32 = float(np.finfo(np.float32).eps)
     fouru = 4.0 * eps32
+    # the min-step floor guards t-accumulation round-off; with the
+    # double-single t carry the effective resolution is ~2^-46, so the
+    # bare-f32 floor (which kills Van der Pol spikes once t > ~300) is
+    # obsolete.  2^-30 leaves ample DS headroom while still bounding a
+    # runaway h collapse.  (Stage times still collapse at eps32*|t| for
+    # NON-autonomous RHS — the f64 path is the conformance solver.)
+    fouru_t = 4.0 * 2.0 ** -30
     gstr = [float(v) for v in _GSTR]
     iqq = [float(1.0 / (q * (q + 1.0))) for q in range(1, km + 2)]
 
@@ -126,7 +134,9 @@ def solve_fused_adams(fun, t_span, y0_batch, rtol=1e-4, atol=1e-6,
     # float rows: t, h, hold, y(n), yp(n), wt(n), phi((km+2)*n),
     # psi(km), alpha(km), beta(km), sig(km+1), v(km), w(km), g(km+1),
     # gi(km-1)
-    fparts = [states0.t[:, None], states0.h[:, None],
+    fparts = [states0.t[:, None],
+              jnp.zeros((B, 1), jnp.float32),           # t_lo
+              states0.h[:, None],
               states0.hold[:, None], states0.y, states0.yp, states0.wt,
               states0.phi.reshape(B, -1), states0.psi, states0.alpha,
               states0.beta, states0.sig, states0.v, states0.w,
@@ -163,7 +173,7 @@ def solve_fused_adams(fun, t_span, y0_batch, rtol=1e-4, atol=1e-6,
             def frows(off, count):
                 return [F[off + r] for r in range(count)]
 
-            fo = 3
+            fo = 4
             y = frows(fo, n); fo += n
             yp = frows(fo, n); fo += n
             wt = frows(fo, n); fo += n
@@ -180,7 +190,7 @@ def solve_fused_adams(fun, t_span, y0_batch, rtol=1e-4, atol=1e-6,
             io = 6
             iv = [I[io + r] for r in range(n_iv)]; io += n_iv
             return _K(
-                it=it, t=F[0], h=F[1], hold=F[2],
+                it=it, t=F[0], t_lo=F[1], h=F[2], hold=F[3],
                 y=tuple(y), yp=tuple(yp), wt=tuple(wt),
                 phi=tuple(tuple(rw) for rw in phi),
                 psi=tuple(psi), alpha=tuple(alpha), beta=tuple(beta),
@@ -192,7 +202,7 @@ def solve_fused_adams(fun, t_span, y0_batch, rtol=1e-4, atol=1e-6,
                 fresh=I[io + 5], ifail=I[io + 6])
 
         def pack(st):
-            frows_out = [st.t, st.h, st.hold]
+            frows_out = [st.t, st.t_lo, st.h, st.hold]
             frows_out += list(st.y) + list(st.yp) + list(st.wt)
             for rw in st.phi:
                 frows_out += list(rw)
@@ -435,8 +445,9 @@ def solve_fused_adams(fun, t_span, y0_batch, rtol=1e-4, atol=1e-6,
             F, I, it = carry
             st = unpack(F, I, it)
             running = st.status == _RUNNING
-            min_step = fouru * jnp.abs(st.t)
-            d = tfs - st.t
+            tc = st.t + st.t_lo          # double-single time carry
+            min_step = fouru_t * jnp.abs(tc)
+            d = tfs - tc
             near_end = jnp.abs(d) <= min_step
 
             fresh_b = st.fresh != 0
@@ -490,7 +501,7 @@ def solve_fused_adams(fun, t_span, y0_batch, rtol=1e-4, atol=1e-6,
                 for r in range(km + 2):
                     phi_n[r][j] = new_col[r]
 
-            x = st.t + h_in
+            x = tc + h_in
             yp_pred = fcall(x, p)
             attempted = running & ~near_end
             nfev2 = st.nfev + ib(attempted, izero + 1, izero)
@@ -610,9 +621,11 @@ def solve_fused_adams(fun, t_span, y0_batch, rtol=1e-4, atol=1e-6,
             h_next = fb(double, h_in + h_in,
                         fb(keep_h, h_in, h_red))
 
+            t_adv, t_lo_adv = _df_add(st.t, st.t_lo, h_in)
             is_last = success & (jnp.abs(tfs - x)
                                  <= fouru * jnp.abs(x))
-            t_new = fb(is_last, tfs, x)
+            t_new = fb(is_last, tfs, t_adv)
+            t_lo_new = fb(is_last, fzero, t_lo_adv)
 
             # near-end linear extrapolation
             y_ext = [st.y[j] + d * st.yp[j] for j in range(n)]
@@ -656,6 +669,8 @@ def solve_fused_adams(fun, t_span, y0_batch, rtol=1e-4, atol=1e-6,
             st2 = _K(
                 it=st.it + 1,
                 t=fb(extrap, tfs, fb(ok, t_new, st.t)),
+                t_lo=fb(extrap | (ok & is_last), fzero,
+                        fb(ok, t_lo_new, st.t_lo)),
                 h=h_out,
                 hold=fb(ok, h_in, st.hold),
                 y=tuple(y_out), yp=tuple(yp_out),

@@ -49,7 +49,8 @@ from jax.experimental.pallas import tpu as pltpu
 from .._config import (NEWTON_MAXITER, MAX_RATE, MAX_FACTOR_NRF,
                        MIN_FACTOR, MAX_FACTOR, MAX_FACTOR0)
 from ..core.controller import resolve_controller
-from .fused_erk import _fblend, _iblend, _sanitize, _member_norm
+from .fused_erk import (_fblend, _iblend, _sanitize, _member_norm,
+                        _df_add)
 
 _RUNNING, _FINISHED, _TOO_SMALL, _OVERFLOW = 0, 1, 2, 3
 
@@ -88,8 +89,10 @@ def solve_fused_esdirk(fun, t_span, y0_batch, method=None, M=None,
     cc = resolve_controller(None, tab.sc_params, -1.0 / (err_order + 1),
                             implicit=True)
     eps32 = float(np.finfo(np.float32).eps)
-    h_min_a = 10.0 * float(np.finfo(np.float32).epsneg) \
-        / tab.c_spacing()
+    # min-step floor: the double-single t carry resolves ~2^-46, so
+    # use a 2^-30-based floor instead of the bare-f32 one (see
+    # fused_adams.py; non-autonomous stage times still see eps32*|t|)
+    h_min_a = 10.0 * 2.0 ** -31 / tab.c_spacing()
     h_min_b = float(np.sqrt(np.finfo(np.float32).tiny))
 
     y0_batch = jnp.asarray(y0_batch, jnp.float32)
@@ -223,6 +226,7 @@ def solve_fused_esdirk(fun, t_span, y0_batch, method=None, M=None,
             rtol: Any
             atol: Any
             t: Any
+            t_lo: Any
             y: Any
             yp: Any
             h_abs: Any
@@ -330,13 +334,14 @@ def solve_fused_esdirk(fun, t_span, y0_batch, method=None, M=None,
             std_b = st.std_sc != 0
 
             # reassess_stepsize (common.py:2168-2181)
-            min_step = jnp.maximum(h_min_a * (jnp.abs(st.t)
+            tc = st.t + st.t_lo
+            min_step = jnp.maximum(h_min_a * (jnp.abs(tc)
                                               + st.h_abs),
                                    h_min_b)
             out_rng = (st.h_abs < min_step)
             h_abs = jnp.maximum(min_step, st.h_abs)
             std_b = std_b | out_rng
-            d = jnp.abs(tf_ - st.t)
+            d = jnp.abs(tf_ - tc)
             take_d = (jnp.abs(d / h_abs - 1.0) < 1e-2) | (d < h_abs)
             h_abs = _fblend(take_d, d, h_abs)
             too_small = h_abs < min_step
@@ -345,7 +350,7 @@ def solve_fused_esdirk(fun, t_span, y0_batch, method=None, M=None,
             y_c = _rows(st.y)
             # Jacobian + Newton matrix W = Sc (M - h d J), fresh per
             # attempt (J always current; no reuse ladder)
-            J = _jacobian(st.t, st.y)
+            J = _jacobian(tc, st.y)
             W = [[None] * n for _ in range(n)]
             for i in range(n):
                 for j in range(n):
@@ -375,7 +380,7 @@ def solve_fused_esdirk(fun, t_span, y0_batch, method=None, M=None,
                                for j in range(st_i)
                                if Az[st_i, j] != 0.0), fzero)
                       for i in range(n)]
-                t_stage = st.t + C[st_i] * h
+                t_stage = tc + C[st_i] * h
                 conv_s, z, rate_s, nfev_s, bad_s = newton(
                     t_stage, z0, h, psi, y_c, W, rtol, atol)
                 conv_all = conv_all & conv_s & ~bad_s
@@ -464,7 +469,11 @@ def solve_fused_esdirk(fun, t_span, y0_batch, method=None, M=None,
             status = _iblend(running & too_small, izero + _TOO_SMALL,
                              st.status)
             is_last = accepted & (h_abs >= d)
-            t_new = _fblend(is_last, tf_, st.t + h)
+            # double-single t advance: long horizons where
+            # h << ulp(t) would otherwise stall
+            t_adv, t_lo_adv = _df_add(st.t, st.t_lo, h)
+            t_new = _fblend(is_last, tf_, t_adv)
+            t_lo_new = _fblend(is_last, fzero, t_lo_adv)
             status = _iblend((status == _RUNNING) & is_last,
                              izero + _FINISHED, status)
             hit_cap = (st.it + 1 >= max_steps) & (status == _RUNNING)
@@ -485,6 +494,7 @@ def solve_fused_esdirk(fun, t_span, y0_batch, method=None, M=None,
                 tf=st.tf, direction=st.direction,
                 rtol=st.rtol, atol=st.atol,
                 t=_fblend(upd, t_new, st.t),
+                t_lo=_fblend(upd, t_lo_new, st.t_lo),
                 y=_fblend(updn, y_new, st.y),
                 yp=_fblend(updn, yp_new, st.yp),
                 h_abs=_fblend(running, h_abs_next, st.h_abs),
@@ -503,7 +513,7 @@ def solve_fused_esdirk(fun, t_span, y0_batch, method=None, M=None,
         st0 = S(
             it=jnp.zeros((), jnp.int32),
             tf=tf_r, direction=dir_r, rtol=rtol_r, atol=atol_r,
-            t=t, y=y, yp=yp, h_abs=h_abs0,
+            t=t, t_lo=fzero, y=y, yp=yp, h_abs=h_abs0,
             status=izero, std_sc=izero + 1, err_old=fzero + 1.0,
             h_prev=fzero, max_fac=fzero + MAX_FACTOR0,
             rejected=izero, nstep=izero,
