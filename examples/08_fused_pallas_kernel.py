@@ -16,6 +16,16 @@ coverage.
 
 On one TPU v5e chip the 4096-member Van der Pol ensemble below runs in
 ~29 ms vs ~45 ms for the f32 XLA path and ~59 ms for the f64 XLA path.
+
+The same architecture covers every solver family (`extensisq_tpu.ops`):
+``solve_fused_rkn`` (2nd-order systems), ``solve_fused_rkc``
+(stabilized PDE grids, double-single Chebyshev recurrence),
+``solve_fused_esdirk`` (stiff/DAE ensembles with in-kernel batched
+Newton — Robertson to t=1e6 in 172 steps), and ``solve_fused_adams``
+(variable-order multistep: a 3.6M-step Van der Pol mu=1e3 horizon runs
+at ~2 us per step).  An in-kernel while iteration costs ~100x less
+than a dispatched XLA device-loop iteration, so the fused kernels
+dominate on long sequential horizons.
 """
 import os as _os
 import sys as _sys

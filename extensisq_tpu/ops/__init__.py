@@ -1,5 +1,22 @@
+"""Fused Pallas kernels: whole adaptive integrations in one TPU
+kernel, one per solver family (f32 fast paths; the XLA f64 steppers
+remain the conformance solvers).
+
+* :func:`solve_fused_erk` — explicit RK ensembles (+ mixed-precision
+  compensated mode for official tolerances)
+* :func:`solve_fused_rkn` — Runge-Kutta-Nystrom ensembles
+* :func:`solve_fused_rkc` — stabilized RKC on one resident grid
+  (double-single Chebyshev recurrence)
+* :func:`solve_fused_esdirk` — implicit/DAE ensembles (per-member
+  batched Newton, n <= 8)
+* :func:`solve_fused_adams` — variable-order SWAG multistep ensembles
+  (n <= 8; ~2 us per in-kernel step on v5e)
+"""
 from .fused_erk import solve_fused_erk
 from .fused_rkn import solve_fused_rkn
 from .fused_rkc import solve_fused_rkc
+from .fused_esdirk import solve_fused_esdirk
+from .fused_adams import solve_fused_adams
 
-__all__ = ["solve_fused_erk", "solve_fused_rkn", "solve_fused_rkc"]
+__all__ = ["solve_fused_erk", "solve_fused_rkn", "solve_fused_rkc",
+           "solve_fused_esdirk", "solve_fused_adams"]
