@@ -447,7 +447,8 @@ def solve_fused_adams(fun, t_span, y0_batch, rtol=1e-4, atol=1e-6,
             running = st.status == _RUNNING
             tc = st.t + st.t_lo          # double-single time carry
             min_step = fouru_t * jnp.abs(tc)
-            d = tfs - tc
+            # remaining interval in DS (see fused_esdirk.py)
+            d = (tfs - st.t) - st.t_lo
             near_end = jnp.abs(d) <= min_step
 
             fresh_b = st.fresh != 0
@@ -622,8 +623,15 @@ def solve_fused_adams(fun, t_span, y0_batch, rtol=1e-4, atol=1e-6,
                         fb(keep_h, h_in, h_red))
 
             t_adv, t_lo_adv = _df_add(st.t, st.t_lo, h_in)
-            is_last = success & (jnp.abs(tfs - x)
-                                 <= fouru * jnp.abs(x))
+            # landing test on the DOUBLE-SINGLE remainder: an f32
+            # |tf - x| <= eps*|x| test is blind once eps*|t| exceeds
+            # the remaining interval (e.g. unit spans at t ~ 1e6);
+            # the true remainder reaches ~ulp(h) only on the clamped
+            # landing step, and a missed landing self-corrects via
+            # further (tiny) steps
+            rem = (tfs - t_adv) - t_lo_adv
+            is_last = success & (jnp.abs(rem)
+                                 <= 8.0 * eps32 * jnp.abs(h_in))
             t_new = fb(is_last, tfs, t_adv)
             t_lo_new = fb(is_last, fzero, t_lo_adv)
 

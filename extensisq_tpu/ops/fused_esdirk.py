@@ -341,7 +341,9 @@ def solve_fused_esdirk(fun, t_span, y0_batch, method=None, M=None,
             out_rng = (st.h_abs < min_step)
             h_abs = jnp.maximum(min_step, st.h_abs)
             std_b = std_b | out_rng
-            d = jnp.abs(tf_ - tc)
+            # remaining interval in DS: tf - t is exact in f32 for
+            # nearby values (Sterbenz), then subtract the low word
+            d = jnp.abs((tf_ - st.t) - st.t_lo)
             take_d = (jnp.abs(d / h_abs - 1.0) < 1e-2) | (d < h_abs)
             h_abs = _fblend(take_d, d, h_abs)
             too_small = h_abs < min_step
@@ -468,10 +470,14 @@ def solve_fused_esdirk(fun, t_span, y0_batch, method=None, M=None,
                                      & (h_abs_next < min_step))
             status = _iblend(running & too_small, izero + _TOO_SMALL,
                              st.status)
-            is_last = accepted & (h_abs >= d)
             # double-single t advance: long horizons where
-            # h << ulp(t) would otherwise stall
+            # h << ulp(t) would otherwise stall.  The landing test uses
+            # the DS remainder (an f32 h_abs >= d test mis-lands when
+            # eps*|t| is comparable to the remaining interval).
             t_adv, t_lo_adv = _df_add(st.t, st.t_lo, h)
+            rem = (tf_ - t_adv) - t_lo_adv
+            is_last = accepted & (jnp.abs(rem)
+                                  <= 8.0 * eps32 * h_abs)
             t_new = _fblend(is_last, tf_, t_adv)
             t_lo_new = _fblend(is_last, fzero, t_lo_adv)
             status = _iblend((status == _RUNNING) & is_last,

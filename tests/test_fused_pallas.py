@@ -337,3 +337,43 @@ def test_fused_esdirk_trbdf2_filter_error():
     rel = np.max(np.abs(np.asarray(y) - np.asarray(out.y))
                  / (1e-8 + np.abs(np.asarray(out.y))))
     assert rel < 1e-3
+
+
+def test_fused_ds_time_carry():
+    """h < ulp(t) regime (unit span at t0=1e6): the double-single t
+    carries and DS landing tests keep both fused kernels integrating
+    where bare-f32 t accumulation stalls or mis-lands; backward spans
+    work through the fused SWAG."""
+    from extensisq_tpu.ops.fused_adams import solve_fused_adams
+    from extensisq_tpu.ops.fused_esdirk import solve_fused_esdirk
+    from extensisq_tpu import Kv3I
+
+    def dec(t, y):
+        return jnp.stack([-y[0]])
+
+    B = 128
+    Y0 = np.ones((B, 1), np.float32)
+    y, st, ns, _ = solve_fused_adams(dec, (1e6, 1e6 + 1.0), Y0,
+                                     rtol=1e-4, atol=1e-7, k_max=6,
+                                     max_steps=3000,
+                                     block_members=128, interpret=True)
+    assert np.all(np.asarray(st) == 1)
+    assert abs(float(y[0, 0]) - np.exp(-1.0)) < 1e-3
+
+    y2, st2, _, _ = solve_fused_esdirk(dec, (1e6, 1e6 + 1.0), Y0,
+                                       method=Kv3I, rtol=1e-4,
+                                       atol=1e-7, max_steps=3000,
+                                       block_members=128,
+                                       interpret=True)
+    assert np.all(np.asarray(st2) == 1)
+    assert abs(float(y2[0, 0]) - np.exp(-1.0)) < 1e-3
+
+    def grow(t, y):
+        return jnp.stack([y[0]])
+
+    y3, st3, _, _ = solve_fused_adams(grow, (1.0, 0.0), Y0, rtol=1e-5,
+                                      atol=1e-8, k_max=6,
+                                      max_steps=3000,
+                                      block_members=128, interpret=True)
+    assert np.all(np.asarray(st3) == 1)
+    assert abs(float(y3[0, 0]) - np.exp(-1.0)) < 1e-4
