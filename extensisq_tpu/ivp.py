@@ -131,7 +131,11 @@ class Stepper:
         self.direction = float(np.sign(self.t_bound - t0) or 1.0)
 
         # ignore-and-warn options that don't apply to this family,
-        # matching scipy's warn_extraneous behaviour
+        # matching scipy's warn_extraneous behaviour.  `vectorized` is
+        # accepted silently everywhere for drop-in compatibility: the
+        # reference uses it only to speed up finite-difference
+        # Jacobians (hosea.py:132-146), which autodiff replaces here.
+        options.pop("vectorized", None)
         allowed = _FAMILY_OPTIONS[method.family] | {"interpolant"}
         extraneous = {k: v for k, v in options.items() if k not in allowed}
         if extraneous:

@@ -105,7 +105,6 @@ def solve_fused_adams(fun, t_span, y0_batch, rtol=1e-4, atol=1e-6,
     tf = float(t_span[1])
     direction = float(np.sign(tf - t0) or 1.0)
     eps32 = float(np.finfo(np.float32).eps)
-    fouru = 4.0 * eps32
     # the min-step floor guards t-accumulation round-off; with the
     # double-single t carry the effective resolution is ~2^-46, so the
     # bare-f32 floor (which kills Van der Pol spikes once t > ~300) is
@@ -358,26 +357,32 @@ def solve_fused_adams(fun, t_span, y0_batch, rtol=1e-4, atol=1e-6,
             freshd = raised & (c_ivc == 0)
             v2 = list(c_v)
             w2 = list(c_w)
-            v2[km - 1] = fb(freshd, fzero + iqq[km - 1], v2[km - 1])
-            w2[km - 1] = fb(freshd, v2[km - 1], w2[km - 1])
+            # fresh diagonal entry at the DYNAMIC slot k-1 with value
+            # iqq[k-1] (steppers/adams.py:368-371; a static km-1 here
+            # writes the wrong slot whenever k < k_max)
+            iqq_km1 = ctake(iqq, cliped(km1, 0, km - 1))
+            v2 = [fb(freshd & (r == km1), iqq_km1, v2[r])
+                  for r in range(km)]
+            v2_km1 = vtake(v2, cliped(km1, 0, km - 1))
+            w2 = [fb(freshd & (r == km1), v2_km1, w2[r])
+                  for r in range(km)]
             kgi2 = ib(freshd & (kk == 2), izero + 1, c_kgi)
             gi2 = list(c_gi)
             if km > 1:
                 gi2[0] = fb(freshd & (kk == 2), w2[1], gi2[0])
 
-            # sequential diagonal update j = jv .. ns-2; the row index
-            # km-1-j is STATIC, so this is direct list access (the XLA
-            # stepper needs one-hot take/put only because its j is a
-            # lax loop counter)
+            # sequential diagonal update j = jv .. ns-2 over the
+            # DYNAMIC rows k-1-j (steppers/adams.py:379-388)
             for j in range(km):
                 active = raised & (j >= jv) & (j < nsm1)
-                i_r = max(min(km - 1 - j, km - 1), 0)
-                newval = v2[i_r] - alpha_n[min(j, km - 1)] \
-                    * v2[min(i_r + 1, km - 1)]
-                v2[i_r] = fb(active, newval, v2[i_r])
-            lowlim = jnp.maximum(km - 1 - nsm1 + 1, 0)
+                i_r = cliped(km1 - j, 0, km - 1)
+                v2_i = vtake(v2, i_r)
+                newval = v2_i - alpha_n[min(j, km - 1)] \
+                    * vtake(v2, cliped(i_r + 1, 0, km - 1))
+                v2 = vput(v2, i_r, fb(active, newval, v2_i))
+            lowlim = jnp.maximum(km1 - nsm1 + 1, 0)
             for r in range(km):
-                cond = raised & (r >= lowlim) & (r <= km - 1 - jv)
+                cond = raised & (r >= lowlim) & (r <= km1 - jv)
                 w2[r] = fb(cond, v2[r], w2[r])
             cond_kgi = raised & (kk == nss) & (jv < nsm1)
             kgi2 = ib(cond_kgi, nsm1, kgi2)

@@ -163,14 +163,16 @@ def solve_fused_esdirk(fun, t_span, y0_batch, method=None, M=None,
         return jnp.stack(rows)
 
     def _jacobian(t, y):
-        """J[i][j] member tiles via n basis-tangent JVPs."""
+        """J[i][j] member tiles via n basis tangents of ONE
+        linearization (jax.linearize evaluates the primal once; n
+        separate jvp calls would re-trace it n times)."""
+        _, jvp_fn = jax.linearize(lambda yy: fun(t, yy), y)
         cols = []
         for j in range(n):
             seed = jnp.stack([jnp.ones_like(y[0]) if i == j
                               else jnp.zeros_like(y[0])
                               for i in range(n)])
-            _, col = jax.jvp(lambda yy: fun(t, yy), (y,), (seed,))
-            cols.append(col)
+            cols.append(jvp_fn(seed))
         return [[cols[j][i] for j in range(n)] for i in range(n)]
 
     def _gauss(Aij, b):
@@ -455,14 +457,6 @@ def solve_fused_esdirk(fun, t_span, y0_batch, method=None, M=None,
             h_abs_next = h_abs * h_fac
             h_abs_next, _ = _sanitize(h_abs_next)
 
-            import os
-            if os.environ.get("FUSED_ESDIRK_DEBUG"):
-                jax.debug.print(
-                    "it={i} t={t:.6f} h={h:.3e} hn={hn:.3e} conv={c} "
-                    "acc={a} err={e:.3e} Rate={r:.3e}",
-                    i=st.it, t=st.t[0, 0], h=h_abs[0, 0],
-                    hn=h_abs_next[0, 0], c=conv_all[0, 0],
-                    a=accepted[0, 0], e=err_norm[0, 0], r=Rate[0, 0])
             # genuine step-size underflow: a rejected attempt whose
             # reduced h falls below min_step would only be clamped back
             # up next attempt (infinite loop) — terminate instead
