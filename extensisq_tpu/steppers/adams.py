@@ -477,15 +477,8 @@ class AdamsStepper:
         phi = _put(phi, jnp.clip(kp1, 0, km + 1), phi_k)
         phi = _put(phi, jnp.clip(k, 0, km + 1), jnp.zeros_like(phi_k))
         gw = _where(idx_r < k, g_ext, 0.0)
-        if getattr(self, "matmul_free", False):
-            # Pallas path: Mosaic cannot lower the batched dot_general
-            # this einsum becomes under the fused kernel's double vmap;
-            # an elementwise multiply + axis reduction is equivalent
-            p = h * jnp.sum(gw.astype(self.real_dtype)[:, None]
-                            * phi.astype(self.dtype), axis=0) + y0
-        else:
-            p = h * jnp.einsum("s,sn->n", gw.astype(self.real_dtype),
-                               phi.astype(self.dtype)) + y0
+        p = h * jnp.einsum("s,sn->n", gw.astype(self.real_dtype),
+                           phi.astype(self.dtype)) + y0
         # reverse cumulative sum over rows < k
         masked = _where(_mask2(idx_r < k, phi.shape[1]), phi,
                            jnp.zeros_like(phi))
@@ -639,15 +632,9 @@ class AdamsStepper:
         x = x0 + h
         g_k = _take(c.g, jnp.clip(k, 0, km))
         y_corr = h * g_k * (c.yp_pred - c.phi[0]) + c.p
-        if getattr(self, "matmul_free", False):
-            # fused-kernel path: cond batches to a select whose i1
-            # predicate must broadcast over the state — unsupported in
-            # Mosaic; evaluate and merge instead (nfev still gated)
-            yp_new = _where(ok, self.fun(x, y_corr), yp0)
-        else:
-            yp_new = jax.lax.cond(
-                ok, lambda _: self.fun(x, y_corr), lambda _: yp0,
-                operand=None)
+        yp_new = jax.lax.cond(
+            ok, lambda _: self.fun(x, y_corr), lambda _: yp0,
+            operand=None)
         nfev = c.nfev + _where(ok, 1, 0)
 
         idx_r = jnp.arange(km + 2)
