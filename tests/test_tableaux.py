@@ -22,11 +22,14 @@ RK_LIKE = EXPLICIT_METHODS + [CKdisc] + ESDIRK_METHODS
 def test_rk_order_conditions(method):
     tab = method.tableau
     tol = tab.n_stages * 1e-13
-    for q in range(1, min(tab.order, 7) + 1):
+    # Full algebraic verification through order 9 — exceeds the
+    # reference's own order-7 cap (test_rk.py:14-72); Pr8's 8th- and
+    # Pr9's 9th-order main conditions are checked here.
+    for q in range(1, min(tab.order, 9) + 1):
         r = rk_residuals(q, tab.B, tab.C, tab.A)
         assert np.max(np.abs(r)) < tol, f"main order {q}"
     A2, Bh, C2 = augmented_embedded(tab.A, tab.B, tab.C, tab.E)
-    for q in range(1, min(tab.order_secondary, 7) + 1):
+    for q in range(1, min(tab.order_secondary, 9) + 1):
         r = rk_residuals(q, Bh, C2, A2)
         assert np.max(np.abs(r)) < tol, f"embedded order {q}"
 
