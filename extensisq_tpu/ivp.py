@@ -549,4 +549,8 @@ def solve_ivp(fun, t_span, y0, method=None, t_eval=None, dense_output=False,
         nsteps=int(solver.state.nsteps), nfailed=solver.nfailed,
         nls=int(getattr(solver.state, "nls", 0)),
         nfi=int(getattr(solver.state, "nfi", 0)),
+        # RKC diagnostics (the reference exposes these as module
+        # globals, sommeijer.py:12-14)
+        nfesig=int(getattr(solver.state, "nfesig", 0)),
+        maxm=int(getattr(solver.state, "maxm", 0)),
         status=status, message=message, success=status >= 0)

@@ -47,6 +47,9 @@ class Solution(NamedTuple):
     n_events: Any = None   # (n_events,) int32 counts
     stiffness: Any = None  # int32 diagnosis code (core.stiffness.STIFF_*)
                            # when solve(..., nfev_stiff_detect=N) is on
+    nfesig: Any = None     # RKC: f-evals spent on spectral-radius power
+    maxm: Any = None       # iterations / max stage count incl. rejected
+                           # attempts (reference sommeijer.py:12-14)
     final_state: Any = None  # stepper-state pytree (return_state=True);
                              # feed back via solve(resume_state=...)
 
@@ -387,7 +390,9 @@ def solve(fun, t_span, y0, method=None, rtol=1e-3, atol=1e-6,
     out = Solution(
         t=state.t, y=state.y, status=status_out,
         nfev=state.nfev + (sc[1] if stiff_check is not None else 0),
-        nsteps=state.nsteps, nfailed=state.nfailed)
+        nsteps=state.nsteps, nfailed=state.nfailed,
+        nfesig=getattr(state, "nfesig", None),
+        maxm=getattr(state, "maxm", None))
     if return_state:
         out = out._replace(final_state=state)
     if stiff_check is not None:

@@ -228,6 +228,7 @@ class RKCStepper:
             err: Any
             h_used: Any
             m_used: Any
+            maxm: Any
             nfev: Any
             nfesig: Any
             nfailed: Any
@@ -328,6 +329,9 @@ class RKCStepper:
                 err=jnp.where(accepted, err, c.err),
                 h_used=jnp.where(accepted, h, c.h_used),
                 m_used=jnp.where(accepted, m, c.m_used),
+                # the reference records maxm on every ATTEMPT, rejected
+                # ones included (sommeijer.py:204, inside the step loop)
+                maxm=jnp.maximum(c.maxm, m),
                 nfev=nfev, nfesig=nfesig,
                 nfailed=c.nfailed + jnp.where(accepted, 0, 1),
                 mlim=mlim)
@@ -342,6 +346,7 @@ class RKCStepper:
             y_new=yn, f_new=fn, err=state.errold,
             h_used=jnp.zeros_like(state.h_previous),
             m_used=jnp.asarray(0, jnp.int32),
+            maxm=state.maxm,
             nfev=state.nfev, nfesig=state.nfesig, nfailed=state.nfailed,
             mlim=state.mlim)
         c = jax.lax.while_loop(
@@ -399,7 +404,7 @@ class RKCStepper:
             nfev=c.nfev, nfesig=c.nfesig,
             nsteps=state.nsteps + jnp.where(ok, 1, 0),
             nfailed=c.nfailed,
-            maxm=jnp.maximum(state.maxm, c.m_used),
+            maxm=c.maxm,
             max_step_eff=state.max_step_eff, hmin0=state.hmin0)
 
     # -- flat (attempt-level) stepping for the device driver -------------------
@@ -545,7 +550,8 @@ class RKCStepper:
             nfev=nfev, nfesig=nfesig,
             nsteps=state.nsteps + jnp.where(ok, 1, 0),
             nfailed=state.nfailed + jnp.where(ok, 0, 1),
-            maxm=jnp.maximum(state.maxm, jnp.where(ok, m, 0)),
+            # maxm counts rejected attempts too (sommeijer.py:204)
+            maxm=jnp.maximum(state.maxm, m),
             max_step_eff=state.max_step_eff, hmin0=state.hmin0)
         return new_state, aux, ok
 

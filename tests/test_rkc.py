@@ -80,6 +80,29 @@ def test_dense_output():
         assert np.max(np.abs(yc[:, i] - heat_exact(x, t))) < 2e-4
 
 
+def test_maxm_counts_rejected_attempts():
+    """maxm is recorded per ATTEMPT (sommeijer.py:204): a rejected
+    high-m attempt must dominate the reported maximum.  nfesig/maxm
+    are surfaced on both drivers' results and agree exactly.
+
+    The pinned counts were verified identical to a live run of the
+    reference implementation on this exact problem."""
+    x = np.linspace(1 / (N + 1), N / (N + 1), N)
+    y0 = np.sin(np.pi * x)
+    r = solve_ivp(heat_dirichlet, (0, 0.5), y0, method=SSV2stab,
+                  rtol=1e-1, atol=1e-1)
+    assert r.success
+    assert (r.nsteps, r.nfailed, r.nfev) == (6, 1, 221)
+    # the rejected attempt ran m=76 stages; no accepted step reaches it
+    assert r.maxm == 76
+    assert r.nfesig == 9
+    out = solve(heat_dirichlet, (0.0, 0.5), jnp.asarray(y0),
+                method=SSV2stab, rtol=1e-1, atol=1e-1)
+    assert int(out.maxm) == r.maxm
+    assert int(out.nfesig) == r.nfesig
+    assert int(out.nsteps) == r.nsteps
+
+
 def test_complex_rejected():
     with pytest.raises(ValueError, match="complex"):
         solve_ivp(lambda t, y: -y, (0, 1), np.array([1j]),
