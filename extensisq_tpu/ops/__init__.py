@@ -6,7 +6,9 @@ remain the conformance solvers).
   compensated mode for official tolerances)
 * :func:`solve_fused_rkn` — Runge-Kutta-Nystrom ensembles
 * :func:`solve_fused_rkc` — stabilized RKC on one resident grid
-  (double-single Chebyshev recurrence)
+  (deviation-form recurrence with double-single coefficients)
+* :func:`solve_fused_rkc_ensemble` — member ensembles of PDE grids,
+  one member-block per Pallas program instance (BASELINE config 5)
 * :func:`solve_fused_esdirk` — implicit/DAE ensembles (per-member
   batched Newton, n <= 8)
 * :func:`solve_fused_adams` — variable-order SWAG multistep ensembles
@@ -14,9 +16,11 @@ remain the conformance solvers).
 """
 from .fused_erk import solve_fused_erk
 from .fused_rkn import solve_fused_rkn
-from .fused_rkc import solve_fused_rkc
+from .fused_rkc import (solve_fused_rkc,
+                        solve_fused_rkc_ensemble)
 from .fused_esdirk import solve_fused_esdirk
 from .fused_adams import solve_fused_adams
 
 __all__ = ["solve_fused_erk", "solve_fused_rkn", "solve_fused_rkc",
-           "solve_fused_esdirk", "solve_fused_adams"]
+           "solve_fused_rkc_ensemble", "solve_fused_esdirk",
+           "solve_fused_adams"]

@@ -36,7 +36,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..steppers.adams import AdamsStepper, _GSTR
 from ..types import IVPParams
-from .fused_erk import _fblend, _iblend, _sanitize, _df_add
+from .fused_erk import _fblend, _iblend, _sanitize, _df_add, _two_sum
 
 _RUNNING, _FINISHED, _TOO_SMALL, _OVERFLOW = 0, 1, 2, 3
 
@@ -49,6 +49,7 @@ class _K(NamedTuple):
     h: Any
     hold: Any
     y: Any            # tuple (n)
+    y_lo: Any         # tuple (n): double-single low words (comp mode)
     yp: Any           # tuple (n)
     wt: Any           # tuple (n)
     phi: Any          # tuple (km+2) of tuple (n)
@@ -78,12 +79,23 @@ class _K(NamedTuple):
 
 def solve_fused_adams(fun, t_span, y0_batch, rtol=1e-4, atol=1e-6,
                       first_step=None, k_max=12, max_steps=200_000,
-                      block_members=1024, interpret=False):
+                      block_members=1024, interpret=False,
+                      compensated=False):
     """Integrate an ensemble with SWAG entirely in one TPU kernel.
 
     y0_batch: (B, n) float32, n <= 8.  Returns (y_final (B, n),
     status (B,), nsteps (B,), nfev (B,)) with the fused status
     convention (1 finished, 2 too-small-step, 3 overflow/step cap).
+
+    ``compensated=True`` enables the mixed-precision mode (fused_erk
+    machinery): a double-single (hi, lo) carry for y and t plus
+    Neumaier-compensated predictor/corrector increment sums.  At tens
+    of thousands of steps the plain-f32 per-step rounding is a
+    ~sqrt(nsteps)*eps32 relative random walk (~1e-5 at 43k steps) —
+    above rtol 1e-6; the DS carry reduces it to O(eps32^2) per step,
+    extending the fused multistep path to rtol ~1e-6 / atol ~1e-9.
+    The phi difference tables remain f32 (their noise enters the
+    error estimates, not the solution accumulation).
     """
     y0_batch = jnp.asarray(y0_batch, jnp.float32)
     n_total, n = y0_batch.shape
@@ -136,7 +148,9 @@ def solve_fused_adams(fun, t_span, y0_batch, rtol=1e-4, atol=1e-6,
     fparts = [states0.t[:, None],
               jnp.zeros((B, 1), jnp.float32),           # t_lo
               states0.h[:, None],
-              states0.hold[:, None], states0.y, states0.yp, states0.wt,
+              states0.hold[:, None], states0.y,
+              jnp.zeros((B, n), jnp.float32),           # y_lo
+              states0.yp, states0.wt,
               states0.phi.reshape(B, -1), states0.psi, states0.alpha,
               states0.beta, states0.sig, states0.v, states0.w,
               states0.g, states0.gi]
@@ -174,6 +188,7 @@ def solve_fused_adams(fun, t_span, y0_batch, rtol=1e-4, atol=1e-6,
 
             fo = 4
             y = frows(fo, n); fo += n
+            y_lo = frows(fo, n); fo += n
             yp = frows(fo, n); fo += n
             wt = frows(fo, n); fo += n
             phi = [frows(fo + i * n, n) for i in range(km + 2)]
@@ -190,7 +205,8 @@ def solve_fused_adams(fun, t_span, y0_batch, rtol=1e-4, atol=1e-6,
             iv = [I[io + r] for r in range(n_iv)]; io += n_iv
             return _K(
                 it=it, t=F[0], t_lo=F[1], h=F[2], hold=F[3],
-                y=tuple(y), yp=tuple(yp), wt=tuple(wt),
+                y=tuple(y), y_lo=tuple(y_lo), yp=tuple(yp),
+                wt=tuple(wt),
                 phi=tuple(tuple(rw) for rw in phi),
                 psi=tuple(psi), alpha=tuple(alpha), beta=tuple(beta),
                 sig=tuple(sig), v=tuple(v), w=tuple(w), g=tuple(g),
@@ -202,7 +218,8 @@ def solve_fused_adams(fun, t_span, y0_batch, rtol=1e-4, atol=1e-6,
 
         def pack(st):
             frows_out = [st.t, st.t_lo, st.h, st.hold]
-            frows_out += list(st.y) + list(st.yp) + list(st.wt)
+            frows_out += (list(st.y) + list(st.y_lo) + list(st.yp)
+                          + list(st.wt))
             for rw in st.phi:
                 frows_out += list(rw)
             frows_out += (list(st.psi) + list(st.alpha)
@@ -490,12 +507,27 @@ def solve_fused_adams(fun, t_span, y0_batch, rtol=1e-4, atol=1e-6,
                 for r in range(km + 2):
                     phi_n[r][j] = col[r]
             p = []
+            pred_s = []          # comp mode: increment sum + low part
+            pred_c = []
             for j in range(n):
-                acc = fzero
-                for r in range(km + 1):
-                    gw = fb(r < kk, g_ext[r], fzero)
-                    acc = acc + gw * phi_n[r][j]
-                p.append(h_in * acc + st.y[j])
+                if compensated:
+                    acc = fzero
+                    comp = fzero
+                    for r in range(km + 1):
+                        gw = fb(r < kk, g_ext[r], fzero)
+                        acc, e = _two_sum(acc, gw * phi_n[r][j])
+                        comp = comp + e
+                    inc = h_in * acc
+                    small = h_in * comp
+                    pred_s.append(inc)
+                    pred_c.append(small)
+                    p.append(st.y[j] + (inc + (small + st.y_lo[j])))
+                else:
+                    acc = fzero
+                    for r in range(km + 1):
+                        gw = fb(r < kk, g_ext[r], fzero)
+                        acc = acc + gw * phi_n[r][j]
+                    p.append(h_in * acc + st.y[j])
             # reverse cumulative sum over rows < k
             for j in range(n):
                 acc = fzero
@@ -575,7 +607,23 @@ def solve_fused_adams(fun, t_span, y0_batch, rtol=1e-4, atol=1e-6,
 
             # block 4: correct, evaluate, order/step selection
             g_k = vtake(g_n, cliped(kk, 0, km))
-            y_corr = [h_in * g_k * temp4[j] + p[j] for j in range(n)]
+            if compensated:
+                # full step increment in double-single: the per-step
+                # y + inc rounding (eps32*|y| random walk over tens of
+                # thousands of steps) moves to the low word
+                y_corr, y_corr_lo = [], []
+                for j in range(n):
+                    s1, e1 = _two_sum(pred_s[j],
+                                      h_in * g_k * temp4[j])
+                    lo = e1 + pred_c[j]
+                    hi, lo1 = _df_add(st.y[j], st.y_lo[j], s1)
+                    hi, lo2 = _two_sum(hi, lo1 + lo)
+                    y_corr.append(hi)
+                    y_corr_lo.append(lo2)
+            else:
+                y_corr = [h_in * g_k * temp4[j] + p[j]
+                          for j in range(n)]
+                y_corr_lo = list(st.y_lo)
             yp_new = fcall(x, y_corr)
             nfev2 = nfev2 + ib(success, izero + 1, izero)
 
@@ -641,7 +689,16 @@ def solve_fused_adams(fun, t_span, y0_batch, rtol=1e-4, atol=1e-6,
             t_lo_new = fb(is_last, fzero, t_lo_adv)
 
             # near-end linear extrapolation
-            y_ext = [st.y[j] + d * st.yp[j] for j in range(n)]
+            if compensated:
+                y_ext, y_ext_lo = [], []
+                for j in range(n):
+                    hi, lo = _df_add(st.y[j], st.y_lo[j],
+                                     d * st.yp[j])
+                    y_ext.append(hi)
+                    y_ext_lo.append(lo)
+            else:
+                y_ext = [st.y[j] + d * st.yp[j] for j in range(n)]
+                y_ext_lo = list(st.y_lo)
             extrap = running & near_end
 
             ok = success
@@ -653,11 +710,16 @@ def solve_fused_adams(fun, t_span, y0_batch, rtol=1e-4, atol=1e-6,
 
             # writeback (flat semantics: failed-attempt restores carry)
             y_out = []
+            ylo_out = []
             for j in range(n):
                 val = fb(extrap, y_ext[j],
                          fb(ok, y_corr[j], st.y[j]))
                 val, _ = _sanitize(val)
                 y_out.append(val)
+                lval = fb(extrap, y_ext_lo[j],
+                          fb(ok, y_corr_lo[j], st.y_lo[j]))
+                lval, _ = _sanitize(lval)
+                ylo_out.append(lval)
             yp_out = []
             for j in range(n):
                 val = fb(ok, yp_new[j], st.yp[j])
@@ -686,7 +748,8 @@ def solve_fused_adams(fun, t_span, y0_batch, rtol=1e-4, atol=1e-6,
                         fb(ok, t_lo_new, st.t_lo)),
                 h=h_out,
                 hold=fb(ok, h_in, st.hold),
-                y=tuple(y_out), yp=tuple(yp_out),
+                y=tuple(y_out), y_lo=tuple(ylo_out),
+                yp=tuple(yp_out),
                 wt=tuple([fb(ok, wtn[j], st.wt[j]) for j in range(n)]),
                 phi=tuple(tuple(rw) for rw in phi_out),
                 psi=tuple(psi_out),

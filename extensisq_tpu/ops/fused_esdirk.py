@@ -50,7 +50,7 @@ from .._config import (NEWTON_MAXITER, MAX_RATE, MAX_FACTOR_NRF,
                        MIN_FACTOR, MAX_FACTOR, MAX_FACTOR0)
 from ..core.controller import resolve_controller
 from .fused_erk import (_fblend, _iblend, _sanitize, _member_norm,
-                        _df_add)
+                        _df_add, _two_sum, _comp_wsum)
 
 _RUNNING, _FINISHED, _TOO_SMALL, _OVERFLOW = 0, 1, 2, 3
 
@@ -63,7 +63,8 @@ def _pow(x, e):
 def solve_fused_esdirk(fun, t_span, y0_batch, method=None, M=None,
                        yp0_batch=None, rtol=1e-4, atol=1e-6,
                        first_step=None, max_steps=100_000,
-                       block_members=1024, interpret=False):
+                       block_members=1024, interpret=False,
+                       compensated=False):
     """Integrate an ensemble of small stiff systems / index-1 DAEs in
     one TPU kernel.
 
@@ -73,6 +74,20 @@ def solve_fused_esdirk(fun, t_span, y0_batch, method=None, M=None,
     ``yp0_batch``: (B, n) consistent initial derivatives (required for
     DAEs; defaults to fun(t0, y0) otherwise).  Returns
     (y_final (B, n), status (B,), nsteps (B,), nfev (B,)).
+
+    ``compensated=True`` enables the mixed-precision mode (the
+    fused_erk machinery): a double-single (hi, lo) carry for y and
+    Neumaier-compensated dots over the stage increments z_j for the
+    solution update and the embedded error.  Since h*K_j == z_j
+    exactly, the compensated dots work on the z rows directly —
+    removing both the per-step accumulation rounding and the
+    error-estimate cancellation (the two f32 failure modes at tight
+    tolerances), and the K_j = z_j/h double rounding with them.  This
+    extends the fused implicit path to rtol ~1e-6 / atol ~1e-9.  The
+    per-stage Newton floor is unchanged (f(y_pred) arguments still
+    round to f32), so stage solutions carry O(eps32/rtol)-of-scale
+    noise; the controller absorbs it (see test
+    test_fused_esdirk_compensated_official_tol).
     """
     if method is None:
         from ..methods import Kv3I as method
@@ -230,6 +245,7 @@ def solve_fused_esdirk(fun, t_span, y0_batch, method=None, M=None,
             t: Any
             t_lo: Any
             y: Any
+            y_lo: Any
             yp: Any
             h_abs: Any
             status: Any
@@ -369,17 +385,28 @@ def solve_fused_esdirk(fun, t_span, y0_batch, method=None, M=None,
 
             # stages (stage 0 explicit: K0 = yp)
             K = [_rows(st.yp)]
+            Z = [[h * K[0][i] for i in range(n)]]   # h*K_j == z_j
+            y_lo_rows = _rows(st.y_lo)
             conv_all = running & ~too_small
             Rate = fzero
             nfev_d = izero
             psi = y_c
             z = [fzero for _ in range(n)]
             for st_i in range(1, s):
-                psi = [y_c[i]
-                       + h * sum((A[st_i, j] * K[j][i]
-                                  for j in range(st_i)
-                                  if A[st_i, j] != 0.0), fzero)
-                       for i in range(n)]
+                if compensated:
+                    psi = []
+                    for i in range(n):
+                        acc, cmp = _comp_wsum(
+                            [Z[j][i] for j in range(st_i)],
+                            A[st_i, :st_i])
+                        psi.append(y_c[i] + (acc + (cmp
+                                                    + y_lo_rows[i])))
+                else:
+                    psi = [y_c[i]
+                           + h * sum((A[st_i, j] * K[j][i]
+                                      for j in range(st_i)
+                                      if A[st_i, j] != 0.0), fzero)
+                           for i in range(n)]
                 z0 = [h * sum((Az[st_i, j] * K[j][i]
                                for j in range(st_i)
                                if Az[st_i, j] != 0.0), fzero)
@@ -391,15 +418,37 @@ def solve_fused_esdirk(fun, t_span, y0_batch, method=None, M=None,
                 Rate = jnp.maximum(Rate, rate_s)
                 nfev_d = nfev_d + nfev_s
                 K.append([z[i] * (1.0 / h) for i in range(n)])
+                Z.append([z[i] for i in range(n)])
 
-            # solution + error (common.py:2079-2087)
-            y_new = _stack([psi[i] + dd * z[i] for i in range(n)])
+            # solution + error (common.py:2079-2087); stiffly accurate:
+            # y_new = y + sum_j A[s-1, j] z_j (A[s-1, s-1] = d)
+            if compensated:
+                y_rows, ylo_rows_new = [], []
+                for i in range(n):
+                    inc_s, inc_c = _comp_wsum(
+                        [Z[j][i] for j in range(s)], A[s - 1, :s])
+                    hi, lo1 = _df_add(y_c[i], y_lo_rows[i], inc_s)
+                    hi, lo2 = _two_sum(hi, lo1 + inc_c)
+                    y_rows.append(hi)
+                    ylo_rows_new.append(lo2)
+                y_new = _stack(y_rows)
+                y_lo_new = _stack(ylo_rows_new)
+            else:
+                y_new = _stack([psi[i] + dd * z[i] for i in range(n)])
+                y_lo_new = st.y_lo
             y_new, bad_y = _sanitize(y_new)
             scale = atol + rtol * jnp.maximum(jnp.abs(st.y),
                                               jnp.abs(y_new))
-            err_rows = [h * sum((E[j] * K[j][i] for j in range(s)
-                                 if E[j] != 0.0), fzero)
-                        for i in range(n)]
+            if compensated:
+                err_rows = []
+                for i in range(n):
+                    acc, cmp = _comp_wsum([Z[j][i] for j in range(s)],
+                                          E[:s])
+                    err_rows.append(acc + cmp)
+            else:
+                err_rows = [h * sum((E[j] * K[j][i] for j in range(s)
+                                     if E[j] != 0.0), fzero)
+                            for i in range(n)]
             if filter_error:
                 sc_err = [err_rows[i] * ((1.0 / (h * dd))
                                          if is_alg[i] else 1.0)
@@ -496,6 +545,7 @@ def solve_fused_esdirk(fun, t_span, y0_batch, method=None, M=None,
                 t=_fblend(upd, t_new, st.t),
                 t_lo=_fblend(upd, t_lo_new, st.t_lo),
                 y=_fblend(updn, y_new, st.y),
+                y_lo=_fblend(updn, y_lo_new, st.y_lo),
                 yp=_fblend(updn, yp_new, st.yp),
                 h_abs=_fblend(running, h_abs_next, st.h_abs),
                 status=status,
@@ -513,7 +563,7 @@ def solve_fused_esdirk(fun, t_span, y0_batch, method=None, M=None,
         st0 = S(
             it=jnp.zeros((), jnp.int32),
             tf=tf_r, direction=dir_r, rtol=rtol_r, atol=atol_r,
-            t=t, t_lo=fzero, y=y, yp=yp, h_abs=h_abs0,
+            t=t, t_lo=fzero, y=y, y_lo=y * 0.0, yp=yp, h_abs=h_abs0,
             status=izero, std_sc=izero + 1, err_old=fzero + 1.0,
             h_prev=fzero, max_fac=fzero + MAX_FACTOR0,
             rejected=izero, nstep=izero,

@@ -211,6 +211,74 @@ def test_fused_rkc_double_single_stage_cap():
     assert err < 3e-5        # within ~3x tolerance of the f64 result
 
 
+def test_fused_rkc_member_ensemble():
+    """Member-batched fused RKC (BASELINE config 5): an ensemble of
+    PDE grids in ONE pallas_call, members on the Pallas grid dimension
+    with fully independent per-member adaptive control.  Each member
+    must be BIT-IDENTICAL to the single-grid kernel run on it alone,
+    and step counts must track the f64 XLA ensemble path."""
+    from extensisq_tpu.ops.fused_rkc import (solve_fused_rkc,
+                                             solve_fused_rkc_ensemble,
+                                             roll)
+    from extensisq_tpu import solve_ensemble, SSV2stab
+
+    ny, nx = 16, 128
+    A_, alpha = 1.0, 0.02
+    dx = 1.0 / nx
+
+    def fun_grid(t, uv, p):
+        lap = (roll(uv, 1, 1) + roll(uv, -1, 1)
+               + roll(uv, 1, 2) + roll(uv, -1, 2) - 4.0 * uv) / dx ** 2
+        u, v = uv[0], uv[1]
+        uv2 = u * u * v
+        return jnp.stack([A_ + uv2 - (p[0] + 1.0) * u + alpha * lap[0],
+                          p[0] * u - uv2 + alpha * lap[1]])
+
+    rho = 8.0 * alpha / dx ** 2 + 2.0 + 3.5
+    M = 4
+    xg = np.linspace(0, 1, nx, endpoint=False)
+    Bs = np.linspace(2.8, 3.5, M).astype(np.float32)
+    Y0 = np.zeros((M, 2, ny, nx), np.float32)
+    for i in range(M):
+        Y0[i, 0] = 1.0 + 0.3 * np.sin(2 * np.pi * xg)[None, :]
+        Y0[i, 1] = 3.0
+    params = Bs[:, None]
+
+    yf, st, ns, nf = solve_fused_rkc_ensemble(
+        fun_grid, (0.0, 1.0), Y0, rho, params=params,
+        rtol=1e-4, atol=1e-7, interpret=True)
+    assert np.all(np.asarray(st) == 1)
+    # per-member adaptivity is genuinely independent
+    assert len(set(int(x) for x in np.asarray(ns))) > 1
+
+    # bit-identity with the single-grid kernel, member by member
+    for i in range(M):
+        p = (float(Bs[i]),)
+        y1, s1, n1, f1 = solve_fused_rkc(
+            lambda t, y: fun_grid(t, y, p), (0.0, 1.0), Y0[i], rho,
+            rtol=1e-4, atol=1e-7, interpret=True)
+        assert int(s1) == int(st[i])
+        assert int(n1) == int(ns[i])
+        assert int(f1) == int(nf[i])
+        assert np.array_equal(np.asarray(y1), np.asarray(yf[i]))
+
+    # step counts track the f64 XLA ensemble path
+    def fun_flat(t, y, Bv):
+        return fun_grid(t, y.reshape(2, ny, nx), (Bv,)).reshape(-1)
+
+    out = solve_ensemble(
+        fun_flat, (0.0, 1.0),
+        jnp.asarray(Y0.reshape(M, -1), jnp.float64),
+        params_batch=jnp.asarray(Bs, jnp.float64),
+        method=SSV2stab, rtol=1e-4, atol=1e-7,
+        rho_jac=lambda t, y: rho)
+    nsx = np.asarray(out.nsteps)
+    assert np.max(np.abs(np.asarray(ns) - nsx)) <= 2
+    err = np.max(np.abs(np.asarray(yf).reshape(M, -1)
+                        - np.asarray(out.y)))
+    assert err < 1e-3
+
+
 def test_fused_esdirk_robertson():
     """Fused implicit kernel (per-stage batched Newton, unrolled
     pivoted Gaussian solves): in-tolerance agreement and comparable
@@ -310,6 +378,61 @@ def test_fused_adams_vdp():
     assert abs(float(np.asarray(ns).mean())
                - float(np.asarray(out.nsteps).mean())) < 2.0
     assert np.max(np.abs(np.asarray(y) - np.asarray(out.y))) < 1e-3
+
+
+def test_fused_esdirk_compensated_official_tol():
+    """Compensated fused ESDIRK (DS y-carry + Neumaier stage dots over
+    the z rows) holds the official tolerances (rtol 1e-6 / atol 1e-9)
+    on Robertson to t=1e5: endpoint within ~2x tolerance of the f64
+    XLA path (round-2 VERDICT item 2)."""
+    from extensisq_tpu.ops.fused_esdirk import solve_fused_esdirk
+    from extensisq_tpu import solve, Kv3I
+
+    def rob_rows(t, y):
+        r1 = -0.04 * y[0] + 1e4 * y[1] * y[2]
+        r3 = 3e7 * y[1] * y[1]
+        return jnp.stack([r1, -r1 - r3, r3])
+
+    Y0 = np.tile(np.array([1.0, 0.0, 0.0], np.float32), (128, 1))
+    yf, st, ns, nf = solve_fused_esdirk(
+        rob_rows, (0.0, 1e5), Y0, rtol=1e-6, atol=1e-9,
+        interpret=True, block_members=128, compensated=True)
+    assert np.all(np.asarray(st) == 1)
+
+    out = jax.jit(lambda y: solve(
+        rob_rows, (0.0, 1e5), y, method=Kv3I, rtol=1e-6, atol=1e-9,
+        max_steps=20000))(jnp.asarray([1.0, 0.0, 0.0], jnp.float64))
+    yx = np.asarray(out.y)
+    rel = np.abs(np.asarray(yf[0]) - yx) / np.maximum(np.abs(yx),
+                                                      1e-12)
+    assert np.max(rel) < 5e-6, rel
+    # step counts in the same regime as the f64 path
+    assert abs(int(ns[0]) - int(out.nsteps)) < 0.15 * int(out.nsteps)
+
+
+def test_fused_adams_compensated():
+    """Compensated fused SWAG (DS y/t carries + Neumaier increment
+    sums) at rtol 1e-6 / atol 1e-9: endpoint matches the f64 XLA path
+    within tolerance on an oscillator (round-2 VERDICT item 2; the
+    long-horizon mu=1e3 discriminating run is TPU-only, see
+    validation/benchmarks.py config 2)."""
+    from extensisq_tpu.ops.fused_adams import solve_fused_adams
+    from extensisq_tpu import solve, SWAG
+
+    def f(t, y):
+        return jnp.stack([y[1], -y[0]])
+
+    Y0 = np.tile(np.array([1.0, 0.0], np.float32), (128, 1))
+    TF = 6.0
+    yf, st, ns, nf = solve_fused_adams(
+        f, (0.0, TF), Y0, rtol=1e-6, atol=1e-9, interpret=True,
+        block_members=128, k_max=8, compensated=True)
+    assert np.all(np.asarray(st) == 1)
+    out = jax.jit(lambda y: solve(
+        f, (0.0, TF), y, method=SWAG, rtol=1e-6, atol=1e-9,
+        k_max=8))(jnp.asarray([1.0, 0.0], jnp.float64))
+    err = np.max(np.abs(np.asarray(yf[0]) - np.asarray(out.y)))
+    assert err < 5e-6, err
 
 
 def test_fused_esdirk_trbdf2_filter_error():

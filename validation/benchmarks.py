@@ -374,6 +374,65 @@ def config5():
           f"tpu {dtf*1e3:7.1f} ms ({int(outf[2])} steps, "
           f"{int(outf[3])} evals, status {int(outf[1])})")
 
+    # 5d: member-batched fused RKC — an ensemble of PDE grids in ONE
+    # pallas_call (one member-block per program instance), vs the
+    # vmapped XLA f64 ensemble path on identical problems
+    from extensisq_tpu.ops.fused_rkc import solve_fused_rkc_ensemble
+
+    nyE, nxE = 64, 128
+    dxE = 1.0 / nxE
+    ME = 64
+    TFE = 4.0
+
+    def fun_gridE(t, uv, p):
+        lap = (roll(uv, 1, 1) + roll(uv, -1, 1)
+               + roll(uv, 1, 2) + roll(uv, -1, 2) - 4.0 * uv) / dxE**2
+        u, v = uv[0], uv[1]
+        uv2 = u * u * v
+        return jnp.stack([1.0 + uv2 - (p[0] + 1.0) * u + 0.02 * lap[0],
+                          p[0] * u - uv2 + 0.02 * lap[1]])
+
+    rhoE = 8.0 * 0.02 / dxE**2 + 2.0 + 3.5
+    xgE = np.linspace(0, 1, nxE, endpoint=False)
+    BsE = np.linspace(2.8, 3.5, ME)
+    Y0E = np.zeros((ME, 2, nyE, nxE))
+    for i in range(ME):
+        Y0E[i, 0] = 1.0 + 0.3 * np.sin(2 * np.pi * xgE)[None, :]
+        Y0E[i, 1] = 3.0
+    parE = jnp.asarray(BsE[:, None], jnp.float32)
+    Y0Ej = jnp.asarray(Y0E, jnp.float32)
+    runE4 = jax.jit(lambda Y, P: solve_fused_rkc_ensemble(
+        fun_gridE, (0.0, TFE), Y, rhoE, params=P,
+        rtol=1e-4, atol=1e-7))
+    dte, oute = time_tpu(runE4, Y0Ej, parE, reps=5)
+    nsE = np.asarray(oute[2])
+    okE = bool(np.all(np.asarray(oute[1]) == 1))
+
+    def fun_flatE(t, y, Bv):
+        return fun_gridE(t, y.reshape(2, nyE, nxE), (Bv,)).reshape(-1)
+
+    runEX = jax.jit(lambda Y: solve_ensemble(
+        fun_flatE, (0.0, TFE), Y,
+        params_batch=jnp.asarray(BsE, jnp.float64),
+        method=SSV2stab, rtol=1e-4, atol=1e-7,
+        rho_jac=lambda t, y: rhoE))
+    dtx, outx = time_tpu(runEX, jnp.asarray(Y0E.reshape(ME, -1),
+                                            jnp.float64), reps=5)
+    nsX = np.asarray(outx.nsteps)
+    dstep = int(np.max(np.abs(nsE - nsX)))
+    errE = float(np.max(np.abs(
+        np.asarray(oute[0]).reshape(ME, -1) - np.asarray(outx.y))))
+    # machine-checked: fused per-member step counts track the XLA path
+    assert dstep <= 6, f"fused/XLA step counts diverged: {dstep}"
+    assert errE < 5e-3, f"fused/XLA endpoint drift: {errE}"
+    print(f"5d Brusselator ensemble x{ME} ({2*nyE*nxE} states each, "
+          f"t=0..{TFE}) fused: {dte*1e3:7.1f} ms vs XLA {dtx*1e3:7.1f}"
+          f" ms ({dtx/dte:4.1f}x); all ok {okE}, step max|d| {dstep}, "
+          f"endpoint |d| {errE:.1e}")
+    return {"5d_fused_ms": dte * 1e3, "5d_xla_ms": dtx * 1e3,
+            "5d_speedup": dtx / dte, "5d_step_maxd": dstep,
+            "5d_endpoint_d": errE}
+
 
 if __name__ == "__main__":
     for cfg in (config1, config3, config5, config4, config2):
