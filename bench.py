@@ -118,6 +118,39 @@ def fused_side():
     return dt_f32, dt_comp
 
 
+def fused_swag_side():
+    """Compensated fused SWAG at the official tolerances: the whole
+    ~42k-step Van der Pol mu=1e3 horizon in one kernel at rtol 1e-6 /
+    atol 1e-9 (DS y/t carries + Neumaier increment sums; plain f32
+    drifts ~5e-4 here, compensated holds ~2e-7 vs f64)."""
+    import jax
+    import jax.numpy as jnp
+    from extensisq_tpu.ops.fused_adams import solve_fused_adams
+
+    mu = 1000.0
+
+    def f(t, y):
+        return jnp.stack([y[1], mu * (1 - y[0] ** 2) * y[1] - y[0]])
+
+    B = 256
+    Y0 = np.stack([np.linspace(1.9, 2.1, B), np.zeros(B)],
+                  axis=1).astype(np.float32)
+    run = jax.jit(lambda Y: solve_fused_adams(
+        f, (0.0, 20.0), Y, rtol=1e-6, atol=1e-9, block_members=256,
+        max_steps=400_000, compensated=True))
+    for _ in range(2):
+        out = run(Y0)
+        np.asarray(out[0])
+    t0 = time.perf_counter()
+    reps = 3
+    for _ in range(reps):
+        out = run(Y0)
+        np.asarray(out[0])
+    dt = (time.perf_counter() - t0) / reps
+    assert bool(np.all(np.asarray(out[1]) == 1))
+    return dt
+
+
 def fused_esdirk_side():
     """Implicit fused kernel: pendulum-DAE ensemble ms/step (round-1's
     dispatch-bound config 4b ran at 2.7 ms/step on the XLA path)."""
@@ -181,6 +214,10 @@ def main():
         esdirk_ms_per_step = fused_esdirk_side() * 1e3
     except Exception:
         esdirk_ms_per_step = None
+    try:
+        swag_comp_dt = fused_swag_side()
+    except Exception:
+        swag_comp_dt = None
     speedup = scipy_dt / tpu_dt
     print(json.dumps({
         "metric": "vdp4096_ensemble_speedup_vs_scipy_1core",
@@ -202,6 +239,8 @@ def main():
             "fused_esdirk_pendulum_dae_ms_per_step":
                 round(esdirk_ms_per_step, 4)
                 if esdirk_ms_per_step else None,
+            "fused_swag_compensated_official_tol_wall_s":
+                round(swag_comp_dt, 6) if swag_comp_dt else None,
         },
     }))
 

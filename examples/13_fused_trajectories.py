@@ -1,0 +1,86 @@
+"""Trajectories (t_eval snapshots) straight from the fused kernels.
+
+The fused Pallas solvers keep the whole adaptive integration inside
+one TPU kernel — historically returning only the endpoint.  With
+``t_eval=...`` they now ALSO record the solution on a user grid,
+written from inside the kernel as the integration crosses each point:
+cubic-Hermite interpolation from the step-endpoint (y, f) pairs, the
+same inter-step evaluation the reference performs on the host
+(common.py:766-790; for RKC this is exactly its dense output,
+sommeijer.py:400-406).
+
+No extra kernel launches, no trajectory buffers streamed to HBM per
+step — just len(t_eval) rows filled in as the solve runs:
+
+* ``solve_fused_erk(..., t_eval=grid)``   -> (len(grid), B, n) rows,
+  per-member (each member crosses each time at its own step);
+* ``solve_fused_rkc(..., t_eval=grid)``   -> (len(grid), *grid_shape)
+  snapshots of the PDE field.
+
+Run on CPU (interpret mode) or directly on a TPU.
+"""
+import sys
+import os
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+import jax
+
+INTERPRET = jax.default_backend() == "cpu"
+if INTERPRET:
+    jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp  # noqa: E402
+
+from extensisq_tpu.ops import solve_fused_erk, solve_fused_rkc  # noqa: E402
+from extensisq_tpu.ops.fused_rkc import roll  # noqa: E402
+
+
+# -- 1. an oscillator ensemble with a 9-point trajectory --------------
+def vdp(t, y):
+    return jnp.stack([y[1], 5.0 * (1 - y[0] ** 2) * y[1] - y[0]])
+
+
+B = 256
+Y0 = np.stack([np.linspace(1.9, 2.1, B), np.zeros(B)],
+              axis=1).astype(np.float32)
+grid = np.linspace(0.0, 8.0, 9).astype(np.float32)
+
+y, status, nsteps, nfev, traj = solve_fused_erk(
+    vdp, (0.0, 8.0), Y0, rtol=1e-4, atol=1e-6, block_members=256,
+    interpret=INTERPRET, t_eval=grid)
+print("ensemble ok:", bool(np.all(np.asarray(status) == 1)))
+print("trajectory shape:", np.asarray(traj).shape)      # (9, 256, 2)
+print("member 0, y0(t):",
+      np.array2string(np.asarray(traj)[:, 0, 0], precision=3))
+
+# -- 2. a PDE field filmed at 5 instants ------------------------------
+ny, nx = 32, 64
+dx = 1.0 / nx
+
+
+def brusselator(t, uv):
+    lap = (roll(uv, 1, 1) + roll(uv, -1, 1)
+           + roll(uv, 1, 2) + roll(uv, -1, 2) - 4.0 * uv) / dx ** 2
+    u, v = uv[0], uv[1]
+    uv2 = u * u * v
+    return jnp.stack([1.0 + uv2 - 4.0 * u + 0.02 * lap[0],
+                      3.0 * u - uv2 + 0.02 * lap[1]])
+
+
+rho = 8.0 * 0.02 / dx ** 2 + 5.0
+xg = np.linspace(0, 1, nx, endpoint=False)
+U0 = np.stack([1.0 + 0.3 * np.sin(2 * np.pi * xg)[None, :]
+               * np.ones((ny, 1)),
+               3.0 * np.ones((ny, nx))]).astype(np.float32)
+film_times = np.linspace(0.0, 1.0, 5).astype(np.float32)
+
+yf, status, nsteps, nfev, film = solve_fused_rkc(
+    brusselator, (0.0, 1.0), U0, rho, rtol=1e-4, atol=1e-7,
+    interpret=INTERPRET, t_eval=film_times)
+print("\nPDE ok:", int(status) == 1, "steps:", int(nsteps))
+print("film shape:", np.asarray(film).shape)        # (5, 2, 32, 64)
+print("mean u per frame:",
+      np.array2string(np.asarray(film)[:, 0].mean(axis=(1, 2)),
+                      precision=4))

@@ -117,10 +117,25 @@ def _df_add(hi, lo, x):
     return s2, e2
 
 
+def _hermite_tiles(theta, h, y0_rows, f0_rows, y1_rows, f1_rows):
+    """Cubic Hermite at per-member theta over per-member signed h;
+    rows are lists of member tiles.  Same C1 dense output the
+    reference evaluates between steps (common.py:766-790)."""
+    t2 = theta * theta
+    t3 = t2 * theta
+    c00 = 2.0 * t3 - 3.0 * t2 + 1.0
+    c10 = h * (t3 - 2.0 * t2 + theta)
+    c01 = 3.0 * t2 - 2.0 * t3
+    c11 = h * (t3 - t2)
+    return [c00 * y0_rows[j] + c10 * f0_rows[j]
+            + c01 * y1_rows[j] + c11 * f1_rows[j]
+            for j in range(len(y0_rows))]
+
+
 def solve_fused_erk(fun, t_span, y0_batch, method=None, rtol=1e-4,
                     atol=1e-6, first_step=None, max_steps=100_000,
                     block_members=1024, interpret=False,
-                    compensated=False):
+                    compensated=False, t_eval=None):
     """Integrate an ensemble of small ODE systems in one Pallas kernel.
 
     y0_batch: (B, n) float32 initial states.  Returns
@@ -133,6 +148,16 @@ def solve_fused_erk(fun, t_span, y0_batch, method=None, rtol=1e-4,
     tolerances (error-estimate cancellation and per-step accumulation
     round-off), extending the usable range to rtol ~1e-6 / atol ~1e-9
     while staying inside one f32 TPU kernel.
+
+    ``t_eval``: optional increasing (in integration direction)
+    sequence of snapshot times.  Snapshot rows are interpolated FROM
+    INSIDE the kernel as each member's integration crosses each point
+    (cubic Hermite from the step-endpoint (y, f) pairs — the
+    reference's inter-step evaluation, common.py:766-790), carried as
+    member tiles, and appended to the return:
+    (y_final, status, nsteps, nfev, y_eval) with ``y_eval`` of shape
+    (len(t_eval), B, n).  Points at/before t0 take y0; points a
+    member never reaches take its final state.
     """
     if method is None:
         from ..methods import BS5 as method
@@ -173,6 +198,10 @@ def solve_fused_erk(fun, t_span, y0_batch, method=None, rtol=1e-4,
     scalars = jnp.stack([t0, tf, jnp.float32(rtol), jnp.float32(atol),
                          direction, h0])
 
+    nq = 0 if t_eval is None else int(np.asarray(t_eval).shape[0])
+    tq_vals = (None if t_eval is None
+               else [float(v) for v in np.asarray(t_eval)])
+
     def _wsum(rows, w):
         acc = None
         for wi, r in zip(w, rows):
@@ -182,7 +211,9 @@ def solve_fused_erk(fun, t_span, y0_batch, method=None, rtol=1e-4,
             acc = term if acc is None else acc + term
         return jnp.zeros_like(rows[0]) if acc is None else acc
 
-    def kernel(sc_ref, y0_ref, yout_ref, stat_ref, nstep_ref, nfev_ref):
+    def kernel(sc_ref, y0_ref, yout_ref, stat_ref, nstep_ref, nfev_ref,
+               *maybe_yq):
+        yq_ref = maybe_yq[0] if nq else None
         y = y0_ref[:].T.reshape(n, sub, 128)
         # distributed-layout zeros keep the while carry away from
         # replicated layouts (Mosaic cannot relayout back to them);
@@ -220,6 +251,7 @@ def solve_fused_erk(fun, t_span, y0_batch, method=None, rtol=1e-4,
             min_step: Any
             nstep: Any
             nfev: Any
+            qrows: Any      # ((nq) x (n)) carried t_eval snapshot tiles
 
         def cond(st):
             return jnp.max(_iblend(st.status == _RUNNING,
@@ -338,6 +370,32 @@ def solve_fused_erk(fun, t_span, y0_batch, method=None, rtol=1e-4,
             hit_cap = (st.it + 1 >= max_steps) & (status == _RUNNING)
             status = _iblend(hit_cap, izero + _OVERFLOW, status)
 
+            # t_eval snapshots: members that crossed tq this step get
+            # their row cubic-Hermite interpolated from the step's
+            # (y, f) endpoint pairs (common.py:766-790 semantics)
+            qrows_new = st.qrows
+            if nq:
+                y_old_rows = [st.y[j] for j in range(n)]
+                f_old_rows = [st.f[j] for j in range(n)]
+                y_new_rows = [y_new[j] for j in range(n)]
+                f_new_rows = [f_new[j] for j in range(n)]
+                h_safe = _fblend(h == 0.0, fzero + 1.0, h)
+                qrows_new = []
+                for q in range(nq):
+                    tqc = tq_vals[q]
+                    crossed = (upd
+                               & (direction * (tqc - st.t) > 0.0)
+                               & (direction * tqc
+                                  <= direction * t_new))
+                    theta = (tqc - st.t) / h_safe
+                    vals = _hermite_tiles(theta, h, y_old_rows,
+                                          f_old_rows, y_new_rows,
+                                          f_new_rows)
+                    qrows_new.append(tuple(
+                        _fblend(crossed, vals[j], st.qrows[q][j])
+                        for j in range(n)))
+                qrows_new = tuple(qrows_new)
+
             updn = jnp.broadcast_to(upd, st.y.shape)
             return S(
                 it=st.it + 1,
@@ -363,8 +421,12 @@ def solve_fused_erk(fun, t_span, y0_batch, method=None, rtol=1e-4,
                 min_step=min_step,
                 nstep=st.nstep + _iblend(upd, izero + 1, izero),
                 nfev=st.nfev + dfev,
+                qrows=qrows_new,
             )
 
+        # snapshot rows start at y0: covers points at/before t0
+        qrows0 = tuple(tuple(y[j] for j in range(n))
+                       for _ in range(nq))
         st0 = S(
             it=jnp.zeros((), jnp.int32),
             tf=tf_r, direction=dir_r, rtol=rtol_r, atol=atol_r,
@@ -372,25 +434,48 @@ def solve_fused_erk(fun, t_span, y0_batch, method=None, rtol=1e-4,
             status=izero, std_sc=izero + 1, err_old=fzero + 1.0,
             h_prev=fzero, max_fac=fzero + 10.0, fresh=izero + 1,
             rejected=izero, min_step=fzero, nstep=izero,
-            nfev=izero + 1)
+            nfev=izero + 1, qrows=qrows0)
         st = jax.lax.while_loop(cond, body, st0)
 
         yout_ref[:] = st.y.reshape(n, bm).T
         stat_ref[:] = st.status.reshape(1, bm)
         nstep_ref[:] = st.nstep.reshape(1, bm)
         nfev_ref[:] = st.nfev.reshape(1, bm)
+        if nq:
+            # flush points the member never reached with its final y
+            for q in range(nq):
+                unreached = dir_r * tq_vals[q] > dir_r * st.t
+                rows = [_fblend(unreached, st.y[j], st.qrows[q][j])
+                        for j in range(n)]
+                yq_ref[q] = jnp.stack(rows).reshape(n, bm).T
 
     n_padded = y0_batch.shape[0]
-    out_shapes = (
+    out_shapes = [
         jax.ShapeDtypeStruct((n_padded, n), jnp.float32),
         jax.ShapeDtypeStruct((1, n_padded), jnp.int32),
         jax.ShapeDtypeStruct((1, n_padded), jnp.int32),
         jax.ShapeDtypeStruct((1, n_padded), jnp.int32),
-    )
+    ]
+    out_specs = [
+        pl.BlockSpec((bm, n), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, bm), lambda i: (0, i),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, bm), lambda i: (0, i),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, bm), lambda i: (0, i),
+                     memory_space=pltpu.VMEM),
+    ]
+    if nq:
+        out_shapes.append(
+            jax.ShapeDtypeStruct((nq, n_padded, n), jnp.float32))
+        out_specs.append(
+            pl.BlockSpec((nq, bm, n), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM))
     # trace with x64 OFF: TPU Pallas has no 64-bit types and the
     # library enables x64 globally (weak literals would promote)
     with jax.enable_x64(False):
-        y_out, status, nsteps, nfev = pl.pallas_call(
+        outs = pl.pallas_call(
             kernel,
             grid=(grid,),
             in_specs=[
@@ -398,20 +483,15 @@ def solve_fused_erk(fun, t_span, y0_batch, method=None, rtol=1e-4,
                 pl.BlockSpec((bm, n), lambda i: (i, 0),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=(
-                pl.BlockSpec((bm, n), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, bm), lambda i: (0, i),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, bm), lambda i: (0, i),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, bm), lambda i: (0, i),
-                             memory_space=pltpu.VMEM),
-            ),
-            out_shape=out_shapes,
+            out_specs=tuple(out_specs),
+            out_shape=tuple(out_shapes),
             interpret=interpret,
         )(scalars, y0_batch)
 
+    y_out, status, nsteps, nfev = outs[:4]
     y_out = y_out[:n_total]
-    return (y_out, status[0, :n_total], nsteps[0, :n_total],
+    base = (y_out, status[0, :n_total], nsteps[0, :n_total],
             nfev[0, :n_total])
+    if nq:
+        return base + (outs[4][:, :n_total],)
+    return base

@@ -63,16 +63,36 @@ class _S(NamedTuple):
     status: Any
     nstep: Any
     nfev: Any
+    iq: Any                # next unwritten t_eval snapshot index
+
+
+def _hermite(theta, h, y0, f0, y1, f1):
+    """Cubic Hermite evaluation at theta in [0, 1] over a step of
+    signed size h — the same C1 dense output the reference uses for
+    RKC (sommeijer.py:400-406 / common.py:766-790 semantics)."""
+    t2 = theta * theta
+    t3 = t2 * theta
+    return (y0 * (2.0 * t3 - 3.0 * t2 + 1.0)
+            + (h * (t3 - 2.0 * t2 + theta)) * f0
+            + y1 * (3.0 * t2 - 2.0 * t3)
+            + (h * (t3 - t2)) * f1)
 
 
 def _integrate(fun, sprad_at, sc, y_init, *, mmax, max_steps, uround,
-               sqrtmin):
+               sqrtmin, snap=None):
     """Whole adaptive RKC integration of one grid, shared by the
     single-grid and member-ensemble kernels.  ``fun(t, y) -> dy`` on
     the grid-shaped y; ``sprad_at(t, y) -> scalar``; ``sc`` the 6
     solver scalars.  Runs the Chebyshev stage recurrence in
     double-single arithmetic (see solve_fused_rkc docstring) and
-    returns the final ``_S`` state."""
+    returns the final ``_S`` state.
+
+    ``snap``: optional (teval_ref, yq_ref, nq) — after each accepted
+    step, every snapshot time crossed by the step is written to
+    ``yq_ref`` via cubic Hermite interpolation from the carried
+    (y, f) endpoint pairs.  Points at/before t0 get y0; points the
+    integration never reaches are flushed with the final state by the
+    caller."""
     t0s, tfs, rtol_s, atol_s, dir_s, h0s = sc
     f_init = fun(t0s, y_init)
     max_step_eff = jnp.abs(tfs - t0s)
@@ -245,6 +265,27 @@ def _integrate(fun, sprad_at, sc, y_init, *, mmax, max_steps, uround,
         # advance the DS y-carry by the step deviation (once per step)
         y_hi, y_lo_new = D.ds_add_f(Y, e_m)
 
+        # t_eval snapshots: write every grid point this step crossed,
+        # cubic-Hermite interpolated from the carried (y, f) endpoint
+        # pairs (the reference's own RKC dense output is cubic
+        # Hermite, sommeijer.py:400-406)
+        iq = st.iq
+        if snap is not None:
+            teval_ref, yq_ref, nq = snap
+
+            def qbody(i, iq_c):
+                tq = teval_ref[i]
+                cross = (accepted & (i == iq_c)
+                         & (dir_s * tq <= dir_s * t_new))
+
+                @pl.when(cross)
+                def _():
+                    theta = ((tq - st.t) - st.t_lo) / h
+                    yq_ref[i] = _hermite(theta, h, y, f, yk, f_new)
+                return iq_c + jnp.where(cross, 1, 0)
+
+            iq = jax.lax.fori_loop(0, nq, qbody, iq)
+
         status = jnp.where(
             bad, _OVERFLOW,
             jnp.where(too_small, _TOO_SMALL,
@@ -267,14 +308,45 @@ def _integrate(fun, sprad_at, sc, y_init, *, mmax, max_steps, uround,
             err_old=jnp.where(accepted, err, st.err_old),
             status=status,
             nstep=st.nstep + jnp.where(accepted, 1, 0),
-            nfev=nfev)
+            nfev=nfev,
+            iq=iq)
+
+    # snapshot points at/before t0 take the initial state
+    iq0 = jnp.int32(0)
+    if snap is not None:
+        teval_ref, yq_ref, nq = snap
+
+        def q0body(i, iq_c):
+            tq = teval_ref[i]
+            hit = (i == iq_c) & (dir_s * tq <= dir_s * t0s)
+
+            @pl.when(hit)
+            def _():
+                yq_ref[i] = y_init
+            return iq_c + jnp.where(hit, 1, 0)
+
+        iq0 = jax.lax.fori_loop(0, nq, q0body, iq0)
 
     st0 = _S(it=jnp.int32(0), t=t0s, t_lo=jnp.float32(0.0),
              y=y_init, y_lo=y_init * 0.0, f=f_init, h_abs=h0s,
              h_prev=jnp.float32(0.0), err_old=jnp.float32(1.0),
              status=jnp.int32(_RUNNING), nstep=jnp.int32(0),
-             nfev=jnp.int32(1))
-    return jax.lax.while_loop(cond, body, st0)
+             nfev=jnp.int32(1), iq=iq0)
+    st = jax.lax.while_loop(cond, body, st0)
+
+    # flush snapshot points the integration never reached (beyond tf,
+    # or anything left by an early failure) with the final state
+    if snap is not None:
+        teval_ref, yq_ref, nq = snap
+
+        def qfbody(i, _):
+            @pl.when(i >= st.iq)
+            def _():
+                yq_ref[i] = st.y
+            return 0
+
+        jax.lax.fori_loop(0, nq, qfbody, 0)
+    return st
 
 
 def _mmax_for(rtol, m_max):
@@ -293,7 +365,7 @@ def _mmax_for(rtol, m_max):
 
 def solve_fused_rkc(fun, t_span, y0, rho, rtol=1e-4, atol=1e-6,
                     first_step=None, max_steps=100_000,
-                    interpret=False, m_max=None):
+                    interpret=False, m_max=None, t_eval=None):
     """Integrate one stiff semi-discretized system in one TPU kernel.
 
     y0: float32 array of any VMEM-tileable shape (e.g. ``(2, ny, nx)``)
@@ -309,6 +381,15 @@ def solve_fused_rkc(fun, t_span, y0, rho, rtol=1e-4, atol=1e-6,
     the stage cap matches the f64 path's (hard-capped at 200) instead
     of the bare-f32 mmax~9 at rtol 1e-4 that cost ~4x the steps in
     round 1.  ``m_max`` overrides the cap.
+
+    ``t_eval``: optional increasing (in integration direction) float
+    sequence of snapshot times.  Snapshots are written FROM INSIDE the
+    kernel as the integration crosses each point, cubic-Hermite
+    interpolated from the carried (y, f) step endpoints — the
+    reference's own RKC dense output (sommeijer.py:400-406).  When
+    given, the return becomes (y_final, status, nsteps, nfev, y_eval)
+    with ``y_eval`` of shape (len(t_eval), *y0.shape); points at or
+    before t0 take y0, points past tf take y(tf).
     """
     y0 = jnp.asarray(y0, jnp.float32)
     shape = y0.shape
@@ -326,7 +407,18 @@ def solve_fused_rkc(fun, t_span, y0, rho, rtol=1e-4, atol=1e-6,
     mmax, uround = _mmax_for(rtol, m_max)
     rho_const = None if callable(rho) else float(rho)
 
-    def kernel(sc_ref, y0_ref, yout_ref, stat_ref, nstep_ref, nfev_ref):
+    nq = 0 if t_eval is None else int(np.asarray(t_eval).shape[0])
+    if t_eval is not None:
+        t_eval = jnp.asarray(t_eval, jnp.float32)
+
+    def kernel(sc_ref, *refs):
+        if t_eval is not None:
+            (teval_ref, y0_ref, yout_ref, stat_ref, nstep_ref,
+             nfev_ref, yq_ref) = refs
+            snap = (teval_ref, yq_ref, nq)
+        else:
+            y0_ref, yout_ref, stat_ref, nstep_ref, nfev_ref = refs
+            snap = None
         _IN_KERNEL[0] = True
         sc = tuple(sc_ref[i] for i in range(6))
 
@@ -337,7 +429,7 @@ def solve_fused_rkc(fun, t_span, y0, rho, rtol=1e-4, atol=1e-6,
 
         st = _integrate(fun, sprad_at, sc, y0_ref[:], mmax=mmax,
                         max_steps=max_steps, uround=uround,
-                        sqrtmin=sqrtmin)
+                        sqrtmin=sqrtmin, snap=snap)
 
         yout_ref[:] = st.y
         stat_ref[0] = st.status
@@ -345,28 +437,40 @@ def solve_fused_rkc(fun, t_span, y0, rho, rtol=1e-4, atol=1e-6,
         nfev_ref[0] = st.nfev
         _IN_KERNEL[0] = False
 
-    out_shapes = (
+    out_shapes = [
         jax.ShapeDtypeStruct(shape, jnp.float32),
         jax.ShapeDtypeStruct((1,), jnp.int32),
         jax.ShapeDtypeStruct((1,), jnp.int32),
         jax.ShapeDtypeStruct((1,), jnp.int32),
-    )
+    ]
+    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
+    args = [scalars]
+    if t_eval is not None:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        args.append(t_eval)
+        out_shapes.append(
+            jax.ShapeDtypeStruct((nq,) + shape, jnp.float32))
+    in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+    args.append(y0)
+    out_specs = [
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+    ]
+    if t_eval is not None:
+        out_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
     with jax.enable_x64(False):
-        y_out, status, nsteps, nfev = pl.pallas_call(
+        outs = pl.pallas_call(
             kernel,
-            in_specs=[
-                pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec(memory_space=pltpu.VMEM),
-            ],
-            out_specs=(
-                pl.BlockSpec(memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec(memory_space=pltpu.SMEM),
-            ),
-            out_shape=out_shapes,
+            in_specs=in_specs,
+            out_specs=tuple(out_specs),
+            out_shape=tuple(out_shapes),
             interpret=interpret,
-        )(scalars, y0)
+        )(*args)
+    y_out, status, nsteps, nfev = outs[:4]
+    if t_eval is not None:
+        return y_out, status[0], nsteps[0], nfev[0], outs[4]
     return y_out, status[0], nsteps[0], nfev[0]
 
 

@@ -211,6 +211,84 @@ def test_fused_rkc_double_single_stage_cap():
     assert err < 3e-5        # within ~3x tolerance of the f64 result
 
 
+def test_fused_erk_t_eval():
+    """Snapshot trajectories from INSIDE the fused ERK kernel: rows
+    cubic-Hermite interpolated as each member crosses each t_eval
+    point, matching the XLA driver's dense output within tolerance
+    (round-2 VERDICT item 3; common.py:766-790 semantics)."""
+    from extensisq_tpu.ops.fused_erk import solve_fused_erk
+    from extensisq_tpu import solve_ensemble, BS5
+
+    def vdp5(t, y):
+        return jnp.stack([y[1], 5.0 * (1 - y[0] ** 2) * y[1] - y[0]])
+
+    B = 128
+    Y0 = np.stack([np.linspace(1.9, 2.1, B), np.zeros(B)],
+                  axis=1).astype(np.float32)
+    tq = np.array([0.0, 0.5, 1.1, 1.7, 2.0], np.float32)
+    y, st, ns, nf, yq = solve_fused_erk(
+        vdp5, (0.0, 2.0), Y0, rtol=1e-4, atol=1e-6,
+        block_members=128, interpret=True, t_eval=tq)
+    assert np.all(np.asarray(st) == 1)
+    yq = np.asarray(yq)
+    assert yq.shape == (5, B, 2)
+    out = solve_ensemble(vdp5, (0.0, 2.0), jnp.asarray(Y0, jnp.float64),
+                         method=BS5, rtol=1e-4, atol=1e-6,
+                         t_eval=jnp.asarray(tq, jnp.float64))
+    yx = np.asarray(out.y_eval)
+    for i in range(len(tq)):
+        assert np.max(np.abs(yq[i] - yx[:, i])) < 2e-3, i
+    # the t0 row is exactly y0; the tf row is the kernel's endpoint
+    np.testing.assert_array_equal(yq[0], Y0)
+    assert np.max(np.abs(yq[-1] - np.asarray(y))) < 1e-6
+
+
+def test_fused_rkc_t_eval():
+    """Snapshots from inside the fused RKC kernel (pending-index
+    dynamic writes on the scalar-t path) match the XLA driver's
+    cubic-Hermite dense output (sommeijer.py:400-406)."""
+    from extensisq_tpu.ops.fused_rkc import solve_fused_rkc, roll
+    from extensisq_tpu import solve, SSV2stab
+
+    ny, nx = 32, 32
+    A_, B_, alpha = 1.0, 3.0, 0.02
+    dx = 1.0 / nx
+
+    def fun_grid(t, uv):
+        lap = (roll(uv, 1, 1) + roll(uv, -1, 1)
+               + roll(uv, 1, 2) + roll(uv, -1, 2) - 4.0 * uv) / dx ** 2
+        u, v = uv[0], uv[1]
+        uv2 = u * u * v
+        return jnp.stack([A_ + uv2 - (B_ + 1.0) * u + alpha * lap[0],
+                          B_ * u - uv2 + alpha * lap[1]])
+
+    rho = 8.0 * alpha / dx ** 2 + 2.0 + B_
+    xg = np.linspace(0, 1, nx, endpoint=False)
+    u0 = 1.0 + 0.3 * np.sin(2 * np.pi * xg)[None, :] * np.ones((ny, 1))
+    v0 = 3.0 * np.ones((ny, nx))
+    Y0 = jnp.asarray(np.stack([u0, v0]), jnp.float32)
+    tq = np.array([0.0, 0.1, 0.25, 0.5, 0.77, 1.0], np.float32)
+
+    yf, st, ns, nf, yq = solve_fused_rkc(
+        fun_grid, (0.0, 1.0), Y0, rho, rtol=1e-4, atol=1e-7,
+        interpret=True, t_eval=tq)
+    assert int(st) == 1
+    yq = np.asarray(yq)
+
+    def fun_flat(t, y):
+        return fun_grid(t, y.reshape(2, ny, nx)).reshape(-1)
+
+    out = jax.jit(lambda y: solve(
+        fun_flat, (0.0, 1.0), y, method=SSV2stab, rtol=1e-4,
+        atol=1e-7, rho_jac=lambda t, y_: rho,
+        t_eval=jnp.asarray(tq, jnp.float64)))(
+            jnp.asarray(np.stack([u0, v0]).reshape(-1)))
+    yx = np.asarray(out.y_eval)
+    for i in range(len(tq)):
+        assert np.max(np.abs(yq[i].reshape(-1) - yx[i])) < 1e-4, i
+    assert np.max(np.abs(yq[-1] - np.asarray(yf))) < 1e-6
+
+
 def test_fused_rkc_member_ensemble():
     """Member-batched fused RKC (BASELINE config 5): an ensemble of
     PDE grids in ONE pallas_call, members on the Pallas grid dimension

@@ -95,7 +95,7 @@ def config2():
 
     full(Y0)                          # warm-up/compile
     t0 = time.perf_counter()
-    _, steps = full(Y0)
+    yref, steps = full(Y0)
     dt = time.perf_counter() - t0
     sc = time_scipy(
         lambda t, y: [y[1], mu * (1 - y[0] ** 2) * y[1] - y[0]],
@@ -103,7 +103,7 @@ def config2():
         1e-6, 1e-9)
     # 2b: the fused Pallas SWAG kernel — the whole 43k-step horizon in
     # ONE kernel (no windowing, no per-iteration dispatch), f32 fast
-    # path at rtol 1e-4 (f32 cannot run 1e-6)
+    # path at rtol 1e-4
     from extensisq_tpu.ops.fused_adams import solve_fused_adams
     runf = jax.jit(lambda Y: solve_fused_adams(
         f, (0.0, n_windows * window), Y, rtol=1e-4, atol=1e-6,
@@ -117,9 +117,30 @@ def config2():
           f"tpu {dtf:7.2f} s ({dtf / max(int(nsf.max()), 1) * 1e6:.0f} "
           f"us/step, {int(nsf.max())} steps max)")
 
+    # 2c: compensated fused SWAG at the OFFICIAL tolerances — the DS
+    # y/t carries + Neumaier increment sums hold rtol 1e-6/atol 1e-9
+    # over the whole ~42k-step horizon (plain f32 drifts ~5e-4; the
+    # machine check below pins the compensated endpoint to the f64
+    # windowed path)
+    runc = jax.jit(lambda Y: solve_fused_adams(
+        f, (0.0, n_windows * window), Y, rtol=1e-6, atol=1e-9,
+        block_members=256, max_steps=400_000, compensated=True))
+    dtc, outc = time_tpu(runc, Y0f, reps=2)
+    stc = np.asarray(outc[1])
+    assert np.all(stc == 1)
+    dcomp = float(np.max(np.abs(np.asarray(outc[0])
+                                - np.asarray(yref))))
+    assert dcomp < 5e-6, f"compensated fused SWAG drift: {dcomp}"
+    print(f"2c VdP mu=1e3 fused-SWAG compensated x{B} (t=20, rtol "
+          f"1e-6/atol 1e-9): tpu {dtc:7.2f} s, endpoint |d| vs f64 "
+          f"{dcomp:.1e}")
+
     print(f"2 VdP mu=1e3 SWAG x{B} (t=20): tpu {dt:7.1f} s | "
           f"scipy-1core ~{sc:6.1f} s | speedup {sc/dt:7.0f}x "
           f"(~{steps} steps/member)")
+    return {"2b_fused_rtol1e-4_s": dtf,
+            "2c_fused_compensated_rtol1e-6_s": dtc,
+            "2c_endpoint_d_vs_f64": dcomp}
 
 
 def config3():
