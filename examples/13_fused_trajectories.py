@@ -15,7 +15,12 @@ step — just len(t_eval) rows filled in as the solve runs:
 * ``solve_fused_erk(..., t_eval=grid)``   -> (len(grid), B, n) rows,
   per-member (each member crosses each time at its own step);
 * ``solve_fused_rkc(..., t_eval=grid)``   -> (len(grid), *grid_shape)
-  snapshots of the PDE field.
+  snapshots of the PDE field;
+* ``solve_fused_esdirk(..., t_eval=grid)`` -> (len(grid), B, n) rows
+  of a stiff/DAE ensemble (y' at the step endpoints is the stiffly
+  accurate last stage);
+* ``solve_fused_adams(..., t_eval=grid)`` -> the same for the
+  variable-order SWAG multistep path.
 
 Run on CPU (interpret mode) or directly on a TPU.
 """
@@ -33,8 +38,10 @@ if INTERPRET:
 
 import jax.numpy as jnp  # noqa: E402
 
-from extensisq_tpu.ops import solve_fused_erk, solve_fused_rkc  # noqa: E402
+from extensisq_tpu.ops import (solve_fused_erk, solve_fused_rkc,  # noqa: E402
+                               solve_fused_esdirk)
 from extensisq_tpu.ops.fused_rkc import roll  # noqa: E402
+from extensisq_tpu import Kv3I  # noqa: E402
 
 
 # -- 1. an oscillator ensemble with a 9-point trajectory --------------
@@ -84,3 +91,22 @@ print("film shape:", np.asarray(film).shape)        # (5, 2, 32, 64)
 print("mean u per frame:",
       np.array2string(np.asarray(film)[:, 0].mean(axis=(1, 2)),
                       precision=4))
+
+# -- 3. a stiff ensemble sampled on a log grid ------------------------
+def robertson(t, y):
+    r1 = -0.04 * y[0] + 1e4 * y[1] * y[2]
+    r3 = 3e7 * y[1] * y[1]
+    return jnp.stack([r1, -r1 - r3, r3])
+
+
+R0 = np.tile(np.array([1.0, 0.0, 0.0], np.float32), (256, 1))
+log_grid = np.logspace(-2, 3, 6).astype(np.float32)
+
+yr, status, nsteps, nfev, hist = solve_fused_esdirk(
+    robertson, (0.0, 1e3), R0, method=Kv3I, rtol=1e-4, atol=1e-8,
+    block_members=256, interpret=INTERPRET, t_eval=log_grid)
+print("\nstiff ok:", bool(np.all(np.asarray(status) == 1)),
+      "steps:", int(np.asarray(nsteps).max()))
+print("history shape:", np.asarray(hist).shape)      # (6, 256, 3)
+print("member 0, y1(t):",
+      np.array2string(np.asarray(hist)[:, 0, 1], precision=3))

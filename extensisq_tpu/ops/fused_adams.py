@@ -36,7 +36,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..steppers.adams import AdamsStepper, _GSTR
 from ..types import IVPParams
-from .fused_erk import _fblend, _iblend, _sanitize, _df_add, _two_sum
+from .fused_erk import (_fblend, _iblend, _sanitize, _df_add, _two_sum,
+                        _hermite_tiles)
 
 _RUNNING, _FINISHED, _TOO_SMALL, _OVERFLOW = 0, 1, 2, 3
 
@@ -75,12 +76,13 @@ class _K(NamedTuple):
     nfev: Any
     nsteps: Any
     nfailed: Any
+    qrows: Any        # tuple (nq) of tuple (n) t_eval snapshot tiles
 
 
 def solve_fused_adams(fun, t_span, y0_batch, rtol=1e-4, atol=1e-6,
                       first_step=None, k_max=12, max_steps=200_000,
                       block_members=1024, interpret=False,
-                      compensated=False):
+                      compensated=False, t_eval=None):
     """Integrate an ensemble with SWAG entirely in one TPU kernel.
 
     y0_batch: (B, n) float32, n <= 8.  Returns (y_final (B, n),
@@ -96,6 +98,17 @@ def solve_fused_adams(fun, t_span, y0_batch, rtol=1e-4, atol=1e-6,
     extending the fused multistep path to rtol ~1e-6 / atol ~1e-9.
     The phi difference tables remain f32 (their noise enters the
     error estimates, not the solution accumulation).
+
+    ``t_eval``: optional increasing (in integration direction)
+    sequence of snapshot times, written FROM INSIDE the kernel as each
+    member crosses each point — cubic Hermite from the carried
+    step-endpoint (y, yp) pairs (the reference's inter-step evaluation
+    form, common.py:766-790; SWAG's own dintp interpolant matches the
+    step order but needs the full phi history per point — Hermite from
+    the C1 (y, yp) data is the fused-path trade, accurate to ~O(h^4)
+    local which the tests pin at tolerance scale).  Appends ``y_eval``
+    of shape (len(t_eval), B, n) to the return.  Points at/before t0
+    take y0; points a member never reaches take its final state.
     """
     y0_batch = jnp.asarray(y0_batch, jnp.float32)
     n_total, n = y0_batch.shape
@@ -127,6 +140,10 @@ def solve_fused_adams(fun, t_span, y0_batch, rtol=1e-4, atol=1e-6,
     gstr = [float(v) for v in _GSTR]
     iqq = [float(1.0 / (q * (q + 1.0))) for q in range(1, km + 2)]
 
+    nq = 0 if t_eval is None else int(np.asarray(t_eval).shape[0])
+    tq_vals = (None if t_eval is None
+               else [float(v) for v in np.asarray(t_eval)])
+
     # initial state via the XLA stepper (h_start etc.), then packed
     # into one f32 and one i32 row array
     stepper = AdamsStepper(fun, n, np.float32,
@@ -154,6 +171,8 @@ def solve_fused_adams(fun, t_span, y0_batch, rtol=1e-4, atol=1e-6,
               states0.phi.reshape(B, -1), states0.psi, states0.alpha,
               states0.beta, states0.sig, states0.v, states0.w,
               states0.g, states0.gi]
+    # snapshot rows start at y0: covers points at/before t0
+    fparts += [y0_batch] * nq
     F0 = jnp.concatenate([p.astype(jnp.float32) for p in fparts],
                          axis=1).T                      # (f_rows, B)
     # int rows: k, kold, kprev, ns, ivc, kgi, iv(km-2), phase1, status,
@@ -173,7 +192,9 @@ def solve_fused_adams(fun, t_span, y0_batch, rtol=1e-4, atol=1e-6,
     n_iv = max(km - 2, 1)
     status_row = 6 + n_iv + 1
 
-    def kernel(F_ref, I_ref, yout_ref, stat_ref, nstep_ref, nfev_ref):
+    def kernel(F_ref, I_ref, yout_ref, stat_ref, nstep_ref, nfev_ref,
+               *maybe_yq):
+        yq_ref = maybe_yq[0] if nq else None
         F_in = F_ref[:].reshape(f_rows, sub, 128)
         I_in = I_ref[:].reshape(i_rows, sub, 128)
         fzero = F_in[0] * 0.0
@@ -201,6 +222,8 @@ def solve_fused_adams(fun, t_span, y0_batch, rtol=1e-4, atol=1e-6,
             w = frows(fo, km); fo += km
             g = frows(fo, km + 1); fo += km + 1
             gi = frows(fo, km - 1); fo += km - 1
+            qrows = [tuple(frows(fo + q * n, n)) for q in range(nq)]
+            fo += nq * n
             io = 6
             iv = [I[io + r] for r in range(n_iv)]; io += n_iv
             return _K(
@@ -214,7 +237,8 @@ def solve_fused_adams(fun, t_span, y0_batch, rtol=1e-4, atol=1e-6,
                 k=I[0], kold=I[1], kprev=I[2], ns=I[3], ivc=I[4],
                 kgi=I[5], phase1=I[io], status=I[io + 1],
                 nfev=I[io + 2], nsteps=I[io + 3], nfailed=I[io + 4],
-                fresh=I[io + 5], ifail=I[io + 6])
+                fresh=I[io + 5], ifail=I[io + 6],
+                qrows=tuple(qrows))
 
         def pack(st):
             frows_out = [st.t, st.t_lo, st.h, st.hold]
@@ -225,6 +249,8 @@ def solve_fused_adams(fun, t_span, y0_batch, rtol=1e-4, atol=1e-6,
             frows_out += (list(st.psi) + list(st.alpha)
                           + list(st.beta) + list(st.sig) + list(st.v)
                           + list(st.w) + list(st.g) + list(st.gi))
+            for rw in st.qrows:
+                frows_out += list(rw)
             irows_out = [st.k, st.kold, st.kprev, st.ns, st.ivc,
                          st.kgi] + list(st.iv) \
                 + [st.phase1, st.status, st.nfev, st.nsteps,
@@ -708,6 +734,34 @@ def solve_fused_adams(fun, t_span, y0_batch, rtol=1e-4, atol=1e-6,
             hit_cap = (st.it + 1 >= max_steps) & (status3 == _RUNNING)
             status3 = ib(hit_cap, izero + _OVERFLOW, status3)
 
+            # t_eval snapshots: accepted steps that crossed tq get
+            # cubic Hermite from the step-endpoint (y, yp) pairs
+            # (common.py:766-790 semantics); near-end extrapolation
+            # steps evaluate the same line at tq
+            qrows_new = st.qrows
+            if nq:
+                h_safe = fb(h_in == 0.0, fzero + 1.0, h_in)
+                y_old_rows = list(st.y)
+                f_old_rows = list(st.yp)
+                qrows_new = []
+                for q in range(nq):
+                    tqc = tq_vals[q]
+                    ahead = dirs * (tqc - st.t) > 0.0
+                    crossed = ok & ahead & (dirs * tqc
+                                            <= dirs * t_new)
+                    theta = (tqc - st.t) / h_safe
+                    vals = _hermite_tiles(theta, h_in, y_old_rows,
+                                          f_old_rows, y_corr, yp_new)
+                    cross_e = extrap & ahead & (dirs * tqc
+                                                <= dirs * tfs)
+                    ext = [st.y[j] + (tqc - st.t) * st.yp[j]
+                           for j in range(n)]
+                    qrows_new.append(tuple(
+                        fb(crossed, vals[j],
+                           fb(cross_e, ext[j], st.qrows[q][j]))
+                        for j in range(n)))
+                qrows_new = tuple(qrows_new)
+
             # writeback (flat semantics: failed-attempt restores carry)
             y_out = []
             ylo_out = []
@@ -776,7 +830,8 @@ def solve_fused_adams(fun, t_span, y0_batch, rtol=1e-4, atol=1e-6,
                 status=status3,
                 nfev=nfev2,
                 nsteps=st.nsteps + ib(ok_any, izero + 1, izero),
-                nfailed=st.nfailed + ib(failed, izero + 1, izero))
+                nfailed=st.nfailed + ib(failed, izero + 1, izero),
+                qrows=qrows_new)
             F2, I2 = pack(st2)
             return F2, I2, st2.it
 
@@ -789,15 +844,38 @@ def solve_fused_adams(fun, t_span, y0_batch, rtol=1e-4, atol=1e-6,
         stat_ref[:] = stf.status.reshape(1, bm)
         nstep_ref[:] = stf.nsteps.reshape(1, bm)
         nfev_ref[:] = stf.nfev.reshape(1, bm)
+        if nq:
+            # flush points the member never reached with its final y
+            for q in range(nq):
+                unreached = direction * tq_vals[q] > direction * stf.t
+                rows = [_fblend(unreached, stf.y[j],
+                                stf.qrows[q][j]) for j in range(n)]
+                yq_ref[q] = jnp.stack(rows).reshape(n, bm).T
 
-    out_shapes = (
+    out_shapes = [
         jax.ShapeDtypeStruct((B, n), jnp.float32),
         jax.ShapeDtypeStruct((1, B), jnp.int32),
         jax.ShapeDtypeStruct((1, B), jnp.int32),
         jax.ShapeDtypeStruct((1, B), jnp.int32),
-    )
+    ]
+    out_specs = [
+        pl.BlockSpec((bm, n), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, bm), lambda i: (0, i),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, bm), lambda i: (0, i),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, bm), lambda i: (0, i),
+                     memory_space=pltpu.VMEM),
+    ]
+    if nq:
+        out_shapes.append(
+            jax.ShapeDtypeStruct((nq, B, n), jnp.float32))
+        out_specs.append(
+            pl.BlockSpec((nq, bm, n), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM))
     with jax.enable_x64(False):
-        y_out, status, nsteps, nfev = pl.pallas_call(
+        outs = pl.pallas_call(
             kernel,
             grid=(grid,),
             in_specs=[
@@ -806,20 +884,15 @@ def solve_fused_adams(fun, t_span, y0_batch, rtol=1e-4, atol=1e-6,
                 pl.BlockSpec((i_rows, bm), lambda i: (0, i),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=(
-                pl.BlockSpec((bm, n), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, bm), lambda i: (0, i),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, bm), lambda i: (0, i),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, bm), lambda i: (0, i),
-                             memory_space=pltpu.VMEM),
-            ),
+            out_specs=out_specs,
             out_shape=out_shapes,
             interpret=interpret,
         )(F0, I0)
+    y_out, status, nsteps, nfev = outs[:4]
 
     y_out = y_out[:n_total]
-    return (y_out, status[0, :n_total], nsteps[0, :n_total],
-            nfev[0, :n_total])
+    ret = (y_out, status[0, :n_total], nsteps[0, :n_total],
+           nfev[0, :n_total])
+    if nq:
+        ret = ret + (outs[4][:, :n_total],)
+    return ret

@@ -120,7 +120,16 @@ def _df_add(hi, lo, x):
 def _hermite_tiles(theta, h, y0_rows, f0_rows, y1_rows, f1_rows):
     """Cubic Hermite at per-member theta over per-member signed h;
     rows are lists of member tiles.  Same C1 dense output the
-    reference evaluates between steps (common.py:766-790)."""
+    reference evaluates between steps (common.py:766-790).
+
+    theta is clamped to [0, 1]: lanes that did NOT cross the snapshot
+    point this step still evaluate (their result is blended away), and
+    an unclamped (tq - t)/h can reach ~1e13 when a member's h has
+    collapsed — theta^3 then overflows f32 to inf and the arithmetic
+    blend turns 0*inf into NaN, poisoning the carried row (seen on
+    Robertson via fused ESDIRK on real Mosaic).  Crossed lanes always
+    have theta in [0, 1], so the clamp never changes a used value."""
+    theta = jnp.clip(theta, 0.0, 1.0)
     t2 = theta * theta
     t3 = t2 * theta
     c00 = 2.0 * t3 - 3.0 * t2 + 1.0

@@ -29,8 +29,13 @@ state dimension is UNROLLED at trace time:
 
 Newton semantics (rate tracking, divergence prediction, early exit)
 mirror steppers/esdirk.py:_stage_newton == common.py:2183-2232.
-Mass matrices are supported in DIAGONAL form (covers the reference's
-DAE suite); algebraic rows get the 1/(h d) rescale of
+Mass matrices: diagonal M is handled natively; DENSE (incl. hidden /
+similarity-transformed, rank-deficient) M is auto-rotated on the host
+via SVD into an equivalent unit-mass diagonal DAE (w = V^T y,
+w'_d = (U^T f)_d / s_d), solved in rotated coordinates with all error
+and Newton norms taken back in USER coordinates, and un-rotated on
+output — the fused twin of the stepper's _handle_M machinery
+(common.py:1778-1821).  Algebraic rows get the 1/(h d) rescale of
 common.py:2038-2044.  For a DAE, pass a consistent ``yp0`` (e.g. from
 the host driver's consistent-IC projection); for ODEs it defaults to
 f(t0, y0).
@@ -50,7 +55,7 @@ from .._config import (NEWTON_MAXITER, MAX_RATE, MAX_FACTOR_NRF,
                        MIN_FACTOR, MAX_FACTOR, MAX_FACTOR0)
 from ..core.controller import resolve_controller
 from .fused_erk import (_fblend, _iblend, _sanitize, _member_norm,
-                        _df_add, _two_sum, _comp_wsum)
+                        _df_add, _two_sum, _comp_wsum, _hermite_tiles)
 
 _RUNNING, _FINISHED, _TOO_SMALL, _OVERFLOW = 0, 1, 2, 3
 
@@ -64,7 +69,7 @@ def solve_fused_esdirk(fun, t_span, y0_batch, method=None, M=None,
                        yp0_batch=None, rtol=1e-4, atol=1e-6,
                        first_step=None, max_steps=100_000,
                        block_members=1024, interpret=False,
-                       compensated=False):
+                       compensated=False, t_eval=None):
     """Integrate an ensemble of small stiff systems / index-1 DAEs in
     one TPU kernel.
 
@@ -88,6 +93,17 @@ def solve_fused_esdirk(fun, t_span, y0_batch, method=None, M=None,
     round to f32), so stage solutions carry O(eps32/rtol)-of-scale
     noise; the controller absorbs it (see test
     test_fused_esdirk_compensated_official_tol).
+
+    ``t_eval``: optional increasing (in integration direction)
+    sequence of snapshot times, interpolated FROM INSIDE the kernel as
+    each member crosses each point — cubic Hermite from the carried
+    step-endpoint (y, y') pairs, the reference's inter-step evaluation
+    semantics (common.py:766-790; y' at the endpoints is the stiffly
+    accurate last stage K_{s-1}).  Appends ``y_eval`` of shape
+    (len(t_eval), B, n) to the return.  Points at/before t0 take y0;
+    points a member never reaches take its final state.  For
+    dense/hidden-M DAEs the snapshots are un-rotated to user
+    coordinates like the endpoint.
     """
     if method is None:
         from ..methods import Kv3I as method
@@ -124,19 +140,70 @@ def solve_fused_esdirk(fun, t_span, y0_batch, method=None, M=None,
     # as divergence, and the member loops h down for ever).
     tiny_err = float(np.sqrt(n) * max(eps32 ** 0.8, 4.0 * eps32 / rtol))
 
+    rot = None
     if M is not None:
-        M = np.asarray(M, dtype=np.float32)
-        if M.ndim == 2:
-            if not np.array_equal(M, np.diag(np.diag(M))):
-                raise ValueError("fused ESDIRK supports diagonal mass "
-                                 "matrices only")
+        M = np.asarray(M, dtype=np.float64)
+        if M.ndim == 2 and not np.array_equal(M, np.diag(np.diag(M))):
+            # dense / hidden mass matrix: host-side SVD pre-rotation
+            # (the stepper's _handle_M split, common.py:1778-1821).
+            # With M = U S V^T, substituting w = V^T y and
+            # premultiplying M y' = f by diag(1/s_d) U^T gives the
+            # UNIT-mass system  w'_d = (U^T f)_d / s_d,
+            # 0 = (U^T f)_a  — exactly the form this kernel solves.
+            # Absorbing the nonzero singular values keeps the error
+            # filter's mass-multiply at unit scale (a bare S w' = g
+            # rotation inflates the filtered error by |s| and costs
+            # ~s^(1/3) extra steps); all norms are taken back in USER
+            # coordinates via to_user below.
+            Urot, sv, Vhrot = np.linalg.svd(M)
+            cond_lim = sv[0] * n ** 2 * eps32
+            sv = np.where(sv < cond_lim, 0.0, sv)
+            rot = (Urot, Vhrot, sv)
+            M = (sv > 0.0).astype(np.float64)
+        elif M.ndim == 2:
             M = np.diag(M)
+        M = M.astype(np.float32)
         if M.shape != (n,):
-            raise ValueError("M must be a length-n diagonal")
+            raise ValueError("M must be (n,), a diagonal (n, n), or a "
+                             "general (n, n) mass matrix")
         if yp0_batch is None and np.any(M == 0.0):
             raise ValueError("DAE: pass consistent yp0_batch (e.g. "
                              "from the host driver's projection)")
     m_diag = M                     # None or (n,) np.float32
+
+    if rot is not None:
+        Urot, Vhrot, svrot = rot
+        # scaled left transform: rows of U^T divided by s_d (unit-mass
+        # differential rows; algebraic rows unscaled)
+        UTs = Urot.T / np.where(svrot > 0.0, svrot, 1.0)[:, None]
+        user_fun = fun
+
+        def fun(t, w):             # noqa: F811 — rotated-system RHS
+            # y = V w; g = diag(1/s) U^T f(t, y); unrolled matvecs
+            # with python-float coefficients (n <= 8), the
+            # tableau-constant pattern
+            y_rows = [sum((float(Vhrot[j, i]) * w[j] for j in range(n)
+                           if Vhrot[j, i] != 0.0), w[0] * 0.0)
+                      for i in range(n)]
+            fr = user_fun(t, jnp.stack(y_rows))
+            g_rows = [sum((float(UTs[i, j]) * fr[j] for j in range(n)
+                           if UTs[i, j] != 0.0), fr[0] * 0.0)
+                      for i in range(n)]
+            return jnp.stack(g_rows)
+
+        # full-precision rotations: TPU's default f32 matmul uses
+        # bf16 multiplies (~3e-3 relative), which perturbs the
+        # consistent DAE start enough to double the step count and
+        # push the endpoint to ~4e-3 (measured on-chip; interpret
+        # mode was 11 steps / 1.8e-4).  HIGHEST restores f32.
+        _hi = jax.lax.Precision.HIGHEST
+        VhT = jnp.asarray(Vhrot.T, jnp.float32)
+        y0_batch = jnp.matmul(y0_batch, VhT,
+                              precision=_hi)            # w = V^T y
+        if yp0_batch is not None:
+            yp0_batch = jnp.matmul(
+                jnp.asarray(yp0_batch, jnp.float32), VhT,
+                precision=_hi)
     is_alg = ([bool(m_diag[i] == 0.0) for i in range(n)]
               if m_diag is not None else [False] * n)
 
@@ -171,11 +238,37 @@ def solve_fused_esdirk(fun, t_span, y0_batch, method=None, M=None,
     if have_yp0:
         yp0_batch = jnp.asarray(yp0_batch, jnp.float32)
 
+    nq = 0 if t_eval is None else int(np.asarray(t_eval).shape[0])
+    tq_vals = (None if t_eval is None
+               else [float(v) for v in np.asarray(t_eval)])
+
     def _rows(y):
         return [y[i] for i in range(n)]
 
     def _stack(rows):
         return jnp.stack(rows)
+
+    def _mat_rows(Mnp, rows):
+        return [sum((float(Mnp[i, j]) * rows[j] for j in range(n)
+                     if Mnp[i, j] != 0.0), rows[0] * 0.0)
+                for i in range(n)]
+
+    if rot is not None:
+        _V = rot[1].T              # y = V w
+
+        def to_user(rows):
+            """w-space state rows -> user coordinates (y = V w): all
+            error and Newton norms are taken in USER coordinates so
+            the per-component scales atol + rtol|y| match the
+            reference's control exactly (rotated-space scales mix
+            components and inflate step counts whenever a w component
+            passes near zero).  With the unit-mass absorb (see above)
+            the filtered error is state-like too, so one transform
+            covers every normed vector."""
+            return _mat_rows(_V, rows)
+    else:
+        def to_user(rows):
+            return rows
 
     def _jacobian(t, y):
         """J[i][j] member tiles via n basis tangents of ONE
@@ -221,7 +314,8 @@ def solve_fused_esdirk(fun, t_span, y0_batch, method=None, M=None,
         return x
 
     def kernel(sc_ref, y0_ref, yp0_ref, yout_ref, stat_ref, nstep_ref,
-               nfev_ref):
+               nfev_ref, *maybe_yq):
+        yq_ref = maybe_yq[0] if nq else None
         y = y0_ref[:].T.reshape(n, sub, 128)
         fzero = y[0] * 0.0
         izero = fzero.astype(jnp.int32)
@@ -256,6 +350,7 @@ def solve_fused_esdirk(fun, t_span, y0_batch, method=None, M=None,
             rejected: Any
             nstep: Any
             nfev: Any
+            qrows: Any      # ((nq) x (n)) carried t_eval snapshot tiles
 
         def cond(st):
             return jnp.max(_iblend(st.status == _RUNNING,
@@ -295,12 +390,15 @@ def solve_fused_esdirk(fun, t_span, y0_batch, method=None, M=None,
                     di, bi = _sanitize(dz[i])
                     bad = bad | bi
                     dz_s.append(di)
+                yu_c = to_user(y_c)
+                yu_pred = to_user(y_pred_rows)
+                dz_u = to_user(dz_s)
                 scale = [atol + rtol
-                         * jnp.maximum(jnp.abs(y_c[i]),
-                                       jnp.abs(y_pred_rows[i]))
+                         * jnp.maximum(jnp.abs(yu_c[i]),
+                                       jnp.abs(yu_pred[i]))
                          for i in range(n)]
                 dz_norm = _member_norm(_stack(
-                    [dz_s[i] / scale[i] for i in range(n)]))
+                    [dz_u[i] / scale[i] for i in range(n)]))
                 dz_norm, bn = _sanitize(dz_norm)
                 bad = bad | bn
 
@@ -437,8 +535,13 @@ def solve_fused_esdirk(fun, t_span, y0_batch, method=None, M=None,
                 y_new = _stack([psi[i] + dd * z[i] for i in range(n)])
                 y_lo_new = st.y_lo
             y_new, bad_y = _sanitize(y_new)
-            scale = atol + rtol * jnp.maximum(jnp.abs(st.y),
-                                              jnp.abs(y_new))
+            if rot is not None:
+                scale = atol + rtol * jnp.maximum(
+                    jnp.abs(_stack(to_user(_rows(st.y)))),
+                    jnp.abs(_stack(to_user(_rows(y_new)))))
+            else:
+                scale = atol + rtol * jnp.maximum(jnp.abs(st.y),
+                                                  jnp.abs(y_new))
             if compensated:
                 err_rows = []
                 for i in range(n):
@@ -457,7 +560,7 @@ def solve_fused_esdirk(fun, t_span, y0_batch, method=None, M=None,
                 err_rows = [
                     (float(m_diag[i]) if m_diag is not None else 1.0)
                     * solved[i] for i in range(n)]
-            err = _stack(err_rows)
+            err = _stack(to_user(err_rows))
             err_norm = _member_norm(err / scale)
             err_norm, bad_e = _sanitize(err_norm)
             # Mosaic: no bool reductions — reduce as f32
@@ -532,6 +635,34 @@ def solve_fused_esdirk(fun, t_span, y0_batch, method=None, M=None,
             yp_new, _ = _sanitize(yp_new)
 
             upd = accepted
+
+            # t_eval snapshots: members that crossed tq this step get
+            # their row cubic-Hermite interpolated from the step's
+            # (y, y') endpoint pairs (common.py:766-790 semantics;
+            # y' = K_{s-1}, the stiffly accurate last stage)
+            qrows_new = st.qrows
+            if nq:
+                y_old_rows = _rows(st.y)
+                f_old_rows = _rows(st.yp)
+                y_new_rows = _rows(y_new)
+                f_new_rows = _rows(yp_new)
+                h_safe = _fblend(h == 0.0, fzero + 1.0, h)
+                qrows_new = []
+                for q in range(nq):
+                    tqc = tq_vals[q]
+                    crossed = (upd
+                               & (direction * (tqc - st.t) > 0.0)
+                               & (direction * tqc
+                                  <= direction * t_new))
+                    theta = (tqc - st.t) / h_safe
+                    vals = _hermite_tiles(theta, h, y_old_rows,
+                                          f_old_rows, y_new_rows,
+                                          f_new_rows)
+                    qrows_new.append(tuple(
+                        _fblend(crossed, vals[j], st.qrows[q][j])
+                        for j in range(n)))
+                qrows_new = tuple(qrows_new)
+
             updn = jnp.broadcast_to(upd, st.y.shape)
             rej_new = _iblend(
                 upd, izero,
@@ -558,8 +689,12 @@ def solve_fused_esdirk(fun, t_span, y0_batch, method=None, M=None,
                 rejected=rej_new,
                 nstep=st.nstep + _iblend(upd, izero + 1, izero),
                 nfev=st.nfev + _iblend(running, nfev_d, izero),
+                qrows=qrows_new,
             )
 
+        # snapshot rows start at y0: covers points at/before t0
+        qrows0 = tuple(tuple(y[j] for j in range(n))
+                       for _ in range(nq))
         st0 = S(
             it=jnp.zeros((), jnp.int32),
             tf=tf_r, direction=dir_r, rtol=rtol_r, atol=atol_r,
@@ -567,25 +702,48 @@ def solve_fused_esdirk(fun, t_span, y0_batch, method=None, M=None,
             status=izero, std_sc=izero + 1, err_old=fzero + 1.0,
             h_prev=fzero, max_fac=fzero + MAX_FACTOR0,
             rejected=izero, nstep=izero,
-            nfev=izero + (0 if have_yp0 else 1))
+            nfev=izero + (0 if have_yp0 else 1), qrows=qrows0)
         st = jax.lax.while_loop(cond, body, st0)
 
         yout_ref[:] = st.y.reshape(n, bm).T
         stat_ref[:] = st.status.reshape(1, bm)
         nstep_ref[:] = st.nstep.reshape(1, bm)
         nfev_ref[:] = st.nfev.reshape(1, bm)
+        if nq:
+            # flush points the member never reached with its final y
+            for q in range(nq):
+                unreached = dir_r * tq_vals[q] > dir_r * st.t
+                rows = [_fblend(unreached, st.y[j], st.qrows[q][j])
+                        for j in range(n)]
+                yq_ref[q] = jnp.stack(rows).reshape(n, bm).T
 
     n_padded = y0_batch.shape[0]
     if not have_yp0:
         yp0_batch = jnp.zeros_like(y0_batch)
-    out_shapes = (
+    out_shapes = [
         jax.ShapeDtypeStruct((n_padded, n), jnp.float32),
         jax.ShapeDtypeStruct((1, n_padded), jnp.int32),
         jax.ShapeDtypeStruct((1, n_padded), jnp.int32),
         jax.ShapeDtypeStruct((1, n_padded), jnp.int32),
-    )
+    ]
+    out_specs = [
+        pl.BlockSpec((bm, n), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, bm), lambda i: (0, i),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, bm), lambda i: (0, i),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, bm), lambda i: (0, i),
+                     memory_space=pltpu.VMEM),
+    ]
+    if nq:
+        out_shapes.append(
+            jax.ShapeDtypeStruct((nq, n_padded, n), jnp.float32))
+        out_specs.append(
+            pl.BlockSpec((nq, bm, n), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM))
     with jax.enable_x64(False):
-        y_out, status, nsteps, nfev = pl.pallas_call(
+        outs = pl.pallas_call(
             kernel,
             grid=(grid,),
             in_specs=[
@@ -595,20 +753,25 @@ def solve_fused_esdirk(fun, t_span, y0_batch, method=None, M=None,
                 pl.BlockSpec((bm, n), lambda i: (i, 0),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=(
-                pl.BlockSpec((bm, n), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, bm), lambda i: (0, i),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, bm), lambda i: (0, i),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, bm), lambda i: (0, i),
-                             memory_space=pltpu.VMEM),
-            ),
+            out_specs=out_specs,
             out_shape=out_shapes,
             interpret=interpret,
         )(scalars, y0_batch, yp0_batch)
+    y_out, status, nsteps, nfev = outs[:4]
 
     y_out = y_out[:n_total]
-    return (y_out, status[0, :n_total], nsteps[0, :n_total],
-            nfev[0, :n_total])
+    if rot is not None:
+        # un-rotate back to user coordinates: y = V w (full-precision
+        # matmul — see the input-rotation note above)
+        Vmat = jnp.asarray(rot[1], jnp.float32)
+        y_out = jnp.matmul(y_out, Vmat,
+                           precision=jax.lax.Precision.HIGHEST)
+    ret = (y_out, status[0, :n_total], nsteps[0, :n_total],
+           nfev[0, :n_total])
+    if nq:
+        y_eval = outs[4][:, :n_total]
+        if rot is not None:
+            y_eval = jnp.matmul(y_eval, Vmat,
+                                precision=jax.lax.Precision.HIGHEST)
+        ret = ret + (y_eval,)
+    return ret
