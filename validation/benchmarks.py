@@ -65,6 +65,7 @@ def config1():
                     "BS5", 48, B, 1e-6, 1e-9)
     print(f"1 exp-decay BS5 x{B}:      tpu {dt*1e3:7.1f} ms | "
           f"scipy-1core ~{sc:6.1f} s | speedup {sc/dt:7.0f}x")
+    return {"1_tpu_ms": dt * 1e3, "1_speedup_vs_scipy": sc / dt}
 
 
 def config2():
@@ -138,7 +139,8 @@ def config2():
     print(f"2 VdP mu=1e3 SWAG x{B} (t=20): tpu {dt:7.1f} s | "
           f"scipy-1core ~{sc:6.1f} s | speedup {sc/dt:7.0f}x "
           f"(~{steps} steps/member)")
-    return {"2b_fused_rtol1e-4_s": dtf,
+    return {"2_xla_windowed_s": dt, "2_speedup_vs_scipy": sc / dt,
+            "2b_fused_rtol1e-4_s": dtf,
             "2c_fused_compensated_rtol1e-6_s": dtc,
             "2c_endpoint_d_vs_f64": dcomp}
 
@@ -166,6 +168,7 @@ def config3():
         (0, 2 * np.pi), y0, "Fi5N", 16, B, 1e-9, 1e-12)
     print(f"3 Kepler Fi5N x{B}:       tpu {dt*1e3:7.1f} ms | "
           f"scipy-1core ~{sc:6.1f} s | speedup {sc/dt:7.0f}x")
+    dt3 = dt
 
     # Pleiades: 7 bodies, 28 states, perturbed-IC ensemble; the
     # oscillatory-problem method CFMR7osc on the first-order form
@@ -211,6 +214,8 @@ def config3():
     dtf, outf = time_tpu(runf, jnp.asarray(y0), reps=5)
     assert bool(jnp.all(outf[1] == 1))
     print(f"3c Kepler fused-RKN x{B} (rtol 1e-7): tpu {dtf*1e3:7.1f} ms")
+    return {"3_kepler_tpu_ms": dt3 * 1e3, "3b_pleiades_tpu_ms": dt * 1e3,
+            "3c_fused_rkn_ms": dtf * 1e3}
 
 
 def config4():
@@ -259,6 +264,7 @@ def config4():
     print(f"4a-fused Robertson x{B} (rtol 1e-4, t=1e6): "
           f"tpu {dtf*1e3:7.1f} ms "
           f"({int(np.asarray(outf[2]).max())} steps max)")
+    dtf4a = dtf
 
     # index-1 Cartesian pendulum DAE ensemble, Kv3I + mass matrix:
     # state (x, y, vx, vy, lam), M = diag(1,1,1,1,0); the algebraic row
@@ -328,6 +334,9 @@ def config4():
           f"tpu {dtf*1e3:7.1f} ms "
           f"({dtf / max(int(nsf.max()), 1) * 1e3:.3f} ms/step, "
           f"{int(nsf.max())} steps max)")
+    return {"4a_fused_robertson_ms": dtf4a * 1e3,
+            "4c_fused_dae_ms_per_step":
+                dtf / max(int(nsf.max()), 1) * 1e3}
 
 
 def config5():
@@ -345,6 +354,7 @@ def config5():
     run = jax.jit(lambda y: solve(rhs, (0.0, 1.0), y, method=SSV2stab,
                                   rtol=1e-4, atol=1e-7, rho_jac=rho))
     dt, out = time_tpu(run, y0)
+    dt5a = dt
     n_states = 2 * ny * nx
     print(f"5a Brusselator {n_states} states: tpu {dt*1e3:7.1f} ms "
           f"({int(out.nsteps)} steps, {int(out.nfev)} evals)")
@@ -450,14 +460,33 @@ def config5():
           f"t=0..{TFE}) fused: {dte*1e3:7.1f} ms vs XLA {dtx*1e3:7.1f}"
           f" ms ({dtx/dte:4.1f}x); all ok {okE}, step max|d| {dstep}, "
           f"endpoint |d| {errE:.1e}")
-    return {"5d_fused_ms": dte * 1e3, "5d_xla_ms": dtx * 1e3,
+    return {"5a_xla_131k_ms": dt5a * 1e3, "5c_fused_131k_ms": dtf * 1e3,
+            "5d_fused_ms": dte * 1e3, "5d_xla_ms": dtx * 1e3,
             "5d_speedup": dtx / dte, "5d_step_maxd": dstep,
             "5d_endpoint_d": errE}
 
 
 if __name__ == "__main__":
+    import json
+
+    as_json = "--json" in sys.argv
+    metrics = {}
+    failures = []
     for cfg in (config1, config3, config5, config4, config2):
         try:
-            cfg()
+            r = cfg()
+            if isinstance(r, dict):
+                metrics.update({k: v for k, v in r.items()
+                                if v is not None})
         except Exception as e:   # keep the report going
             print(f"{cfg.__name__} FAILED: {type(e).__name__}: {e}")
+            failures.append(f"{cfg.__name__}: {type(e).__name__}: {e}")
+    if as_json:
+        out = {"metrics": metrics, "failures": failures}
+        path = os.path.join(os.path.dirname(__file__), "..",
+                            "BENCH_full.json")
+        with open(path, "w") as fh:
+            json.dump(out, fh, indent=1, default=float)
+        print(json.dumps(out, default=float))
+    if failures:
+        sys.exit(1)

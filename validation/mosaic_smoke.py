@@ -1,0 +1,152 @@
+"""Mosaic compile-only smoke test for every fused Pallas kernel.
+
+The pytest suite runs the fused kernels in interpret mode (the
+conftest forces CPU), so a real-Mosaic lowering regression would
+surface as a red benchmark rather than a red test.  This harness
+closes that gap: it LOWERS AND COMPILES each kernel variant on the
+attached TPU — `jit(...).lower(...).compile()` runs the full
+XLA+Mosaic pipeline without executing — and reports PASS/FAIL per
+kernel.  Exits nonzero on any failure.
+
+Run (real TPU required): python validation/mosaic_smoke.py
+"""
+import os
+import sys
+from time import perf_counter
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+FAILED = []
+
+
+def check(name, fn, *args):
+    t0 = perf_counter()
+    try:
+        jax.jit(fn).lower(*args).compile()
+        print(f"PASS  {name}  ({perf_counter() - t0:.1f}s)")
+    except Exception as e:  # noqa: BLE001 — report and keep going
+        print(f"FAIL  {name}: {type(e).__name__}: {e}")
+        FAILED.append(name)
+
+
+def main():
+    if jax.default_backend() not in ("tpu", "axon"):
+        print("no TPU attached — Mosaic smoke test skipped")
+        return
+
+    from extensisq_tpu.ops import (solve_fused_erk, solve_fused_rkn,
+                                   solve_fused_rkc,
+                                   solve_fused_rkc_ensemble,
+                                   solve_fused_esdirk,
+                                   solve_fused_adams)
+    from extensisq_tpu.ops.fused_rkc import roll
+    from extensisq_tpu import BS5, Fi5N, Kv3I, TRBDF2
+
+    def vdp(t, y):
+        return jnp.stack([y[1], 5.0 * (1 - y[0] ** 2) * y[1] - y[0]])
+
+    Y2 = np.zeros((256, 2), np.float32)
+    tq = np.linspace(0.0, 2.0, 5).astype(np.float32)
+    check("fused_erk", lambda Y: solve_fused_erk(
+        vdp, (0.0, 2.0), Y, method=BS5, block_members=256), Y2)
+    check("fused_erk compensated", lambda Y: solve_fused_erk(
+        vdp, (0.0, 2.0), Y, method=BS5, block_members=256,
+        compensated=True, rtol=1e-6, atol=1e-9), Y2)
+    check("fused_erk t_eval", lambda Y: solve_fused_erk(
+        vdp, (0.0, 2.0), Y, method=BS5, block_members=256,
+        t_eval=tq), Y2)
+
+    def acc2(t, u, v):
+        r2 = u[0] ** 2 + u[1] ** 2
+        aa = -(r2 * jnp.sqrt(r2)) ** -1.0
+        return jnp.stack([aa * u[0], aa * u[1]])
+
+    Y4 = np.zeros((256, 4), np.float32)
+    Y4[:, 0] = 1.0
+    Y4[:, 3] = 1.0
+    check("fused_rkn", lambda Y: solve_fused_rkn(
+        acc2, (0.0, 3.0), Y, method=Fi5N, block_members=256), Y4)
+
+    ny, nx = 16, 128
+    dx = 1.0 / nx
+
+    def bru(t, uv):
+        lap = (roll(uv, 1, 1) + roll(uv, -1, 1)
+               + roll(uv, 1, 2) + roll(uv, -1, 2) - 4.0 * uv) / dx ** 2
+        u, v = uv[0], uv[1]
+        uv2 = u * u * v
+        return jnp.stack([1.0 + uv2 - 4.0 * u + 0.02 * lap[0],
+                          3.0 * u - uv2 + 0.02 * lap[1]])
+
+    rho = 8.0 * 0.02 / dx ** 2 + 5.0
+    G = np.ones((2, ny, nx), np.float32)
+    check("fused_rkc", lambda Y: solve_fused_rkc(
+        bru, (0.0, 1.0), Y, rho), G)
+    check("fused_rkc t_eval", lambda Y: solve_fused_rkc(
+        bru, (0.0, 1.0), Y, rho, t_eval=tq), G)
+
+    def bru_p(t, uv, p):
+        return bru(t, uv) * 1.0 + 0.0 * p[0]
+
+    GE = np.ones((8, 2, ny, nx), np.float32)
+    PE = np.ones((8, 1), np.float32)
+    check("fused_rkc ensemble", lambda Y, P: solve_fused_rkc_ensemble(
+        bru_p, (0.0, 1.0), Y, rho, params=P), GE, PE)
+
+    def rob(t, y):
+        r1 = -0.04 * y[0] + 1e4 * y[1] * y[2]
+        r3 = 3e7 * y[1] * y[1]
+        return jnp.stack([r1, -r1 - r3, r3])
+
+    Y3 = np.tile(np.array([1.0, 0.0, 0.0], np.float32), (256, 1))
+    check("fused_esdirk", lambda Y: solve_fused_esdirk(
+        rob, (0.0, 1e4), Y, method=Kv3I, block_members=256), Y3)
+    check("fused_esdirk compensated", lambda Y: solve_fused_esdirk(
+        rob, (0.0, 1e4), Y, method=Kv3I, block_members=256,
+        compensated=True, rtol=1e-6, atol=1e-9), Y3)
+    check("fused_esdirk t_eval", lambda Y: solve_fused_esdirk(
+        rob, (0.0, 1e4), Y, method=Kv3I, block_members=256,
+        t_eval=np.logspace(-2, 4, 7).astype(np.float32)), Y3)
+
+    # hidden-M DAE (SVD pre-rotation)
+    rng = np.random.RandomState(1)
+    A = rng.rand(2, 2)
+    B = rng.rand(2, 2)
+    Binv = np.linalg.inv(B)
+    M_hidden = A @ np.array([[0.0, 0.0], [0.0, 1.0]]) @ Binv
+
+    def kaps_rows(t, z):
+        y0 = Binv[0, 0] * z[0] + Binv[0, 1] * z[1]
+        y1 = Binv[1, 0] * z[0] + Binv[1, 1] * z[1]
+        f0 = -y0 + y1 * y1
+        f1 = y0 - y1 - y1 * y1
+        return jnp.stack([A[0, 0] * f0 + A[0, 1] * f1,
+                          A[1, 0] * f0 + A[1, 1] * f1])
+
+    Z0 = np.tile((B @ [1.0, 1.0]).astype(np.float32), (256, 1))
+    ZP0 = np.tile((B @ [-2.0, -1.0]).astype(np.float32), (256, 1))
+    check("fused_esdirk hidden-M",
+          lambda Z, ZP: solve_fused_esdirk(
+              kaps_rows, (0.0, 1.0), Z, method=TRBDF2, M=M_hidden,
+              yp0_batch=ZP, block_members=256), Z0, ZP0)
+
+    check("fused_adams", lambda Y: solve_fused_adams(
+        vdp, (0.0, 2.0), Y, block_members=256), Y2)
+    check("fused_adams compensated", lambda Y: solve_fused_adams(
+        vdp, (0.0, 2.0), Y, block_members=256, compensated=True,
+        rtol=1e-6, atol=1e-9), Y2)
+    check("fused_adams t_eval", lambda Y: solve_fused_adams(
+        vdp, (0.0, 2.0), Y, block_members=256, t_eval=tq), Y2)
+
+    if FAILED:
+        print("\nFAIL:", ", ".join(FAILED))
+        sys.exit(1)
+    print("\nPASS — all fused kernels lower and compile under Mosaic")
+
+
+if __name__ == "__main__":
+    main()
