@@ -13,6 +13,10 @@ remain the conformance solvers).
   batched Newton, n <= 8)
 * :func:`solve_fused_adams` — variable-order SWAG multistep ensembles
   (n <= 8; ~2 us per in-kernel step on v5e)
+* :func:`solve_fused_adams_grid` — SWAG for MID-SIZE systems
+  (n a multiple of 128, states on the lane axis, members on
+  sublanes): method-of-lines PDEs and reaction networks the
+  row-unrolled layout cannot express
 """
 from .fused_erk import solve_fused_erk
 from .fused_rkn import solve_fused_rkn
@@ -20,7 +24,8 @@ from .fused_rkc import (solve_fused_rkc,
                         solve_fused_rkc_ensemble)
 from .fused_esdirk import solve_fused_esdirk
 from .fused_adams import solve_fused_adams
+from .fused_adams_grid import solve_fused_adams_grid
 
 __all__ = ["solve_fused_erk", "solve_fused_rkn", "solve_fused_rkc",
            "solve_fused_rkc_ensemble", "solve_fused_esdirk",
-           "solve_fused_adams"]
+           "solve_fused_adams", "solve_fused_adams_grid"]

@@ -38,6 +38,7 @@ from ..steppers.adams import AdamsStepper, _GSTR
 from ..types import IVPParams
 from .fused_erk import (_fblend, _iblend, _sanitize, _df_add, _two_sum,
                         _hermite_tiles)
+from ._adams_common import TileOps, make_coefficients
 
 _RUNNING, _FINISHED, _TOO_SMALL, _OVERFLOW = 0, 1, 2, 3
 
@@ -260,43 +261,16 @@ def solve_fused_adams(fun, t_span, y0_batch, rtol=1e-4, atol=1e-6,
         tfs = tf + fzero
         dirs = direction
 
-        # --- tile/list helpers (2-D only) -------------------------------
-        # arithmetic blends, not selects: measured ~1.5x faster on v5e
-        # (select_n lowers to more mask traffic than mul/add here)
-        def fb(c, a, b):
-            return _fblend(c, a, b)
-
-        def ib(c, a, b):
-            return _iblend(c, a, b)
-
-        def vsel(c, la, lb):
-            return [fb(c, a, b) for a, b in zip(la, lb)]
-
-        def visel(c, la, lb):
-            return [ib(c, a, b) for a, b in zip(la, lb)]
-
-        def vtake(lst, i):
-            acc = fzero
-            for r, tile in enumerate(lst):
-                acc = acc + fb(i == r, tile, fzero)
-            return acc
-
-        def vitake(lst, i):
-            acc = izero
-            for r, tile in enumerate(lst):
-                acc = acc + ib(i == r, tile, izero)
-            return acc
-
-        def vput(lst, i, val):
-            return [fb(i == r, val, tile)
-                    for r, tile in enumerate(lst)]
-
-        def ctake(vals, i):
-            """gather from a list of PYTHON floats by int tile."""
-            acc = fzero
-            for r, cval in enumerate(vals):
-                acc = acc + fb(i == r, fzero + cval, fzero)
-            return acc
+        # tile/list helpers + the dsteps block-1 coefficient update:
+        # layout-generic machinery shared with fused_adams_grid
+        # (_adams_common.py; arithmetic blends, not selects — measured
+        # ~1.5x faster than select_n on v5e)
+        O = TileOps(fzero, izero)
+        fb, ib = O.fb, O.ib
+        vsel, visel = O.vsel, O.visel
+        vtake, vitake, vput = O.vtake, O.vitake, O.vput
+        ctake, cliped = O.ctake, O.cliped
+        coefficients = make_coefficients(km, iqq, n_iv, O)
 
         def member_norm(rows):
             acc = fzero
@@ -304,184 +278,9 @@ def solve_fused_adams(fun, t_span, y0_batch, rtol=1e-4, atol=1e-6,
                 acc = acc + r * r
             return jnp.sqrt(acc * (1.0 / len(rows)))
 
-        def cliped(i, lo, hi):
-            return jnp.clip(i, lo, hi)
-
         def fcall(tt, rows):
             out = fun(tt, jnp.stack(rows))
             return [out[r] for r in range(n)]
-
-        # --- block 1: coefficients (dsteps blocks; adams.py:292-443) ----
-        def coefficients(hh, kk, nss, c_psi, c_alpha, c_beta, c_sig,
-                         c_v, c_w, c_g, c_gi, c_iv, c_ivc, c_kgi,
-                         c_kprev, kold_):
-            kp1 = kk + 1
-            km1 = kk - 1
-            nsm1 = nss - 1
-            recompute = (kk >= nss).astype(jnp.float32)
-
-            psi_n = []
-            for r in range(km):
-                prev = c_psi[r - 1] if r > 0 else fzero
-                val = fb(r == nsm1, hh * nss.astype(jnp.float32),
-                         fb((r >= nss) & (r < kk), hh + prev,
-                            c_psi[r]))
-                psi_n.append(val)
-            psi_n = [recompute * a + (1.0 - recompute) * b
-                     for a, b in zip(psi_n, c_psi)]
-
-            alpha_n = []
-            for r in range(km):
-                safe = fb(psi_n[r] == 0.0, fzero + 1.0, psi_n[r])
-                val = fb(r == nsm1,
-                         1.0 / jnp.maximum(nss.astype(jnp.float32),
-                                           1.0),
-                         fb((r >= nss) & (r < kk), hh / safe,
-                            c_alpha[r]))
-                alpha_n.append(val)
-            alpha_n = [recompute * a + (1.0 - recompute) * b
-                       for a, b in zip(alpha_n, c_alpha)]
-
-            # beta: cumulative product of psi[r-1]/psi_old[r-1] over
-            # r in [ns, k), 1 at r == ns-1
-            beta_n = []
-            run = fzero + 1.0
-            for r in range(km):
-                num = psi_n[r - 1] if r > 0 else fzero + 1.0
-                den = c_psi[r - 1] if r > 0 else fzero + 1.0
-                den = fb(den == 0.0, fzero + 1.0, den)
-                ratio = fb((r >= nss) & (r < kk), num / den,
-                           fzero + 1.0)
-                # reset the running product at r == ns (start of range)
-                run = fb(r == nss, ratio, run * ratio)
-                val = fb(r == nsm1, fzero + 1.0,
-                         fb((r >= nss) & (r < kk), run, c_beta[r]))
-                beta_n.append(val)
-            beta_n = [recompute * a + (1.0 - recompute) * b
-                      for a, b in zip(beta_n, c_beta)]
-
-            # sig[j+1] = sig_base * prod_{i=ns-1..j} (i+1) alpha[i]
-            s_base = vtake(c_sig, cliped(nsm1, 0, km))
-            s_base = fb(nsm1 == 0, fzero + 1.0, s_base)
-            sig_n = list(c_sig)
-            run = fzero + 1.0
-            tail = []
-            for r in range(km):
-                fac = fb((r >= nsm1) & (r < kk),
-                         float(r + 1) * alpha_n[r], fzero + 1.0)
-                run = run * fac
-                tail.append(s_base * run)
-            for m in range(km + 1):
-                src = tail[max(m - 1, 0)]
-                cond = ((m >= nss) & (m <= kk)).astype(jnp.float32) \
-                    * recompute
-                sig_n[m] = cond * src + (1.0 - cond) * c_sig[m]
-
-            first_ns = nss == 1
-
-            # ns == 1 branch
-            v1 = [fb(r < kk, fzero + iqq[r], c_v[r])
-                  for r in range(km)]
-            w1 = list(v1)
-            ivc1 = izero
-            kgi1 = ib(kk != 1, izero + 1, izero)
-            gi1 = list(c_gi)
-            if km > 1:
-                gi1[0] = fb((kk != 1), w1[1], c_gi[0])
-
-            # ns > 1 branch
-            raised = kk > c_kprev
-            use_iv = raised & (c_ivc != 0)
-            ivc2 = ib(raised, ib(use_iv, c_ivc - 1, c_ivc), c_ivc)
-            jv = ib(use_iv,
-                    kp1 - vitake(c_iv, cliped(c_ivc - 1, 0,
-                                              n_iv - 1)),
-                    izero + 1)
-            freshd = raised & (c_ivc == 0)
-            v2 = list(c_v)
-            w2 = list(c_w)
-            # fresh diagonal entry at the DYNAMIC slot k-1 with value
-            # iqq[k-1] (steppers/adams.py:368-371; a static km-1 here
-            # writes the wrong slot whenever k < k_max)
-            iqq_km1 = ctake(iqq, cliped(km1, 0, km - 1))
-            v2 = [fb(freshd & (r == km1), iqq_km1, v2[r])
-                  for r in range(km)]
-            v2_km1 = vtake(v2, cliped(km1, 0, km - 1))
-            w2 = [fb(freshd & (r == km1), v2_km1, w2[r])
-                  for r in range(km)]
-            kgi2 = ib(freshd & (kk == 2), izero + 1, c_kgi)
-            gi2 = list(c_gi)
-            if km > 1:
-                gi2[0] = fb(freshd & (kk == 2), w2[1], gi2[0])
-
-            # sequential diagonal update j = jv .. ns-2 over the
-            # DYNAMIC rows k-1-j (steppers/adams.py:379-388)
-            for j in range(km):
-                active = raised & (j >= jv) & (j < nsm1)
-                i_r = cliped(km1 - j, 0, km - 1)
-                v2_i = vtake(v2, i_r)
-                newval = v2_i - alpha_n[min(j, km - 1)] \
-                    * vtake(v2, cliped(i_r + 1, 0, km - 1))
-                v2 = vput(v2, i_r, fb(active, newval, v2_i))
-            lowlim = jnp.maximum(km1 - nsm1 + 1, 0)
-            for r in range(km):
-                cond = raised & (r >= lowlim) & (r <= km1 - jv)
-                w2[r] = fb(cond, v2[r], w2[r])
-            cond_kgi = raised & (kk == nss) & (jv < nsm1)
-            kgi2 = ib(cond_kgi, nsm1, kgi2)
-            for r in range(km - 1):
-                gi2[r] = fb((r == cliped(nsm1 - 1, 0, km - 2))
-                            & cond_kgi, v2[1], gi2[r])
-
-            # main v update and w copy
-            limit1 = kp1 - nss
-            alpha_ns = vtake(alpha_n, cliped(nsm1, 0, km - 1))
-            v2 = [fb(r < limit1,
-                     v2[r] - alpha_ns * (v2[r + 1] if r + 1 < km
-                                         else fzero), v2[r])
-                  for r in range(km)]
-            w2 = [fb(r < limit1 + 1, v2[r], w2[r]) for r in range(km)]
-            g2 = vput(list(c_g), cliped(nss, 0, km), v2[0])
-            kgi2 = ib(limit1 != 1, nss, kgi2)
-            for r in range(km - 1):
-                gi2[r] = fb((r == cliped(nsm1, 0, km - 2))
-                            & (limit1 != 1), v2[1], gi2[r])
-            lower = kk < kold_
-            iv2 = [ib((r == cliped(ivc2, 0, n_iv - 1)) & lower,
-                      limit1 + 2, c_iv[r]) for r in range(n_iv)]
-            ivc3 = ib(lower, ivc2 + 1, ivc2)
-
-            # merge ns==1 / ns>1
-            v_n = vsel(first_ns, v1, v2)
-            w_n = vsel(first_ns, w1, w2)
-            gi_n = vsel(first_ns, gi1, gi2)
-            iv_n = visel(first_ns, c_iv, iv2)
-            ivc_n = ib(first_ns, ivc1, ivc3)
-            kgi_n = ib(first_ns, kgi1, kgi2)
-            g_n = vsel(first_ns, c_g, g2)
-
-            # g coefficients in w
-            for i in range(km):
-                active = (i >= nss) & (i < kk)
-                limit2 = kk - i
-                w_n = [fb((r < limit2) & active,
-                          w_n[r] - alpha_n[min(i, km - 1)]
-                          * (w_n[r + 1] if r + 1 < km else fzero),
-                          w_n[r]) for r in range(km)]
-                j = min(i + 1, km)
-                g_n[j] = fb(active, w_n[0], g_n[j])
-
-            def keep(ln, lo):
-                return [recompute * a + (1.0 - recompute) * b
-                        for a, b in zip(ln, lo)]
-
-            rc_b = recompute != 0.0
-            return (psi_n, alpha_n, beta_n,
-                    [recompute * a + (1.0 - recompute) * b
-                     for a, b in zip(sig_n, c_sig)],
-                    keep(v_n, c_v), keep(w_n, c_w), keep(g_n, c_g),
-                    keep(gi_n, c_gi), visel(rc_b, iv_n, c_iv),
-                    ib(rc_b, ivc_n, c_ivc), ib(rc_b, kgi_n, c_kgi))
 
         # ------------------------------------------------------------------
         def cond_loop(carry):

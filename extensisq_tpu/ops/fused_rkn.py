@@ -24,17 +24,23 @@ from jax.experimental.pallas import tpu as pltpu
 from ..core.controller import resolve_controller
 from .fused_erk import (_RUNNING, _FINISHED, _TOO_SMALL, _OVERFLOW,
                         _fblend, _iblend, _sanitize, _member_norm,
-                        _two_sum, _comp_wsum, _df_add)
+                        _two_sum, _comp_wsum, _df_add, _hermite_tiles)
 
 
 def solve_fused_rkn(acc, t_span, y0_batch, method=None, rtol=1e-4,
                     atol=1e-6, first_step=None, max_steps=100_000,
                     block_members=1024, interpret=False,
-                    compensated=False):
+                    compensated=False, t_eval=None):
     """Integrate an ensemble of small 2nd-order systems in one kernel.
 
     y0_batch: (B, 2m) float32 — [u, v] per member.  Returns
     (y_final (B, 2m), status (B,), nsteps (B,), nfev (B,)).
+
+    ``t_eval``: optional increasing snapshot times, interpolated FROM
+    INSIDE the kernel as each member crosses each point
+    (common.py:766-790 evaluation form, partitioned: u rows take
+    cubic Hermite with derivative v, v rows with the carried
+    acceleration).  Appends ``y_eval`` (len(t_eval), B, 2m).
     """
     if method is None:
         from ..methods import Fi5N as method
@@ -82,6 +88,10 @@ def solve_fused_rkn(acc, t_span, y0_batch, method=None, rtol=1e-4,
     scalars = jnp.stack([t0, tf, jnp.float32(rtol), jnp.float32(atol),
                          direction, h0])
 
+    nq = 0 if t_eval is None else int(np.asarray(t_eval).shape[0])
+    tq_vals = (None if t_eval is None
+               else [float(v) for v in np.asarray(t_eval)])
+
     def _wsum(rows, w):
         acc_ = None
         for wi, r in zip(w, rows):
@@ -97,7 +107,9 @@ def solve_fused_rkn(acc, t_span, y0_batch, method=None, rtol=1e-4,
             return hi, lo
         return _wsum(rows, w), None
 
-    def kernel(sc_ref, y0_ref, yout_ref, stat_ref, nstep_ref, nfev_ref):
+    def kernel(sc_ref, y0_ref, yout_ref, stat_ref, nstep_ref, nfev_ref,
+               *maybe_yq):
+        yq_ref = maybe_yq[0] if nq else None
         yin = y0_ref[:].T.reshape(n, sub, 128)
         u = yin[:m]
         v = yin[m:]
@@ -135,6 +147,7 @@ def solve_fused_rkn(acc, t_span, y0_batch, method=None, rtol=1e-4,
             min_step: Any
             nstep: Any
             nfev: Any
+            qrows: Any  # (nq) of (u (m,sub,128), v (m,sub,128)) pairs
 
         def cond(st):
             return jnp.max(_iblend(st.status == _RUNNING,
@@ -261,6 +274,30 @@ def solve_fused_rkn(acc, t_span, y0_batch, method=None, rtol=1e-4,
             hit_cap = (st.it + 1 >= max_steps) & (status == _RUNNING)
             status = _iblend(hit_cap, izero + _OVERFLOW, status)
 
+            # t_eval snapshots: partitioned cubic Hermite — u rows
+            # with derivative v, v rows with the carried acceleration
+            # (common.py:766-790 evaluation form)
+            qrows_new = st.qrows
+            if nq:
+                h_safe = _fblend(h == 0.0, fzero + 1.0, h)
+                qrows_new = []
+                for q in range(nq):
+                    tqc = tq_vals[q]
+                    crossed = (upd
+                               & (direction * (tqc - st.t) > 0.0)
+                               & (direction * tqc
+                                  <= direction * t_new))
+                    theta = (tqc - st.t) / h_safe
+                    qu = _hermite_tiles(theta, h, [st.u], [st.v],
+                                        [u_new], [v_new])[0]
+                    qv = _hermite_tiles(theta, h, [st.v], [st.f],
+                                        [v_new], [f_new])[0]
+                    crm = jnp.broadcast_to(crossed, st.u.shape)
+                    qrows_new.append(
+                        (_fblend(crm, qu, st.qrows[q][0]),
+                         _fblend(crm, qv, st.qrows[q][1])))
+                qrows_new = tuple(qrows_new)
+
             updm = jnp.broadcast_to(upd, st.u.shape)
             return S(
                 it=st.it + 1,
@@ -288,8 +325,11 @@ def solve_fused_rkn(acc, t_span, y0_batch, method=None, rtol=1e-4,
                 min_step=min_step,
                 nstep=st.nstep + _iblend(upd, izero + 1, izero),
                 nfev=st.nfev + dfev,
+                qrows=qrows_new,
             )
 
+        # snapshot rows start at (u0, v0): covers points at/before t0
+        qrows0 = tuple((u, v) for _ in range(nq))
         st0 = S(
             it=jnp.zeros((), jnp.int32),
             tf=tf_r, direction=dir_r, rtol=rtol_r, atol=atol_r,
@@ -298,23 +338,47 @@ def solve_fused_rkn(acc, t_span, y0_batch, method=None, rtol=1e-4,
             status=izero, std_sc=izero + 1, err_old=fzero + 1.0,
             h_prev=fzero, max_fac=fzero + 10.0, fresh=izero + 1,
             rejected=izero, min_step=fzero, nstep=izero,
-            nfev=izero + 1)
+            nfev=izero + 1, qrows=qrows0)
         st = jax.lax.while_loop(cond, body, st0)
 
         yout_ref[:] = jnp.concatenate([st.u, st.v]).reshape(n, bm).T
         stat_ref[:] = st.status.reshape(1, bm)
         nstep_ref[:] = st.nstep.reshape(1, bm)
         nfev_ref[:] = st.nfev.reshape(1, bm)
+        if nq:
+            # flush points the member never reached with the final y
+            for q in range(nq):
+                unreached = jnp.broadcast_to(
+                    dir_r * tq_vals[q] > dir_r * st.t, st.u.shape)
+                qu = _fblend(unreached, st.u, st.qrows[q][0])
+                qv = _fblend(unreached, st.v, st.qrows[q][1])
+                yq_ref[q] = jnp.concatenate([qu, qv]).reshape(n, bm).T
 
     n_padded = y0_batch.shape[0]
-    out_shapes = (
+    out_shapes = [
         jax.ShapeDtypeStruct((n_padded, n), jnp.float32),
         jax.ShapeDtypeStruct((1, n_padded), jnp.int32),
         jax.ShapeDtypeStruct((1, n_padded), jnp.int32),
         jax.ShapeDtypeStruct((1, n_padded), jnp.int32),
-    )
+    ]
+    out_specs = [
+        pl.BlockSpec((bm, n), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, bm), lambda i: (0, i),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, bm), lambda i: (0, i),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, bm), lambda i: (0, i),
+                     memory_space=pltpu.VMEM),
+    ]
+    if nq:
+        out_shapes.append(
+            jax.ShapeDtypeStruct((nq, n_padded, n), jnp.float32))
+        out_specs.append(
+            pl.BlockSpec((nq, bm, n), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM))
     with jax.enable_x64(False):
-        y_out, status, nsteps, nfev = pl.pallas_call(
+        outs = pl.pallas_call(
             kernel,
             grid=(grid,),
             in_specs=[
@@ -322,20 +386,15 @@ def solve_fused_rkn(acc, t_span, y0_batch, method=None, rtol=1e-4,
                 pl.BlockSpec((bm, n), lambda i: (i, 0),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=(
-                pl.BlockSpec((bm, n), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, bm), lambda i: (0, i),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, bm), lambda i: (0, i),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, bm), lambda i: (0, i),
-                             memory_space=pltpu.VMEM),
-            ),
+            out_specs=out_specs,
             out_shape=out_shapes,
             interpret=interpret,
         )(scalars, y0_batch)
+    y_out, status, nsteps, nfev = outs[:4]
 
     y_out = y_out[:n_total]
-    return (y_out, status[0, :n_total], nsteps[0, :n_total],
-            nfev[0, :n_total])
+    ret = (y_out, status[0, :n_total], nsteps[0, :n_total],
+           nfev[0, :n_total])
+    if nq:
+        ret = ret + (outs[4][:, :n_total],)
+    return ret

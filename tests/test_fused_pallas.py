@@ -128,6 +128,47 @@ def test_fused_rkn_kepler():
         assert abs(float(ns.mean()) - float(ref.nsteps.mean())) < 3.0
 
 
+def test_fused_rkn_t_eval():
+    """Snapshot trajectories from inside the fused RKN kernel:
+    partitioned cubic Hermite (u rows with derivative v, v rows with
+    the carried acceleration) matching the XLA f64 driver's dense
+    output at tolerance scale (common.py:766-790 form)."""
+    from extensisq_tpu.ops import solve_fused_rkn
+    from extensisq_tpu import Fi5N
+
+    B = 128
+    ecc = np.linspace(0.1, 0.5, B)
+    Y0 = jnp.asarray(np.stack([1 - ecc, np.zeros(B), np.zeros(B),
+                               np.sqrt((1 + ecc) / (1 - ecc))], axis=1))
+
+    def acc(t, u, v):
+        r2 = u[0] ** 2 + u[1] ** 2
+        a = -r2 ** -1.5
+        return jnp.stack([a * u[0], a * u[1]])
+
+    def f_full(t, y):
+        r2 = y[0] ** 2 + y[1] ** 2
+        a = -r2 ** -1.5
+        return jnp.stack([y[2], y[3], a * y[0], a * y[1]])
+
+    tq = np.array([0.0, 1.5, np.pi, 5.0, 2 * np.pi], np.float32)
+    yf, st, ns, nf, yq = solve_fused_rkn(
+        acc, (0.0, 2 * np.pi), Y0, method=Fi5N, rtol=1e-5,
+        atol=1e-7, block_members=128, interpret=True, t_eval=tq)
+    assert bool(jnp.all(st == 1))
+    yq = np.asarray(yq)
+    assert yq.shape == (5, B, 4)
+    out = solve_ensemble(f_full, (0.0, 2 * np.pi),
+                         jnp.asarray(Y0, jnp.float64), method=Fi5N,
+                         rtol=1e-5, atol=1e-7,
+                         t_eval=jnp.asarray(tq, jnp.float64))
+    yx = np.asarray(out.y_eval)
+    for i in range(len(tq)):
+        assert np.max(np.abs(yq[i] - yx[:, i])) < 2e-3, i
+    np.testing.assert_array_equal(yq[0], np.asarray(Y0, np.float32))
+    assert np.max(np.abs(yq[-1] - np.asarray(yf))) < 1e-6
+
+
 def test_fused_rkc_brusselator():
     """Fused RKC kernel (in-kernel Chebyshev stage loop with runtime
     stage count, rho bound, H220 controller): in-tolerance agreement
@@ -456,6 +497,86 @@ def test_fused_adams_vdp():
     assert abs(float(np.asarray(ns).mean())
                - float(np.asarray(out.nsteps).mean())) < 2.0
     assert np.max(np.abs(np.asarray(y) - np.asarray(out.y))) < 1e-3
+
+
+def _heat_pair(n):
+    """Periodic 1-D heat RHS in both conventions: (bm, n) kernel
+    (states on lanes) and (n,) XLA-stepper."""
+    D, dx = 0.01, 1.0 / n
+
+    def kernel_form(t, y):
+        return D * (jnp.roll(y, 1, -1) + jnp.roll(y, -1, -1)
+                    - 2.0 * y) / dx ** 2
+
+    def vec_form(t, y):
+        return D * (jnp.roll(y, 1) + jnp.roll(y, -1)
+                    - 2.0 * y) / dx ** 2
+
+    return kernel_form, vec_form
+
+
+def test_fused_adams_grid_heat():
+    """Mid-size-system fused SWAG (states on lanes, members on
+    sublanes — the layout hole n in 16..512 the row-unrolled kernel
+    cannot express): a 128-state method-of-lines heat ensemble lands
+    in the XLA f64 path's step regime with a tolerance-scale
+    endpoint."""
+    from extensisq_tpu.ops import solve_fused_adams_grid
+    from extensisq_tpu import SWAG
+
+    n = 128
+    kern, vec = _heat_pair(n)
+    B = 16
+    xg = np.linspace(0, 1, n, endpoint=False)
+    amps = np.linspace(0.5, 1.5, B)
+    Y0 = (amps[:, None] * np.sin(2 * np.pi * xg)[None, :]
+          + 0.3 * np.cos(4 * np.pi * xg)[None, :]).astype(np.float32)
+
+    y, st, ns, nf = solve_fused_adams_grid(
+        kern, (0.0, 0.25), Y0, rtol=1e-4, atol=1e-6, k_max=6,
+        block_members=8, interpret=True)
+    assert np.all(np.asarray(st) == 1)
+    out = solve_ensemble(vec, (0.0, 0.25), jnp.asarray(Y0, jnp.float64),
+                         method=SWAG, rtol=1e-4, atol=1e-6, k_max=6)
+    assert np.max(np.abs(np.asarray(y) - np.asarray(out.y))) < 1e-3
+    # step counts in the XLA regime (f32 controller noise drifts a
+    # few percent on a ~100-step stability-limited solve)
+    nsf = np.asarray(ns, np.float64)
+    nsx = np.asarray(out.nsteps, np.float64)
+    assert abs(nsf.mean() - nsx.mean()) < 0.15 * nsx.mean()
+    # per-member nfev consistency: PECE => nfev ~ 2*nsteps + failures
+    assert np.all(np.asarray(nf) >= 2 * np.asarray(ns))
+
+
+def test_fused_adams_grid_t_eval():
+    """In-kernel snapshot trajectories from the mid-size SWAG kernel
+    match the XLA driver's dense output at tolerance scale."""
+    from extensisq_tpu.ops import solve_fused_adams_grid
+    from extensisq_tpu import SWAG
+
+    n = 128
+    kern, vec = _heat_pair(n)
+    B = 8
+    xg = np.linspace(0, 1, n, endpoint=False)
+    amps = np.linspace(0.8, 1.2, B)
+    Y0 = (amps[:, None]
+          * np.sin(2 * np.pi * xg)[None, :]).astype(np.float32)
+    tq = np.array([0.0, 0.05, 0.1, 0.2, 0.25], np.float32)
+
+    y, st, ns, nf, yq = solve_fused_adams_grid(
+        kern, (0.0, 0.25), Y0, rtol=1e-4, atol=1e-6, k_max=6,
+        block_members=8, interpret=True, t_eval=tq)
+    assert np.all(np.asarray(st) == 1)
+    yq = np.asarray(yq)
+    assert yq.shape == (5, B, n)
+    out = solve_ensemble(vec, (0.0, 0.25), jnp.asarray(Y0, jnp.float64),
+                         method=SWAG, rtol=1e-4, atol=1e-6, k_max=6,
+                         t_eval=jnp.asarray(tq, jnp.float64))
+    yx = np.asarray(out.y_eval)
+    for i in range(len(tq)):
+        assert np.max(np.abs(yq[i] - yx[:, i])) < 2e-3, i
+    np.testing.assert_array_equal(yq[0], Y0)
+    assert np.max(np.abs(yq[-1] - np.asarray(y))) < 1e-6
 
 
 def test_fused_adams_t_eval():

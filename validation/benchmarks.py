@@ -136,13 +136,56 @@ def config2():
           f"1e-6/atol 1e-9): tpu {dtc:7.2f} s, endpoint |d| vs f64 "
           f"{dcomp:.1e}")
 
+    # 2d: MID-SIZE systems (the n ~ 16-512 hole: too big for the
+    # row-unrolled kernel, below sharding scale) — 256-state
+    # method-of-lines heat ensemble, states on the lane axis.  The
+    # XLA twin runs the same problem through the device driver.
+    from extensisq_tpu.ops.fused_adams_grid import solve_fused_adams_grid
+    ngr = 256
+    Dg, dxg = 0.01, 1.0 / 256
+
+    def heat_g(t, y):
+        return Dg * (jnp.roll(y, 1, -1) + jnp.roll(y, -1, -1)
+                     - 2.0 * y) / dxg ** 2
+
+    def heat_v(t, y):
+        return Dg * (jnp.roll(y, 1) + jnp.roll(y, -1)
+                     - 2.0 * y) / dxg ** 2
+
+    Bg = 32
+    xg = np.linspace(0, 1, ngr, endpoint=False)
+    amps = np.linspace(0.5, 1.5, Bg)
+    YG = (amps[:, None] * np.sin(2 * np.pi * xg)[None, :]
+          + 0.3 * np.cos(4 * np.pi * xg)[None, :]).astype(np.float32)
+    rung = jax.jit(lambda Y: solve_fused_adams_grid(
+        heat_g, (0.0, 0.25), Y, rtol=1e-4, atol=1e-6, k_max=6,
+        block_members=32))
+    dtg, outg = time_tpu(rung, YG, reps=3)
+    assert np.all(np.asarray(outg[1]) == 1)
+    nsg = int(np.asarray(outg[2]).max())
+    runx = jax.jit(lambda Y: solve_ensemble(
+        heat_v, (0.0, 0.25), Y, method=SWAG, rtol=1e-4, atol=1e-6,
+        k_max=6))
+    dtx2, outx2 = time_tpu(runx, jnp.asarray(YG, jnp.float64),
+                           reps=3)
+    assert bool(np.all(np.asarray(outx2.status) == 1))
+    dg = float(np.max(np.abs(np.asarray(outg[0])
+                             - np.asarray(outx2.y))))
+    assert dg < 1e-3, f"grid SWAG endpoint drift vs XLA: {dg}"
+    print(f"2d heat-MoL n={ngr} SWAG x{Bg}: fused-grid {dtg*1e3:7.1f}"
+          f" ms ({nsg} steps) vs XLA device path {dtx2*1e3:7.1f} ms "
+          f"({dtx2/dtg:4.1f}x); endpoint |d| {dg:.1e}")
+
     print(f"2 VdP mu=1e3 SWAG x{B} (t=20): tpu {dt:7.1f} s | "
           f"scipy-1core ~{sc:6.1f} s | speedup {sc/dt:7.0f}x "
           f"(~{steps} steps/member)")
     return {"2_xla_windowed_s": dt, "2_speedup_vs_scipy": sc / dt,
             "2b_fused_rtol1e-4_s": dtf,
             "2c_fused_compensated_rtol1e-6_s": dtc,
-            "2c_endpoint_d_vs_f64": dcomp}
+            "2c_endpoint_d_vs_f64": dcomp,
+            "2d_grid_swag_fused_ms": dtg * 1e3,
+            "2d_grid_swag_xla_ms": dtx2 * 1e3,
+            "2d_grid_swag_speedup": dtx2 / dtg}
 
 
 def config3():

@@ -42,7 +42,8 @@ def main():
                                    solve_fused_rkc,
                                    solve_fused_rkc_ensemble,
                                    solve_fused_esdirk,
-                                   solve_fused_adams)
+                                   solve_fused_adams,
+                                   solve_fused_adams_grid)
     from extensisq_tpu.ops.fused_rkc import roll
     from extensisq_tpu import BS5, Fi5N, Kv3I, TRBDF2
 
@@ -70,6 +71,9 @@ def main():
     Y4[:, 3] = 1.0
     check("fused_rkn", lambda Y: solve_fused_rkn(
         acc2, (0.0, 3.0), Y, method=Fi5N, block_members=256), Y4)
+    check("fused_rkn t_eval", lambda Y: solve_fused_rkn(
+        acc2, (0.0, 3.0), Y, method=Fi5N, block_members=256,
+        t_eval=tq), Y4)
 
     ny, nx = 16, 128
     dx = 1.0 / nx
@@ -141,6 +145,23 @@ def main():
         rtol=1e-6, atol=1e-9), Y2)
     check("fused_adams t_eval", lambda Y: solve_fused_adams(
         vdp, (0.0, 2.0), Y, block_members=256, t_eval=tq), Y2)
+
+    # mid-size layout: states on lanes, members on sublanes
+    ngr = 128
+    dxg = 1.0 / ngr
+
+    def heat_g(t, y):
+        return 0.01 * (jnp.roll(y, 1, -1) + jnp.roll(y, -1, -1)
+                       - 2.0 * y) / dxg ** 2
+
+    YG = np.tile(np.sin(2 * np.pi * np.linspace(0, 1, ngr,
+                                                endpoint=False))
+                 .astype(np.float32), (32, 1))
+    check("fused_adams_grid", lambda Y: solve_fused_adams_grid(
+        heat_g, (0.0, 0.2), Y, k_max=6, block_members=32), YG)
+    check("fused_adams_grid t_eval", lambda Y: solve_fused_adams_grid(
+        heat_g, (0.0, 0.2), Y, k_max=6, block_members=32,
+        t_eval=np.linspace(0.0, 0.2, 4).astype(np.float32)), YG)
 
     if FAILED:
         print("\nFAIL:", ", ".join(FAILED))
