@@ -17,8 +17,12 @@ remain the conformance solvers).
   (n a multiple of 128, states on the lane axis, members on
   sublanes): method-of-lines PDEs and reaction networks the
   row-unrolled layout cannot express
+* :func:`solve_fused_erk_grid` — the same states-on-lanes layout for
+  explicit RK pairs (mid-size nonstiff work: advection/reaction MoL,
+  oscillator chains); shares fused_erk's adaptive loop verbatim
 """
 from .fused_erk import solve_fused_erk
+from .fused_erk_grid import solve_fused_erk_grid
 from .fused_rkn import solve_fused_rkn
 from .fused_rkc import (solve_fused_rkc,
                         solve_fused_rkc_ensemble)
@@ -26,6 +30,7 @@ from .fused_esdirk import solve_fused_esdirk
 from .fused_adams import solve_fused_adams
 from .fused_adams_grid import solve_fused_adams_grid
 
-__all__ = ["solve_fused_erk", "solve_fused_rkn", "solve_fused_rkc",
+__all__ = ["solve_fused_erk", "solve_fused_erk_grid",
+           "solve_fused_rkn", "solve_fused_rkc",
            "solve_fused_rkc_ensemble", "solve_fused_esdirk",
            "solve_fused_adams", "solve_fused_adams_grid"]

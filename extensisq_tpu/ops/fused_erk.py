@@ -141,6 +141,249 @@ def _hermite_tiles(theta, h, y0_rows, f0_rows, y1_rows, f1_rows):
             for j in range(len(y0_rows))]
 
 
+
+class _ES(NamedTuple):
+    """Layout-generic while-loop carry for the fused adaptive ERK loop."""
+    it: Any
+    tf: Any
+    direction: Any
+    rtol: Any
+    atol: Any
+    t: Any
+    t_lo: Any
+    y: Any
+    y_lo: Any
+    f: Any
+    h_abs: Any
+    status: Any
+    std_sc: Any
+    err_old: Any
+    h_prev: Any
+    max_fac: Any
+    fresh: Any
+    rejected: Any
+    min_step: Any
+    nstep: Any
+    nfev: Any
+    qrows: Any      # (nq) x (rows) carried t_eval snapshot tiles
+
+
+def _run_erk_loop(fun, consts, cc, compensated, max_steps, nq, tq_vals,
+                  fzero, izero, mnorm, split_rows,
+                  t, tf_r, dir_r, rtol_r, atol_r, h_abs0, y, f):
+    """The whole adaptive ERK integration loop, LAYOUT-GENERIC.
+
+    Shared by the two fused-ERK member layouts:
+
+    * ``solve_fused_erk`` — members on the 128-lane axis, state rows
+      unrolled: y (n, sub, 128), per-member scalars (sub, 128);
+    * ``solve_fused_erk_grid`` — state on the lane axis, members on
+      sublanes: y (bm, n), per-member scalars (bm, 1).
+
+    Everything inside broadcasts the per-member scalar tiles against
+    the layout's state array; the two layout-specific operations come
+    in as parameters: ``mnorm`` (RMS over the state axis -> member
+    scalar tile) and ``split_rows`` (state array -> list of hermite
+    row tiles for t_eval snapshots).  ``consts`` is the static
+    tableau tuple (A, B_w, C, E, s, fsal, h_min_a, tiny_err).
+    Returns the final ``_ES`` carry.
+    """
+    A, B_w, C, E, s, fsal, h_min_a, tiny_err = consts
+
+    def _wsum(rows, w):
+        acc = None
+        for wi, r in zip(w, rows):
+            if wi == 0.0:
+                continue
+            term = wi * r
+            acc = term if acc is None else acc + term
+        return jnp.zeros_like(rows[0]) if acc is None else acc
+
+
+    def cond(st):
+        return jnp.max(_iblend(st.status == _RUNNING,
+                               izero + 1, izero)) > 0
+
+    def body(st):
+        tf = st.tf
+        direction = st.direction
+        rtol = st.rtol
+        atol = st.atol
+        running = st.status == _RUNNING
+        fresh_b = st.fresh != 0
+        rejected_b = st.rejected != 0
+        std_b = st.std_sc != 0
+
+        # per-step preparation, applied on fresh steps only
+        ms = jnp.maximum(h_min_a * (jnp.abs(st.t) + st.h_abs),
+                         tiny_err)
+        h_pre = jnp.maximum(st.h_abs, ms)
+        d = jnp.abs(tf - st.t)
+        split = (d < 2.0 * h_pre) & (d > h_pre)
+        h_f = _fblend(split, jnp.maximum(0.5 * d, ms),
+                      _fblend(d <= h_pre, d, h_pre))
+        h_abs = _fblend(fresh_b, h_f, st.h_abs)
+        min_step = _fblend(fresh_b, ms, st.min_step)
+        std_b = std_b | (fresh_b & split)
+
+        too_small = h_abs < min_step
+        h = h_abs * direction
+
+        # stages (unrolled, zero weights dropped at trace time)
+        rows = [st.f]
+        if compensated:
+            for i in range(1, s):
+                dy = h * _wsum(rows, A[i, :i])
+                rows.append(fun(st.t + C[i] * h,
+                                st.y + (dy + st.y_lo)))
+            inc_s, inc_c = _comp_wsum(rows, B_w)
+            y_hi, y_lo1 = _df_add(st.y, st.y_lo, h * inc_s)
+            y_hi, y_lo_new = _two_sum(y_hi, y_lo1 + h * inc_c)
+            y_new = y_hi
+        else:
+            for i in range(1, s):
+                dy = h * _wsum(rows, A[i, :i])
+                rows.append(fun(st.t + C[i] * h, st.y + dy))
+            y_new = st.y + h * _wsum(rows, B_w)
+            y_lo_new = st.y_lo
+        if fsal:
+            rows.append(fun(st.t + h, y_new))
+        m = s + (1 if fsal else 0)
+        if compensated:
+            e_s, e_c = _comp_wsum(rows[:m], E[:m])
+            err = h * (e_s + e_c)
+        else:
+            err = h * _wsum(rows[:m], E[:m])
+        scale = atol + rtol * jnp.maximum(jnp.abs(st.y),
+                                          jnp.abs(y_new))
+        err_norm = mnorm(err / scale)
+        err_norm, bad_e = _sanitize(err_norm)
+        # sanitized error would wrongly accept: push bad members
+        # to a rejecting value, flag overflow via the step cap
+        err_norm = err_norm + bad_e.astype(jnp.float32) * 10.0
+
+        accepted = (err_norm < 1.0) & ~too_small & running
+
+        # controller (arithmetic-blend version of
+        # core.controller.erk_accept_update)
+        err_c = jnp.maximum(err_norm, 1e-30)
+        f_std = cc.safety * err_c ** cc.error_exponent
+        hr = h / _fblend(st.h_prev == 0.0, h, st.h_prev)
+        f_2nd = jnp.clip(
+            cc.safety_sc * err_c ** cc.minbeta1
+            * jnp.maximum(st.err_old, 1e-30) ** cc.minbeta2
+            * hr ** cc.minalpha, cc.min_factor, st.max_fac)
+        is_tiny = err_norm < tiny_err
+        fac_acc = _fblend(is_tiny, st.max_fac,
+                          _fblend(std_b, f_std, f_2nd))
+        fac_acc = _fblend(rejected_b, jnp.minimum(1.0, fac_acc),
+                          fac_acc)
+        std_after = _iblend(is_tiny, izero + 1,
+                            _iblend(std_b, izero, st.std_sc))
+        max_fac_new = _fblend(fac_acc < 4.0, fzero + 4.0,
+                              st.max_fac)
+        fac_rej = jnp.maximum(
+            cc.min_factor, cc.safety * err_c ** cc.error_exponent)
+        h_abs_next = h_abs * _fblend(accepted, fac_acc, fac_rej)
+        h_abs_next, _ = _sanitize(h_abs_next)
+
+        status = _iblend(running & too_small, izero + _TOO_SMALL,
+                         _iblend(running & bad_e,
+                                 izero + _OVERFLOW, st.status))
+
+        is_last = accepted & (h_abs >= d)
+        if compensated:
+            t_adv, t_lo_adv = _df_add(st.t, st.t_lo, h)
+            t_new = _fblend(is_last, tf, t_adv)
+            t_lo_new = _fblend(is_last, fzero, t_lo_adv)
+        else:
+            t_new = _fblend(is_last, tf, st.t + h)
+            t_lo_new = st.t_lo
+        status = _iblend((status == _RUNNING) & is_last,
+                         izero + _FINISHED, status)
+
+        if fsal:
+            f_new = rows[s]
+        else:
+            f_new = fun(t_new, y_new)
+        y_new, _ = _sanitize(y_new)
+        f_new, _ = _sanitize(f_new)
+
+        upd = accepted
+        dfev = _iblend(running, izero + (s if fsal else s - 1),
+                       izero)
+        if not fsal:
+            dfev = dfev + _iblend(upd, izero + 1, izero)
+        hit_cap = (st.it + 1 >= max_steps) & (status == _RUNNING)
+        status = _iblend(hit_cap, izero + _OVERFLOW, status)
+
+        # t_eval snapshots: members that crossed tq this step get
+        # their row cubic-Hermite interpolated from the step's
+        # (y, f) endpoint pairs (common.py:766-790 semantics)
+        qrows_new = st.qrows
+        if nq:
+            y_old_rows = split_rows(st.y)
+            f_old_rows = split_rows(st.f)
+            y_new_rows = split_rows(y_new)
+            f_new_rows = split_rows(f_new)
+            h_safe = _fblend(h == 0.0, fzero + 1.0, h)
+            qrows_new = []
+            for q in range(nq):
+                tqc = tq_vals[q]
+                crossed = (upd
+                           & (direction * (tqc - st.t) > 0.0)
+                           & (direction * tqc
+                              <= direction * t_new))
+                theta = (tqc - st.t) / h_safe
+                vals = _hermite_tiles(theta, h, y_old_rows,
+                                      f_old_rows, y_new_rows,
+                                      f_new_rows)
+                qrows_new.append(tuple(
+                    _fblend(crossed, vals[j], st.qrows[q][j])
+                    for j in range(len(vals))))
+            qrows_new = tuple(qrows_new)
+
+        updn = jnp.broadcast_to(upd, st.y.shape)
+        return _ES(
+            it=st.it + 1,
+            tf=st.tf, direction=st.direction,
+            rtol=st.rtol, atol=st.atol,
+            t=_fblend(upd, t_new, st.t),
+            t_lo=_fblend(upd, t_lo_new, st.t_lo),
+            y=_fblend(updn, y_new, st.y),
+            y_lo=_fblend(updn, y_lo_new, st.y_lo),
+            f=_fblend(updn, f_new, st.f),
+            h_abs=_fblend(running, h_abs_next, st.h_abs),
+            status=status,
+            std_sc=_iblend(upd, std_after, st.std_sc),
+            err_old=_fblend(upd, err_norm, st.err_old),
+            h_prev=_fblend(upd, h, st.h_prev),
+            max_fac=_fblend(upd, max_fac_new, st.max_fac),
+            fresh=_iblend(upd | (status != _RUNNING), izero + 1,
+                          izero),
+            rejected=_iblend(upd, izero,
+                             _iblend(rejected_b
+                                     | (running & ~accepted),
+                                     izero + 1, izero)),
+            min_step=min_step,
+            nstep=st.nstep + _iblend(upd, izero + 1, izero),
+            nfev=st.nfev + dfev,
+            qrows=qrows_new,
+        )
+
+    # snapshot rows start at y0: covers points at/before t0
+    qrows0 = tuple(tuple(split_rows(y)) for _ in range(nq))
+    st0 = _ES(
+        it=jnp.zeros((), jnp.int32),
+        tf=tf_r, direction=dir_r, rtol=rtol_r, atol=atol_r,
+        t=t, t_lo=fzero, y=y, y_lo=y * 0.0, h_abs=h_abs0, f=f,
+        status=izero, std_sc=izero + 1, err_old=fzero + 1.0,
+        h_prev=fzero, max_fac=fzero + 10.0, fresh=izero + 1,
+        rejected=izero, min_step=fzero, nstep=izero,
+        nfev=izero + 1, qrows=qrows0)
+    return jax.lax.while_loop(cond, body, st0)
+
+
 def solve_fused_erk(fun, t_span, y0_batch, method=None, rtol=1e-4,
                     atol=1e-6, first_step=None, max_steps=100_000,
                     block_members=1024, interpret=False,
@@ -211,15 +454,6 @@ def solve_fused_erk(fun, t_span, y0_batch, method=None, rtol=1e-4,
     tq_vals = (None if t_eval is None
                else [float(v) for v in np.asarray(t_eval)])
 
-    def _wsum(rows, w):
-        acc = None
-        for wi, r in zip(w, rows):
-            if wi == 0.0:
-                continue
-            term = wi * r
-            acc = term if acc is None else acc + term
-        return jnp.zeros_like(rows[0]) if acc is None else acc
-
     def kernel(sc_ref, y0_ref, yout_ref, stat_ref, nstep_ref, nfev_ref,
                *maybe_yq):
         yq_ref = maybe_yq[0] if nq else None
@@ -238,213 +472,11 @@ def solve_fused_erk(fun, t_span, y0_batch, method=None, rtol=1e-4,
         h_abs0 = sc_ref[5] + fzero
         f = fun(t, y)
 
-        class S(NamedTuple):
-            it: Any
-            tf: Any
-            direction: Any
-            rtol: Any
-            atol: Any
-            t: Any
-            t_lo: Any
-            y: Any
-            y_lo: Any
-            f: Any
-            h_abs: Any
-            status: Any
-            std_sc: Any
-            err_old: Any
-            h_prev: Any
-            max_fac: Any
-            fresh: Any
-            rejected: Any
-            min_step: Any
-            nstep: Any
-            nfev: Any
-            qrows: Any      # ((nq) x (n)) carried t_eval snapshot tiles
-
-        def cond(st):
-            return jnp.max(_iblend(st.status == _RUNNING,
-                                   izero + 1, izero)) > 0
-
-        def body(st):
-            tf = st.tf
-            direction = st.direction
-            rtol = st.rtol
-            atol = st.atol
-            running = st.status == _RUNNING
-            fresh_b = st.fresh != 0
-            rejected_b = st.rejected != 0
-            std_b = st.std_sc != 0
-
-            # per-step preparation, applied on fresh steps only
-            ms = jnp.maximum(h_min_a * (jnp.abs(st.t) + st.h_abs),
-                             tiny_err)
-            h_pre = jnp.maximum(st.h_abs, ms)
-            d = jnp.abs(tf - st.t)
-            split = (d < 2.0 * h_pre) & (d > h_pre)
-            h_f = _fblend(split, jnp.maximum(0.5 * d, ms),
-                          _fblend(d <= h_pre, d, h_pre))
-            h_abs = _fblend(fresh_b, h_f, st.h_abs)
-            min_step = _fblend(fresh_b, ms, st.min_step)
-            std_b = std_b | (fresh_b & split)
-
-            too_small = h_abs < min_step
-            h = h_abs * direction
-
-            # stages (unrolled, zero weights dropped at trace time)
-            rows = [st.f]
-            if compensated:
-                for i in range(1, s):
-                    dy = h * _wsum(rows, A[i, :i])
-                    rows.append(fun(st.t + C[i] * h,
-                                    st.y + (dy + st.y_lo)))
-                inc_s, inc_c = _comp_wsum(rows, B_w)
-                y_hi, y_lo1 = _df_add(st.y, st.y_lo, h * inc_s)
-                y_hi, y_lo_new = _two_sum(y_hi, y_lo1 + h * inc_c)
-                y_new = y_hi
-            else:
-                for i in range(1, s):
-                    dy = h * _wsum(rows, A[i, :i])
-                    rows.append(fun(st.t + C[i] * h, st.y + dy))
-                y_new = st.y + h * _wsum(rows, B_w)
-                y_lo_new = st.y_lo
-            if fsal:
-                rows.append(fun(st.t + h, y_new))
-            m = s + (1 if fsal else 0)
-            if compensated:
-                e_s, e_c = _comp_wsum(rows[:m], E[:m])
-                err = h * (e_s + e_c)
-            else:
-                err = h * _wsum(rows[:m], E[:m])
-            scale = atol + rtol * jnp.maximum(jnp.abs(st.y),
-                                              jnp.abs(y_new))
-            err_norm = _member_norm(err / scale)
-            err_norm, bad_e = _sanitize(err_norm)
-            # sanitized error would wrongly accept: push bad members
-            # to a rejecting value, flag overflow via the step cap
-            err_norm = err_norm + bad_e.astype(jnp.float32) * 10.0
-
-            accepted = (err_norm < 1.0) & ~too_small & running
-
-            # controller (arithmetic-blend version of
-            # core.controller.erk_accept_update)
-            err_c = jnp.maximum(err_norm, 1e-30)
-            f_std = cc.safety * err_c ** cc.error_exponent
-            hr = h / _fblend(st.h_prev == 0.0, h, st.h_prev)
-            f_2nd = jnp.clip(
-                cc.safety_sc * err_c ** cc.minbeta1
-                * jnp.maximum(st.err_old, 1e-30) ** cc.minbeta2
-                * hr ** cc.minalpha, cc.min_factor, st.max_fac)
-            is_tiny = err_norm < tiny_err
-            fac_acc = _fblend(is_tiny, st.max_fac,
-                              _fblend(std_b, f_std, f_2nd))
-            fac_acc = _fblend(rejected_b, jnp.minimum(1.0, fac_acc),
-                              fac_acc)
-            std_after = _iblend(is_tiny, izero + 1,
-                                _iblend(std_b, izero, st.std_sc))
-            max_fac_new = _fblend(fac_acc < 4.0, fzero + 4.0,
-                                  st.max_fac)
-            fac_rej = jnp.maximum(
-                cc.min_factor, cc.safety * err_c ** cc.error_exponent)
-            h_abs_next = h_abs * _fblend(accepted, fac_acc, fac_rej)
-            h_abs_next, _ = _sanitize(h_abs_next)
-
-            status = _iblend(running & too_small, izero + _TOO_SMALL,
-                             _iblend(running & bad_e,
-                                     izero + _OVERFLOW, st.status))
-
-            is_last = accepted & (h_abs >= d)
-            if compensated:
-                t_adv, t_lo_adv = _df_add(st.t, st.t_lo, h)
-                t_new = _fblend(is_last, tf, t_adv)
-                t_lo_new = _fblend(is_last, fzero, t_lo_adv)
-            else:
-                t_new = _fblend(is_last, tf, st.t + h)
-                t_lo_new = st.t_lo
-            status = _iblend((status == _RUNNING) & is_last,
-                             izero + _FINISHED, status)
-
-            if fsal:
-                f_new = rows[s]
-            else:
-                f_new = fun(t_new, y_new)
-            y_new, _ = _sanitize(y_new)
-            f_new, _ = _sanitize(f_new)
-
-            upd = accepted
-            dfev = _iblend(running, izero + (s if fsal else s - 1),
-                           izero)
-            if not fsal:
-                dfev = dfev + _iblend(upd, izero + 1, izero)
-            hit_cap = (st.it + 1 >= max_steps) & (status == _RUNNING)
-            status = _iblend(hit_cap, izero + _OVERFLOW, status)
-
-            # t_eval snapshots: members that crossed tq this step get
-            # their row cubic-Hermite interpolated from the step's
-            # (y, f) endpoint pairs (common.py:766-790 semantics)
-            qrows_new = st.qrows
-            if nq:
-                y_old_rows = [st.y[j] for j in range(n)]
-                f_old_rows = [st.f[j] for j in range(n)]
-                y_new_rows = [y_new[j] for j in range(n)]
-                f_new_rows = [f_new[j] for j in range(n)]
-                h_safe = _fblend(h == 0.0, fzero + 1.0, h)
-                qrows_new = []
-                for q in range(nq):
-                    tqc = tq_vals[q]
-                    crossed = (upd
-                               & (direction * (tqc - st.t) > 0.0)
-                               & (direction * tqc
-                                  <= direction * t_new))
-                    theta = (tqc - st.t) / h_safe
-                    vals = _hermite_tiles(theta, h, y_old_rows,
-                                          f_old_rows, y_new_rows,
-                                          f_new_rows)
-                    qrows_new.append(tuple(
-                        _fblend(crossed, vals[j], st.qrows[q][j])
-                        for j in range(n)))
-                qrows_new = tuple(qrows_new)
-
-            updn = jnp.broadcast_to(upd, st.y.shape)
-            return S(
-                it=st.it + 1,
-                tf=st.tf, direction=st.direction,
-                rtol=st.rtol, atol=st.atol,
-                t=_fblend(upd, t_new, st.t),
-                t_lo=_fblend(upd, t_lo_new, st.t_lo),
-                y=_fblend(updn, y_new, st.y),
-                y_lo=_fblend(updn, y_lo_new, st.y_lo),
-                f=_fblend(updn, f_new, st.f),
-                h_abs=_fblend(running, h_abs_next, st.h_abs),
-                status=status,
-                std_sc=_iblend(upd, std_after, st.std_sc),
-                err_old=_fblend(upd, err_norm, st.err_old),
-                h_prev=_fblend(upd, h, st.h_prev),
-                max_fac=_fblend(upd, max_fac_new, st.max_fac),
-                fresh=_iblend(upd | (status != _RUNNING), izero + 1,
-                              izero),
-                rejected=_iblend(upd, izero,
-                                 _iblend(rejected_b
-                                         | (running & ~accepted),
-                                         izero + 1, izero)),
-                min_step=min_step,
-                nstep=st.nstep + _iblend(upd, izero + 1, izero),
-                nfev=st.nfev + dfev,
-                qrows=qrows_new,
-            )
-
-        # snapshot rows start at y0: covers points at/before t0
-        qrows0 = tuple(tuple(y[j] for j in range(n))
-                       for _ in range(nq))
-        st0 = S(
-            it=jnp.zeros((), jnp.int32),
-            tf=tf_r, direction=dir_r, rtol=rtol_r, atol=atol_r,
-            t=t, t_lo=fzero, y=y, y_lo=y * 0.0, h_abs=h_abs0, f=f,
-            status=izero, std_sc=izero + 1, err_old=fzero + 1.0,
-            h_prev=fzero, max_fac=fzero + 10.0, fresh=izero + 1,
-            rejected=izero, min_step=fzero, nstep=izero,
-            nfev=izero + 1, qrows=qrows0)
-        st = jax.lax.while_loop(cond, body, st0)
+        st = _run_erk_loop(
+            fun, (A, B_w, C, E, s, fsal, h_min_a, tiny_err), cc,
+            compensated, max_steps, nq, tq_vals, fzero, izero,
+            _member_norm, lambda yy: [yy[j] for j in range(n)],
+            t, tf_r, dir_r, rtol_r, atol_r, h_abs0, y, f)
 
         yout_ref[:] = st.y.reshape(n, bm).T
         stat_ref[:] = st.status.reshape(1, bm)

@@ -1,0 +1,187 @@
+"""Fused Pallas ERK solver for MID-SIZE systems: states on lanes.
+
+``fused_erk`` unrolls the state dimension as separate member-tile
+rows, which caps it at small n — leaving mid-size nonstiff systems
+(n ~ 16-512: method-of-lines advection/reaction PDEs, oscillator
+chains, reaction networks) with only the dispatch-bound XLA device
+path.  This kernel closes that hole with the same transposed layout
+``fused_adams_grid`` uses for multistep work:
+
+* the STATE occupies the 128-lane vector axis (n a multiple of 128 —
+  pad your system or pick a grid size accordingly; lane padding would
+  silently corrupt stencil rolls, so it is required, not faked);
+* MEMBERS occupy sublanes: each block integrates ``block_members``
+  members, per-member scalars (t, h, error ratios, controller state)
+  are (bm, 1) column tiles broadcast against (bm, n) state arrays;
+* further members run over the pallas grid dimension.
+
+The adaptive loop itself (stages, embedded error, accept/reject
+controller, t_eval snapshots, compensated mixed-precision mode) is
+IDENTICAL to ``fused_erk``: both layouts run
+``fused_erk._run_erk_loop``, which is shape-polymorphic over the
+member-scalar/state tile shapes.
+
+The RHS convention matches the other grid kernels: ``fun(t, y)``
+receives t (bm, 1) and y (bm, n) and returns (bm, n) — elementwise
+along the lane axis, stencils via ``jnp.roll(y, s, -1)``.
+
+f32 (+ the compensated mode for official tolerances); the XLA f64
+path remains the conformance solver.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core.controller import resolve_controller
+from .fused_erk import _fblend, _run_erk_loop
+
+
+def solve_fused_erk_grid(fun, t_span, y0_batch, method=None, rtol=1e-4,
+                         atol=1e-6, first_step=None, max_steps=100_000,
+                         block_members=32, interpret=False,
+                         compensated=False, t_eval=None):
+    """Integrate a mid-size-system ensemble with an ERK pair in one
+    Pallas kernel.
+
+    y0_batch: (B, n) float32 with n a MULTIPLE OF 128 (the state
+    rides the lane axis; pad your system to the next multiple — lane
+    padding inside the kernel would corrupt ``jnp.roll`` stencils).
+    ``fun(t, y)``: t (bm, 1), y (bm, n) -> (bm, n), vectorized over
+    the member sublanes.  Returns (y_final (B, n), status (B,),
+    nsteps (B,), nfev (B,)); with ``t_eval`` (increasing snapshot
+    times) appends y_eval (len(t_eval), B, n), rows cubic-Hermite
+    interpolated from inside the kernel as each member crosses each
+    point (common.py:766-790 evaluation form).  ``compensated=True``
+    enables the mixed-precision mode (Neumaier dots + double-single
+    y/t carries) for official tolerances, exactly as in
+    ``solve_fused_erk``.
+    """
+    if method is None:
+        from ..methods import BS5 as method
+    tab = method.tableau
+    A = np.asarray(tab.A, dtype=np.float32)
+    B_w = np.asarray(tab.B, dtype=np.float32)
+    C = np.asarray(tab.C, dtype=np.float32)
+    E = np.asarray(tab.E, dtype=np.float32)
+    s = tab.n_stages
+    fsal = tab.fsal
+    err_order = min(tab.order_secondary, tab.order)
+    cc = resolve_controller(None, tab.sc_params, -1.0 / (err_order + 1))
+    eps32 = float(np.finfo(np.float32).eps)
+    tiny_err = float(np.sqrt(np.finfo(np.float32).tiny))
+    h_min_a = 10.0 * eps32 / tab.c_spacing()
+
+    y0_batch = jnp.asarray(y0_batch, jnp.float32)
+    n_total, n = y0_batch.shape
+    if n % 128:
+        raise ValueError("fused grid ERK needs n % 128 == 0 (state on "
+                         "the lane axis); pad the system or use "
+                         "fused_erk (small n) / the XLA path")
+    bm = block_members
+    if bm % 8:
+        raise ValueError("block_members must be a multiple of 8")
+    pad = (-n_total) % bm
+    if pad:
+        y0_batch = jnp.concatenate(
+            [y0_batch, jnp.tile(y0_batch[-1:], (pad, 1))])
+    B = y0_batch.shape[0]
+    grid = B // bm
+
+    t0, tf = t_span
+    if first_step is not None:
+        h0 = jnp.asarray(first_step, jnp.float32)
+    else:
+        h0 = 0.01 * jnp.abs(jnp.asarray(tf, jnp.float32)
+                            - jnp.asarray(t0, jnp.float32))
+    t0 = jnp.asarray(t0, jnp.float32)
+    tf = jnp.asarray(tf, jnp.float32)
+    direction = jnp.sign(tf - t0)
+    scalars = jnp.stack([t0, tf, jnp.float32(rtol), jnp.float32(atol),
+                         direction, h0])
+
+    nq = 0 if t_eval is None else int(np.asarray(t_eval).shape[0])
+    tq_vals = (None if t_eval is None
+               else [float(v) for v in np.asarray(t_eval)])
+
+    def kernel(sc_ref, y0_ref, yout_ref, stat_ref, nstep_ref, nfev_ref,
+               *maybe_yq):
+        yq_ref = maybe_yq[0] if nq else None
+        y = y0_ref[:]
+        # distributed-layout member-scalar zeros, derived from runtime
+        # data so they cannot fold into replicated splats (fused_erk)
+        fzero = y[:, :1] * 0.0
+        izero = fzero.astype(jnp.int32)
+        t = sc_ref[0] + fzero
+        tf_r = sc_ref[1] + fzero
+        rtol_r = sc_ref[2] + fzero
+        atol_r = sc_ref[3] + fzero
+        dir_r = sc_ref[4] + fzero
+        h_abs0 = sc_ref[5] + fzero
+        f = fun(t, y)
+
+        def mnorm(x):
+            """RMS over the lane (state) axis -> (bm, 1)."""
+            return jnp.sqrt(jnp.mean(x * x, axis=-1, keepdims=True))
+
+        st = _run_erk_loop(
+            fun, (A, B_w, C, E, s, fsal, h_min_a, tiny_err), cc,
+            compensated, max_steps, nq, tq_vals, fzero, izero,
+            mnorm, lambda yy: [yy],
+            t, tf_r, dir_r, rtol_r, atol_r, h_abs0, y, f)
+
+        yout_ref[:] = st.y
+        stat_ref[:] = st.status
+        nstep_ref[:] = st.nstep
+        nfev_ref[:] = st.nfev
+        if nq:
+            # flush points the member never reached with its final y
+            for q in range(nq):
+                unreached = dir_r * tq_vals[q] > dir_r * st.t
+                yq_ref[q] = _fblend(unreached, st.y, st.qrows[q][0])
+
+    out_shapes = [
+        jax.ShapeDtypeStruct((B, n), jnp.float32),
+        jax.ShapeDtypeStruct((B, 1), jnp.int32),
+        jax.ShapeDtypeStruct((B, 1), jnp.int32),
+        jax.ShapeDtypeStruct((B, 1), jnp.int32),
+    ]
+    out_specs = [
+        pl.BlockSpec((bm, n), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((bm, 1), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((bm, 1), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((bm, 1), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    if nq:
+        out_shapes.append(
+            jax.ShapeDtypeStruct((nq, B, n), jnp.float32))
+        out_specs.append(
+            pl.BlockSpec((nq, bm, n), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM))
+    # trace with x64 OFF: TPU Pallas has no 64-bit types and the
+    # library enables x64 globally (weak literals would promote)
+    with jax.enable_x64(False):
+        outs = pl.pallas_call(
+            kernel,
+            grid=(grid,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((bm, n), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=tuple(out_specs),
+            out_shape=tuple(out_shapes),
+            interpret=interpret,
+        )(scalars, y0_batch)
+
+    y_out, status, nsteps, nfev = outs[:4]
+    ret = (y_out[:n_total], status[:n_total, 0],
+           nsteps[:n_total, 0], nfev[:n_total, 0])
+    if nq:
+        ret = ret + (outs[4][:, :n_total],)
+    return ret

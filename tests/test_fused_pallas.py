@@ -515,6 +515,82 @@ def _heat_pair(n):
     return kernel_form, vec_form
 
 
+def _fisher_pair(n):
+    """Upwind advection + logistic reaction (Fisher-KPP) in both
+    conventions: (bm, n) kernel (states on lanes) and (n,) XLA."""
+    c, dx = 1.0, 1.0 / n
+
+    def kernel_form(t, y):
+        return -c * (y - jnp.roll(y, 1, -1)) / dx + y * (1.0 - y)
+
+    def vec_form(t, y):
+        return -c * (y - jnp.roll(y, 1)) / dx + y * (1.0 - y)
+
+    return kernel_form, vec_form
+
+
+def test_fused_erk_grid_advection():
+    """Mid-size-system fused ERK (states on lanes, members on
+    sublanes — fused_erk's n<=8 row-unrolled layout cannot express
+    n ~ 16-512): a 128-state advection-reaction MoL ensemble matches
+    the XLA f64 path's steps and endpoint at tolerance scale, with
+    in-kernel t_eval snapshots."""
+    from extensisq_tpu.ops import solve_fused_erk_grid
+    from extensisq_tpu import BS5
+
+    n = 128
+    kern, vec = _fisher_pair(n)
+    B = 16
+    xg = np.linspace(0, 1, n, endpoint=False)
+    amps = np.linspace(0.2, 0.8, B)
+    Y0 = (0.5 + 0.4 * amps[:, None]
+          * np.sin(2 * np.pi * xg)[None, :]).astype(np.float32)
+    tq = np.array([0.0, 0.2, 0.5], np.float32)
+
+    y, st, ns, nf, yq = solve_fused_erk_grid(
+        kern, (0.0, 0.5), Y0, rtol=1e-5, atol=1e-7,
+        block_members=8, interpret=True, t_eval=tq)
+    assert np.all(np.asarray(st) == 1)
+    out = solve_ensemble(vec, (0.0, 0.5), jnp.asarray(Y0, jnp.float64),
+                         method=BS5, rtol=1e-5, atol=1e-7,
+                         t_eval=jnp.asarray(tq, jnp.float64))
+    assert np.max(np.abs(np.asarray(y) - np.asarray(out.y))) < 1e-3
+    yx = np.asarray(out.y_eval).transpose(1, 0, 2)
+    assert np.max(np.abs(np.asarray(yq) - yx)) < 1e-3
+    np.testing.assert_array_equal(np.asarray(yq)[0],
+                                  np.asarray(Y0, np.float32))
+    # step counts in the XLA regime (f32 controller noise only)
+    nsf = np.asarray(ns, np.float64)
+    nsx = np.asarray(out.nsteps, np.float64)
+    assert abs(nsf.mean() - nsx.mean()) < 0.1 * nsx.mean()
+
+
+def test_fused_erk_grid_compensated():
+    """The grid layout inherits fused_erk's mixed-precision mode
+    verbatim (shared _run_erk_loop): official tolerances rtol 1e-6 /
+    atol 1e-9 hold on a mid-size advection-reaction ensemble."""
+    from extensisq_tpu.ops import solve_fused_erk_grid
+    from extensisq_tpu import BS5
+
+    n = 128
+    kern, vec = _fisher_pair(n)
+    B = 8
+    xg = np.linspace(0, 1, n, endpoint=False)
+    amps = np.linspace(0.2, 0.8, B)
+    Y0 = (0.5 + 0.4 * amps[:, None]
+          * np.sin(2 * np.pi * xg)[None, :]).astype(np.float32)
+    y, st, ns, nf = solve_fused_erk_grid(
+        kern, (0.0, 0.5), Y0, rtol=1e-6, atol=1e-9,
+        block_members=8, interpret=True, compensated=True)
+    assert np.all(np.asarray(st) == 1)
+    out = solve_ensemble(vec, (0.0, 0.5), jnp.asarray(Y0, jnp.float64),
+                         method=BS5, rtol=1e-6, atol=1e-9)
+    assert np.max(np.abs(np.asarray(y) - np.asarray(out.y))) < 3e-5
+    nsf = np.asarray(ns, np.float64)
+    nsx = np.asarray(out.nsteps, np.float64)
+    assert abs(nsf.mean() - nsx.mean()) < 0.1 * nsx.mean() + 2.0
+
+
 def test_fused_adams_grid_heat():
     """Mid-size-system fused SWAG (states on lanes, members on
     sublanes — the layout hole n in 16..512 the row-unrolled kernel

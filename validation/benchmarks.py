@@ -65,7 +65,46 @@ def config1():
                     "BS5", 48, B, 1e-6, 1e-9)
     print(f"1 exp-decay BS5 x{B}:      tpu {dt*1e3:7.1f} ms | "
           f"scipy-1core ~{sc:6.1f} s | speedup {sc/dt:7.0f}x")
-    return {"1_tpu_ms": dt * 1e3, "1_speedup_vs_scipy": sc / dt}
+
+    # 1b: MID-SIZE nonstiff systems (states on the lane axis) — a
+    # 256-state advection-reaction MoL ensemble through the fused
+    # grid-layout ERK kernel vs the XLA device path.
+    from extensisq_tpu.ops import solve_fused_erk_grid
+    ngr = 256
+    cg = 1.0
+
+    def fisher_g(t, y):
+        return (-cg * (y - jnp.roll(y, 1, -1)) * ngr
+                + y * (1.0 - y))
+
+    def fisher_v(t, y):
+        return (-cg * (y - jnp.roll(y, 1)) * ngr
+                + y * (1.0 - y))
+
+    Bg = 64
+    xg = np.linspace(0, 1, ngr, endpoint=False)
+    amps = np.linspace(0.2, 0.8, Bg)
+    YG = (0.5 + 0.4 * amps[:, None]
+          * np.sin(2 * np.pi * xg)[None, :]).astype(np.float32)
+    rung = jax.jit(lambda Y: solve_fused_erk_grid(
+        fisher_g, (0.0, 2.0), Y, rtol=1e-5, atol=1e-7,
+        block_members=64))
+    dtg, outg = time_tpu(rung, YG, reps=3)
+    assert np.all(np.asarray(outg[1]) == 1)
+    runx = jax.jit(lambda Y: solve_ensemble(
+        fisher_v, (0.0, 2.0), Y, method=BS5, rtol=1e-5, atol=1e-7))
+    dtx, outx = time_tpu(runx, jnp.asarray(YG, jnp.float64), reps=3)
+    assert bool(np.all(np.asarray(outx.status) == 1))
+    dgr = float(np.max(np.abs(np.asarray(outg[0])
+                              - np.asarray(outx.y))))
+    assert dgr < 1e-3, f"grid ERK endpoint drift vs XLA: {dgr}"
+    print(f"1b advec-MoL n={ngr} BS5 x{Bg}: fused-grid {dtg*1e3:7.1f}"
+          f" ms vs XLA device path {dtx*1e3:7.1f} ms "
+          f"({dtx/dtg:4.1f}x); endpoint |d| {dgr:.1e}")
+    return {"1_tpu_ms": dt * 1e3, "1_speedup_vs_scipy": sc / dt,
+            "1b_grid_erk_fused_ms": dtg * 1e3,
+            "1b_grid_erk_xla_ms": dtx * 1e3,
+            "1b_grid_erk_speedup": dtx / dtg}
 
 
 def config2():

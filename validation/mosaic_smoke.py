@@ -43,7 +43,8 @@ def main():
                                    solve_fused_rkc_ensemble,
                                    solve_fused_esdirk,
                                    solve_fused_adams,
-                                   solve_fused_adams_grid)
+                                   solve_fused_adams_grid,
+                                   solve_fused_erk_grid)
     from extensisq_tpu.ops.fused_rkc import roll
     from extensisq_tpu import BS5, Fi5N, Kv3I, TRBDF2
 
@@ -162,6 +163,19 @@ def main():
     check("fused_adams_grid t_eval", lambda Y: solve_fused_adams_grid(
         heat_g, (0.0, 0.2), Y, k_max=6, block_members=32,
         t_eval=np.linspace(0.0, 0.2, 4).astype(np.float32)), YG)
+
+    def fisher_g(t, y):
+        return (-1.0 * (y - jnp.roll(y, 1, -1)) * ngr
+                + y * (1.0 - y))
+
+    check("fused_erk_grid", lambda Y: solve_fused_erk_grid(
+        fisher_g, (0.0, 0.5), Y, block_members=32), YG)
+    check("fused_erk_grid compensated", lambda Y: solve_fused_erk_grid(
+        fisher_g, (0.0, 0.5), Y, block_members=32, rtol=1e-6,
+        atol=1e-9, compensated=True), YG)
+    check("fused_erk_grid t_eval", lambda Y: solve_fused_erk_grid(
+        fisher_g, (0.0, 0.5), Y, block_members=32,
+        t_eval=np.linspace(0.0, 0.5, 4).astype(np.float32)), YG)
 
     if FAILED:
         print("\nFAIL:", ", ".join(FAILED))
