@@ -20,6 +20,10 @@ remain the conformance solvers).
 * :func:`solve_fused_erk_grid` — the same states-on-lanes layout for
   explicit RK pairs (mid-size nonstiff work: advection/reaction MoL,
   oscillator chains); shares fused_erk's adaptive loop verbatim
+* :func:`solve_fused_esdirk_grid` — mid-size IMPLICIT work (stiff
+  1-D MoL, nearest-neighbour chains, n a power-of-two multiple of
+  128): tridiagonal Newton matrices from 4-color in-kernel JVPs,
+  solved by parallel cyclic reduction on the lane axis
 """
 from .fused_erk import solve_fused_erk
 from .fused_erk_grid import solve_fused_erk_grid
@@ -27,10 +31,12 @@ from .fused_rkn import solve_fused_rkn
 from .fused_rkc import (solve_fused_rkc,
                         solve_fused_rkc_ensemble)
 from .fused_esdirk import solve_fused_esdirk
+from .fused_esdirk_grid import solve_fused_esdirk_grid
 from .fused_adams import solve_fused_adams
 from .fused_adams_grid import solve_fused_adams_grid
 
 __all__ = ["solve_fused_erk", "solve_fused_erk_grid",
            "solve_fused_rkn", "solve_fused_rkc",
            "solve_fused_rkc_ensemble", "solve_fused_esdirk",
-           "solve_fused_adams", "solve_fused_adams_grid"]
+           "solve_fused_esdirk_grid", "solve_fused_adams",
+           "solve_fused_adams_grid"]

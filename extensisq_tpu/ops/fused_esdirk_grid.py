@@ -1,0 +1,620 @@
+"""Fused Pallas ESDIRK solver for MID-SIZE systems: states on lanes,
+tridiagonal Newton matrices solved by parallel cyclic reduction.
+
+``fused_esdirk`` unrolls the state as member-tile rows and solves the
+n x n Newton system by unrolled pivoted elimination — which caps it at
+n <= 8.  Mid-size IMPLICIT work (stiff method-of-lines PDEs, n ~
+128-512) was the one family left on the dispatch-bound XLA path (the
+known residual in docs/TPU_NOTES.md).  This kernel closes it for the
+dominant mid-size structure: TRIDIAGONAL Jacobians (1-D MoL stencils,
+nearest-neighbour chains), including periodic (circulant corner)
+coupling.
+
+Layout is the grid family's (fused_adams_grid / fused_erk_grid):
+
+* the STATE rides the 128-lane axis (n a POWER-OF-TWO multiple of
+  128: 128, 256, 512 — cyclic reduction needs the power of two);
+* MEMBERS ride sublanes; per-member scalars are (bm, 1) columns;
+* further members run over the pallas grid dimension.
+
+TPU-native pieces:
+
+* the Jacobian's three bands come from FOUR forward-mode JVP products
+  of one linearization with mod-4 striped tangents (distance-1
+  graph coloring of a cyclic tridiagonal pattern; 4 | n always holds
+  since 128 | n) — in-kernel autodiff, no user ``jac`` needed;
+* each Newton iteration solves W dz = rhs, W = M - h d J tridiagonal
+  (+ periodic corners), by PARALLEL CYCLIC REDUCTION: log2(n) rounds
+  of ``jnp.roll`` lane shifts and elementwise blends.  The circulant
+  form needs no boundary cases — strictly tridiagonal systems keep
+  their zero corner entries through every round (alpha/gamma vanish
+  with them), and after log2(n) rounds the residual couplings wrap
+  to self-couplings, so x = d / (a + b + c) closes both variants;
+* Newton semantics (rate tracking, divergence prediction, tiny-update
+  floor, fresh-J-per-attempt) and the implicit controller mirror
+  ops/fused_esdirk.py == common.py:2183-2232 / steppers/esdirk.py.
+
+Mass matrices: None or a DIAGONAL (n,) vector; zero entries mark
+algebraic rows (index-1 DAEs) and get the 1/(h d) rescale of
+common.py:2038-2044 as lane masks.  Dense/hidden M stays with the
+small-system kernel (its SVD rotation is a dense-matvec construct).
+
+If the true Jacobian has bandwidth > 1 (wider stencils), the
+tridiagonal W is an APPROXIMATION: Newton residuals stay exact, so
+converged results remain correct, but convergence degrades and the
+controller compensates with smaller steps — same contract as the
+reference's modified Newton with a stale Jacobian.
+
+f32 with the double-single t carry; ``compensated=True`` adds the DS
+y-carry + Neumaier stage dots (official tolerances).  The XLA f64
+path remains the conformance solver.
+"""
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .._config import (NEWTON_MAXITER, MAX_RATE, MAX_FACTOR_NRF,
+                       MIN_FACTOR, MAX_FACTOR, MAX_FACTOR0)
+from ..core.controller import resolve_controller
+from .fused_erk import (_fblend, _iblend, _sanitize, _df_add,
+                        _two_sum, _comp_wsum, _hermite_tiles)
+from .fused_esdirk import _pow
+
+_RUNNING, _FINISHED, _TOO_SMALL, _OVERFLOW = 0, 1, 2, 3
+
+
+class _G(NamedTuple):
+    """While-loop carry: (bm, 1) member scalars, (bm, n) states."""
+    it: Any
+    t: Any
+    t_lo: Any
+    y: Any
+    y_lo: Any
+    yp: Any
+    h_abs: Any
+    status: Any
+    std_sc: Any
+    err_old: Any
+    h_prev: Any
+    max_fac: Any
+    rejected: Any
+    nstep: Any
+    nfev: Any
+    qrows: Any        # tuple (nq) of (bm, n) t_eval snapshots
+
+
+def _pcr_solve(wl, wd, wu, rhs, n_log2):
+    """Parallel cyclic reduction for a circulant-pattern tridiagonal
+    system over the lane axis: (wl, wd, wu, rhs) are (bm, n) with
+    wl[i] = W[i, i-1 mod n], wu[i] = W[i, i+1 mod n].  Strictly
+    tridiagonal systems are the special case wl[:, 0] = wu[:, -1] = 0
+    (the zeros propagate through every round, so no boundary masking
+    is needed).  After log2(n) rounds each equation's remaining
+    neighbour couplings wrap onto itself: x = d / (a + b + c)."""
+    a, b, c, d = wl, wd, wu, rhs
+    s = 1
+    for _ in range(n_log2):
+        b_m = jnp.roll(b, s, -1)
+        b_p = jnp.roll(b, -s, -1)
+        b_m = _fblend(b_m == 0.0, jnp.ones_like(b_m), b_m)
+        b_p = _fblend(b_p == 0.0, jnp.ones_like(b_p), b_p)
+        alpha = -a / b_m
+        gamma = -c / b_p
+        a_new = alpha * jnp.roll(a, s, -1)
+        c_new = gamma * jnp.roll(c, -s, -1)
+        b_new = b + alpha * jnp.roll(c, s, -1) \
+            + gamma * jnp.roll(a, -s, -1)
+        d_new = d + alpha * jnp.roll(d, s, -1) \
+            + gamma * jnp.roll(d, -s, -1)
+        a, b, c, d = a_new, b_new, c_new, d_new
+        s *= 2
+    den = a + b + c
+    den = _fblend(den == 0.0, jnp.ones_like(den), den)
+    return d / den
+
+
+def solve_fused_esdirk_grid(fun, t_span, y0_batch, method=None, M=None,
+                            yp0_batch=None, rtol=1e-4, atol=1e-6,
+                            first_step=None, max_steps=100_000,
+                            block_members=8, interpret=False,
+                            compensated=False, t_eval=None):
+    """Integrate a mid-size stiff-system / index-1-DAE ensemble with
+    an ESDIRK method in one TPU kernel.
+
+    y0_batch: (B, n) float32 with n a POWER-OF-TWO multiple of 128.
+    ``fun(t, y)``: t (bm, 1), y (bm, n) -> (bm, n) — the grid-kernel
+    convention (stencils via ``jnp.roll(y, s, -1)``); the Jacobian
+    must be (approximately) tridiagonal with optional periodic
+    corners (see module docstring).  ``M``: None or a length-n
+    diagonal (zeros mark algebraic rows; pass consistent
+    ``yp0_batch`` for DAEs).  Returns (y_final (B, n), status (B,),
+    nsteps (B,), nfev (B,)); ``t_eval`` appends y_eval
+    (len(t_eval), B, n) interpolated from inside the kernel
+    (common.py:766-790 form, y' = the stiffly accurate last stage).
+    """
+    if method is None:
+        from ..methods import Kv3I as method
+    tab = method.tableau
+    A = np.asarray(tab.A, dtype=np.float32)
+    C = np.asarray(tab.C, dtype=np.float32)
+    E = np.asarray(tab.E, dtype=np.float32)
+    Az = np.asarray(tab.Az, dtype=np.float32)
+    dd = float(tab.d)
+    kappa = float(tab.kappa)
+    s = tab.n_stages
+    filter_error = tab.filter_error
+    err_order = min(tab.order_secondary, tab.order)
+    cc = resolve_controller(None, tab.sc_params, -1.0 / (err_order + 1),
+                            implicit=True)
+    eps32 = float(np.finfo(np.float32).eps)
+    h_min_a = 10.0 * 2.0 ** -31 / tab.c_spacing()
+    h_min_b = float(np.sqrt(np.finfo(np.float32).tiny))
+
+    y0_batch = jnp.asarray(y0_batch, jnp.float32)
+    n_total, n = y0_batch.shape
+    if n % 128 or (n & (n - 1)):
+        raise ValueError("fused grid ESDIRK needs n a power-of-two "
+                         "multiple of 128 (cyclic reduction); pad the "
+                         "system or use fused_esdirk (n <= 8) / the "
+                         "XLA path")
+    n_log2 = int(n).bit_length() - 1
+    # Newton round-off floor (see fused_esdirk.py's derivation)
+    tiny_err = float(np.sqrt(n) * max(eps32 ** 0.8, 4.0 * eps32 / rtol))
+
+    if M is not None:
+        M = np.asarray(M, dtype=np.float64)
+        if M.ndim == 2:
+            if not np.array_equal(M, np.diag(np.diag(M))):
+                raise ValueError("fused grid ESDIRK supports diagonal "
+                                 "mass matrices only; dense/hidden M "
+                                 "is the small-system kernel's domain")
+            M = np.diag(M)
+        if M.shape != (n,):
+            raise ValueError("M must be (n,) or a diagonal (n, n)")
+        if yp0_batch is None and np.any(M == 0.0):
+            raise ValueError("DAE: pass consistent yp0_batch")
+        # the mass diagonal enters as a kernel INPUT (Mosaic rejects
+        # captured float-array constants, see fused_adams.py rules)
+        m_row = jnp.asarray(M, jnp.float32)[None, :]    # (1, n)
+        any_alg = bool(np.any(M == 0.0))
+        have_m = True
+    else:
+        m_row = None
+        any_alg = False
+        have_m = False
+
+    bm = block_members
+    if bm % 8:
+        raise ValueError("block_members must be a multiple of 8")
+    pad = (-n_total) % bm
+    if pad:
+        y0_batch = jnp.concatenate(
+            [y0_batch, jnp.tile(y0_batch[-1:], (pad, 1))])
+        if yp0_batch is not None:
+            yp0_batch = jnp.concatenate(
+                [jnp.asarray(yp0_batch, jnp.float32),
+                 jnp.tile(jnp.asarray(yp0_batch, jnp.float32)[-1:],
+                          (pad, 1))])
+    B = y0_batch.shape[0]
+    grid = B // bm
+
+    t0, tf = t_span
+    if first_step is not None:
+        h0 = jnp.asarray(first_step, jnp.float32)
+    else:
+        h0 = 0.01 * jnp.abs(jnp.asarray(tf, jnp.float32)
+                            - jnp.asarray(t0, jnp.float32))
+    t0 = jnp.asarray(t0, jnp.float32)
+    tf = jnp.asarray(tf, jnp.float32)
+    direction = jnp.sign(tf - t0)
+    scalars = jnp.stack([t0, tf, jnp.float32(rtol), jnp.float32(atol),
+                         direction, h0])
+
+    have_yp0 = yp0_batch is not None
+    if have_yp0:
+        yp0_batch = jnp.asarray(yp0_batch, jnp.float32)
+
+    nq = 0 if t_eval is None else int(np.asarray(t_eval).shape[0])
+    tq_vals = (None if t_eval is None
+               else [float(v) for v in np.asarray(t_eval)])
+
+    def kernel(sc_ref, y0_ref, yp0_ref, *rest):
+        rest = list(rest)
+        m_ref = rest.pop(0) if have_m else None
+        yout_ref, stat_ref, nstep_ref, nfev_ref = rest[:4]
+        yq_ref = rest[4] if nq else None
+        y = y0_ref[:]
+        fzero = y[:, :1] * 0.0            # (bm, 1) member scalars
+        izero = fzero.astype(jnp.int32)
+        nzero = y * 0.0                   # (bm, n) state zeros
+        t = sc_ref[0] + fzero
+        tf_r = sc_ref[1] + fzero
+        rtol_r = sc_ref[2] + fzero
+        atol_r = sc_ref[3] + fzero
+        dir_r = sc_ref[4] + fzero
+        h_abs0 = sc_ref[5] + fzero
+        if have_yp0:
+            yp = yp0_ref[:]
+        else:
+            yp = fun(t, y)
+        if have_m:
+            m_lane = m_ref[:]                           # (1, n)
+            alg_lane = ((m_lane == 0.0).astype(jnp.float32)
+                        if any_alg else None)
+        else:
+            m_lane = None
+            alg_lane = None
+
+        # lane residue one-hots for the mod-4 striped Jacobian seeds
+        lane = jax.lax.broadcasted_iota(jnp.int32, (bm, n), 1)
+        res4 = [(lane % 4 == c).astype(jnp.float32) for c in range(4)]
+
+        def mnorm(x):
+            """RMS over the lane (state) axis -> (bm, 1)."""
+            return jnp.sqrt(jnp.mean(x * x, axis=-1, keepdims=True))
+
+        def jac_bands(tt, yy):
+            """(lower, diag, upper) of the circulant-pattern
+            tridiagonal Jacobian via 4 JVPs of one linearization
+            (distance-1 coloring: lanes i-1, i, i+1 mod n have
+            distinct residues mod 4 because 4 | n).  The shifted
+            selector masks come from iota ARITHMETIC, not from
+            rolling the residue masks — rolled constant vectors
+            trip Mosaic's layout pass (measured: recursion blowup /
+            ApplyVectorLayoutPass abort); iota-derived int masks
+            lower fine."""
+            _, jvp_fn = jax.linearize(lambda w: fun(tt, w), yy)
+            # anchor the tangent seeds on runtime data: CONSTANT
+            # (iota-only) tangents at bm >= 16 send Mosaic's constant
+            # handling into unbounded recursion (measured; bm = 8 is
+            # one native sublane tile and happens to survive)
+            nz = yy * 0.0
+            jv = [jvp_fn(r + nz) for r in res4]
+            # J[i, i+k] = jv_{(i+k) % 4}[i]
+            low = sum(((lane + 3) % 4 == c).astype(jnp.float32)
+                      * jv[c] for c in range(4))
+            dia = sum(res4[c] * jv[c] for c in range(4))
+            upp = sum(((lane + 1) % 4 == c).astype(jnp.float32)
+                      * jv[c] for c in range(4))
+            return low, dia, upp
+
+        def newton(t_stage, z0, h, psi, y_c, W, rtol, atol):
+            """Modified Newton for one stage, per-member masked
+            (common.py:2183-2232 semantics); W = (wl, wd, wu)."""
+            z = z0
+            rate = fzero - 1.0
+            dz_old = fzero
+            conv = izero
+            stop = izero
+            nfev = izero
+            bad_any = izero
+            for it in range(NEWTON_MAXITER):
+                active = stop == 0
+                y_pred = psi + dd * z
+                fs = fun(t_stage, y_pred)
+                nfev = nfev + _iblend(active, izero + 1, izero)
+                fs, bad_f = _sanitize(fs)
+                if any_alg:
+                    rhs = _fblend(alg_lane > 0.0, fs * (1.0 / dd),
+                                  h * fs - m_lane * z)
+                elif m_lane is not None:
+                    rhs = h * fs - m_lane * z
+                else:
+                    rhs = h * fs - z
+                dz = _pcr_solve(W[0], W[1], W[2], rhs, n_log2)
+                dz, bad_d = _sanitize(dz)
+                bad = (jnp.max((bad_f | bad_d).astype(jnp.float32),
+                               axis=-1, keepdims=True) > 0.0)
+                scale = atol + rtol * jnp.maximum(jnp.abs(y_c),
+                                                  jnp.abs(y_pred))
+                dz_norm = mnorm(dz / scale)
+                dz_norm, bn = _sanitize(dz_norm)
+                bad = bad | bn
+
+                tiny_ok = dz_norm <= tiny_err
+                if it == 0:
+                    rate_new = rate
+                    diverged = bad & False
+                    conv_normal = diverged
+                else:
+                    upd_rate = (rate < 0.0) | (dz_old > kappa)
+                    ratio = dz_norm / jnp.maximum(dz_old, 1e-30)
+                    rate_new = _fblend(upd_rate,
+                                       jnp.maximum(rate, ratio), rate)
+                    remaining = NEWTON_MAXITER - it
+                    rp = fzero + 1.0
+                    for _ in range(remaining):
+                        rp = rp * rate_new
+                    diverged = ((rate_new >= 1.0)
+                                | (dz_norm * rp
+                                   >= kappa * (1.0 - rate_new)))
+                    conv_normal = (dz_norm * rate_new
+                                   < kappa * (1.0 - rate_new)) \
+                        & ~diverged
+                converged_new = tiny_ok | conv_normal
+                stop_new = bad | tiny_ok | diverged | conv_normal
+
+                keep = active & ~bad
+                z = z + _fblend(keep, dz, nzero)
+                conv = _iblend(active, converged_new.astype(jnp.int32),
+                               conv)
+                rate = _fblend(active, rate_new, rate)
+                dz_old = _fblend(active, dz_norm, dz_old)
+                bad_any = bad_any | _iblend(active & bad, izero + 1,
+                                            izero)
+                stop = stop | _iblend(active & stop_new, izero + 1,
+                                      izero)
+            return (conv != 0, z, jnp.maximum(rate, fzero), nfev,
+                    bad_any != 0)
+
+        def cond(st):
+            return jnp.max(_iblend(st.status == _RUNNING,
+                                   izero + 1, izero)) > 0
+
+        def body(st):
+            running = st.status == _RUNNING
+            rejected_b = st.rejected != 0
+            std_b = st.std_sc != 0
+
+            # reassess_stepsize (common.py:2168-2181)
+            tc = st.t + st.t_lo
+            min_step = jnp.maximum(h_min_a * (jnp.abs(tc)
+                                              + st.h_abs),
+                                   h_min_b)
+            out_rng = st.h_abs < min_step
+            h_abs = jnp.maximum(min_step, st.h_abs)
+            std_b = std_b | out_rng
+            d = jnp.abs((tf_r - st.t) - st.t_lo)
+            take_d = (jnp.abs(d / h_abs - 1.0) < 1e-2) | (d < h_abs)
+            h_abs = _fblend(take_d, d, h_abs)
+            too_small = h_abs < min_step
+            h = h_abs * dir_r
+
+            # Newton matrix bands W = M - h d J (algebraic rows get
+            # the 1/(h d) rescale: -J), fresh per attempt
+            jl, jd, ju = jac_bands(tc, st.y)
+            hd = h * dd
+            if any_alg:
+                wl = _fblend(alg_lane > 0.0, -jl, -hd * jl)
+                wd = _fblend(alg_lane > 0.0, -jd, m_lane - hd * jd)
+                wu = _fblend(alg_lane > 0.0, -ju, -hd * ju)
+            elif m_lane is not None:
+                wl, wd, wu = -hd * jl, m_lane - hd * jd, -hd * ju
+            else:
+                wl, wd, wu = -hd * jl, 1.0 - hd * jd, -hd * ju
+            W = (wl, wd, wu)
+
+            # stages (stage 0 explicit: K0 = yp; h*K_j == z_j)
+            K = [st.yp]
+            Z = [h * st.yp]
+            conv_all = running & ~too_small
+            Rate = fzero
+            nfev_d = izero
+            psi = st.y
+            z = nzero
+            for st_i in range(1, s):
+                if compensated:
+                    acc, cmp = _comp_wsum(Z[:st_i], A[st_i, :st_i])
+                    psi = st.y + (acc + (cmp + st.y_lo))
+                else:
+                    psi = st.y + h * sum(
+                        (A[st_i, j] * K[j] for j in range(st_i)
+                         if A[st_i, j] != 0.0), nzero)
+                z0 = h * sum((Az[st_i, j] * K[j] for j in range(st_i)
+                              if Az[st_i, j] != 0.0), nzero)
+                t_stage = tc + C[st_i] * h
+                conv_s, z, rate_s, nfev_s, bad_s = newton(
+                    t_stage, z0, h, psi, st.y, W, rtol_r, atol_r)
+                conv_all = conv_all & conv_s & ~bad_s
+                Rate = jnp.maximum(Rate, rate_s)
+                nfev_d = nfev_d + nfev_s
+                K.append(z * (1.0 / h))
+                Z.append(z)
+
+            # solution + error (common.py:2079-2087); stiffly accurate
+            if compensated:
+                inc_s, inc_c = _comp_wsum(Z, A[s - 1, :s])
+                hi, lo1 = _df_add(st.y, st.y_lo, inc_s)
+                hi, lo2 = _two_sum(hi, lo1 + inc_c)
+                y_new, y_lo_new = hi, lo2
+            else:
+                y_new = psi + dd * z
+                y_lo_new = st.y_lo
+            y_new, bad_y = _sanitize(y_new)
+            scale = atol_r + rtol_r * jnp.maximum(jnp.abs(st.y),
+                                                  jnp.abs(y_new))
+            if compensated:
+                acc, cmp = _comp_wsum(Z, E[:s])
+                err = acc + cmp
+            else:
+                err = h * sum((E[j] * K[j] for j in range(s)
+                               if E[j] != 0.0), nzero)
+            if filter_error:
+                if any_alg:
+                    sc_err = _fblend(alg_lane > 0.0,
+                                     err * (1.0 / (h * dd)), err)
+                else:
+                    sc_err = err
+                solved = _pcr_solve(wl, wd, wu, sc_err, n_log2)
+                err = (m_lane * solved if m_lane is not None
+                       else solved)
+            err_norm = mnorm(err / scale)
+            err_norm, bad_e = _sanitize(err_norm)
+            bad_m = (jnp.max(bad_y.astype(jnp.float32), axis=-1,
+                             keepdims=True) > 0.0) | bad_e
+            err_norm = err_norm + bad_m.astype(jnp.float32) * 10.0
+
+            accepted = conv_all & (err_norm < 1.0) & ~bad_m
+
+            # implicit controller (blended esdirk_accept_update)
+            err_c = jnp.maximum(err_norm, 1e-30)
+            f_std = jnp.minimum(cc.safety
+                                * _pow(err_c, cc.error_exponent),
+                                st.max_fac)
+            hr = h / _fblend(st.h_prev == 0.0, h, st.h_prev)
+            f_2nd = jnp.clip(
+                cc.safety_sc * _pow(err_c, cc.minbeta1)
+                * _pow(jnp.maximum(st.err_old, 1e-30), cc.minbeta2)
+                * _pow(jnp.maximum(jnp.abs(hr), 1e-30), cc.minalpha),
+                cc.min_factor, st.max_fac)
+            is_tiny = err_norm < tiny_err
+            fac_acc = _fblend(is_tiny, st.max_fac,
+                              _fblend(std_b, f_std, f_2nd))
+            on_scale = st.max_fac == MAX_FACTOR
+            std_after = _iblend(
+                is_tiny, izero + 1,
+                _iblend(std_b & on_scale, izero, st.std_sc))
+            fac_acc = _fblend(rejected_b, jnp.minimum(1.0, fac_acc),
+                              fac_acc)
+            std_after = _iblend(rejected_b, izero + 1, std_after)
+            max_fac_new = _fblend(fac_acc < MAX_FACTOR,
+                                  fzero + MAX_FACTOR, st.max_fac)
+
+            f_rej = jnp.maximum(cc.min_factor,
+                                cc.safety * _pow(err_c,
+                                                 cc.error_exponent))
+            f_nrf = jnp.clip(
+                _fblend(Rate > 0.0,
+                        MAX_RATE / jnp.maximum(Rate, 1e-30),
+                        fzero + MIN_FACTOR),
+                MIN_FACTOR, MAX_FACTOR_NRF)
+            h_fac = _fblend(accepted, fac_acc,
+                            _fblend(conv_all, f_rej, f_nrf))
+            h_abs_next = h_abs * h_fac
+            h_abs_next, _ = _sanitize(h_abs_next)
+
+            too_small = too_small | (running & ~accepted
+                                     & (h_abs_next < min_step))
+            status = _iblend(running & too_small, izero + _TOO_SMALL,
+                             st.status)
+            t_adv, t_lo_adv = _df_add(st.t, st.t_lo, h)
+            rem = (tf_r - t_adv) - t_lo_adv
+            is_last = accepted & (jnp.abs(rem)
+                                  <= 8.0 * eps32 * h_abs)
+            t_new = _fblend(is_last, tf_r, t_adv)
+            t_lo_new = _fblend(is_last, fzero, t_lo_adv)
+            status = _iblend((status == _RUNNING) & is_last,
+                             izero + _FINISHED, status)
+            hit_cap = (st.it + 1 >= max_steps) & (status == _RUNNING)
+            status = _iblend(hit_cap, izero + _OVERFLOW, status)
+
+            yp_new = K[s - 1]              # stiffly accurate
+            yp_new, _ = _sanitize(yp_new)
+
+            upd = accepted
+
+            # t_eval snapshots (common.py:766-790; y' = K_{s-1})
+            qrows_new = st.qrows
+            if nq:
+                h_safe = _fblend(h == 0.0, fzero + 1.0, h)
+                qrows_new = []
+                for q in range(nq):
+                    tqc = tq_vals[q]
+                    crossed = (upd
+                               & (dir_r * (tqc - st.t) > 0.0)
+                               & (dir_r * tqc <= dir_r * t_new))
+                    theta = (tqc - st.t) / h_safe
+                    vals = _hermite_tiles(theta, h, [st.y], [st.yp],
+                                          [y_new], [yp_new])[0]
+                    qrows_new.append(
+                        _fblend(crossed, vals, st.qrows[q]))
+                qrows_new = tuple(qrows_new)
+
+            rej_new = _iblend(
+                upd, izero,
+                _iblend(rejected_b | (running & ~too_small
+                                      & ~accepted),
+                        izero + 1, izero))
+            return _G(
+                it=st.it + 1,
+                t=_fblend(upd, t_new, st.t),
+                t_lo=_fblend(upd, t_lo_new, st.t_lo),
+                y=_fblend(upd, y_new, st.y),
+                y_lo=_fblend(upd, y_lo_new, st.y_lo),
+                yp=_fblend(upd, yp_new, st.yp),
+                h_abs=_fblend(running, h_abs_next, st.h_abs),
+                status=status,
+                std_sc=_iblend(upd, std_after,
+                               _iblend(running & ~accepted,
+                                       izero + 1, st.std_sc)),
+                err_old=_fblend(upd, err_norm, st.err_old),
+                h_prev=_fblend(upd, h, st.h_prev),
+                max_fac=_fblend(upd, max_fac_new, st.max_fac),
+                rejected=rej_new,
+                nstep=st.nstep + _iblend(upd, izero + 1, izero),
+                nfev=st.nfev + _iblend(running, nfev_d, izero),
+                qrows=qrows_new)
+
+        st0 = _G(
+            it=jnp.zeros((), jnp.int32),
+            t=t, t_lo=fzero, y=y, y_lo=nzero, yp=yp, h_abs=h_abs0,
+            status=izero, std_sc=izero + 1, err_old=fzero + 1.0,
+            h_prev=fzero, max_fac=fzero + MAX_FACTOR0,
+            rejected=izero, nstep=izero,
+            nfev=izero + (0 if have_yp0 else 1),
+            qrows=tuple(y for _ in range(nq)))
+        st = jax.lax.while_loop(cond, body, st0)
+
+        yout_ref[:] = st.y
+        stat_ref[:] = st.status
+        nstep_ref[:] = st.nstep
+        nfev_ref[:] = st.nfev
+        if nq:
+            # flush points the member never reached with its final y
+            for q in range(nq):
+                unreached = dir_r * tq_vals[q] > dir_r * st.t
+                yq_ref[q] = _fblend(unreached, st.y, st.qrows[q])
+
+    out_shapes = [
+        jax.ShapeDtypeStruct((B, n), jnp.float32),
+        jax.ShapeDtypeStruct((B, 1), jnp.int32),
+        jax.ShapeDtypeStruct((B, 1), jnp.int32),
+        jax.ShapeDtypeStruct((B, 1), jnp.int32),
+    ]
+    out_specs = [
+        pl.BlockSpec((bm, n), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((bm, 1), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((bm, 1), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((bm, 1), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    if nq:
+        out_shapes.append(
+            jax.ShapeDtypeStruct((nq, B, n), jnp.float32))
+        out_specs.append(
+            pl.BlockSpec((nq, bm, n), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM))
+    yp_in = (yp0_batch if have_yp0
+             else jnp.zeros_like(y0_batch))
+    with jax.enable_x64(False):
+        outs = pl.pallas_call(
+            kernel,
+            grid=(grid,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((bm, n), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((bm, n), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ] + ([pl.BlockSpec((1, n), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM)]
+                 if have_m else []),
+            out_specs=tuple(out_specs),
+            out_shape=tuple(out_shapes),
+            interpret=interpret,
+        )(*((scalars, y0_batch, yp_in)
+            + ((m_row,) if have_m else ())))
+
+    y_out, status, nsteps, nfev = outs[:4]
+    ret = (y_out[:n_total], status[:n_total, 0],
+           nsteps[:n_total, 0], nfev[:n_total, 0])
+    if nq:
+        ret = ret + (outs[4][:, :n_total],)
+    return ret

@@ -898,3 +898,151 @@ def test_fused_ds_time_carry():
                                       block_members=128, interpret=True)
     assert np.all(np.asarray(st3) == 1)
     assert abs(float(y3[0, 0]) - np.exp(-1.0)) < 1e-4
+
+
+def _rdiff_pair(n):
+    """Stiff periodic reaction-diffusion u_t = D u_xx + u^2 (1 - u) in
+    both conventions: (bm, n) kernel and (n,) XLA-stepper."""
+    D, dx = 1.0, 1.0 / n
+
+    def kernel_form(t, y):
+        return (D * (jnp.roll(y, 1, -1) + jnp.roll(y, -1, -1)
+                     - 2.0 * y) / dx ** 2 + y * y * (1.0 - y))
+
+    def vec_form(t, y):
+        return (D * (jnp.roll(y, 1) + jnp.roll(y, -1)
+                     - 2.0 * y) / dx ** 2 + y * y * (1.0 - y))
+
+    return kernel_form, vec_form
+
+
+def test_pcr_tridiagonal_solver():
+    """Parallel cyclic reduction vs dense f64 solves: exact to f32
+    round-off for strictly tridiagonal AND periodic (circulant
+    corner) systems — the zero corners propagate through every round,
+    so one code path covers both."""
+    from extensisq_tpu.ops.fused_esdirk_grid import _pcr_solve
+
+    rng = np.random.RandomState(0)
+    for n, periodic in [(128, True), (128, False), (256, True)]:
+        nl = int(n).bit_length() - 1
+        bm = 4
+        lo = rng.randn(bm, n).astype(np.float32)
+        up = rng.randn(bm, n).astype(np.float32)
+        di = (4.0 + np.abs(lo) + np.abs(up)).astype(np.float32)
+        if not periodic:
+            lo[:, 0] = 0.0
+            up[:, -1] = 0.0
+        r = rng.randn(bm, n).astype(np.float32)
+        x = np.asarray(_pcr_solve(jnp.asarray(lo), jnp.asarray(di),
+                                  jnp.asarray(up), jnp.asarray(r),
+                                  nl))
+        for m in range(bm):
+            W = np.zeros((n, n))
+            for i in range(n):
+                W[i, (i - 1) % n] += lo[m, i]
+                W[i, i] += di[m, i]
+                W[i, (i + 1) % n] += up[m, i]
+            xe = np.linalg.solve(W, r[m].astype(np.float64))
+            rel = (np.max(np.abs(x[m] - xe))
+                   / max(1.0, np.max(np.abs(xe))))
+            assert rel < 5e-5, (n, periodic, m, rel)
+
+
+def test_fused_esdirk_grid_reaction_diffusion():
+    """Mid-size-system fused ESDIRK (states on lanes, tridiagonal
+    Newton matrices from 4-color in-kernel JVPs solved by cyclic
+    reduction — the mid-size IMPLICIT hole): a stiff 128-state
+    periodic reaction-diffusion ensemble lands in the XLA f64 path's
+    step regime with a tolerance-scale endpoint, for both a plain
+    ESDIRK (Kv3I) and the filter_error family (TRBDF2)."""
+    from extensisq_tpu.ops import solve_fused_esdirk_grid
+    from extensisq_tpu import Kv3I, TRBDF2
+
+    n = 128
+    kern, vec = _rdiff_pair(n)
+    B = 8
+    xg = np.linspace(0, 1, n, endpoint=False)
+    amps = np.linspace(0.3, 0.7, B)
+    Y0 = (0.5 + 0.4 * amps[:, None]
+          * np.sin(2 * np.pi * xg)[None, :]).astype(np.float32)
+
+    for method in (Kv3I, TRBDF2):
+        y, st, ns, nf = solve_fused_esdirk_grid(
+            kern, (0.0, 0.1), Y0, method=method, rtol=1e-4,
+            atol=1e-6, block_members=8, interpret=True)
+        assert np.all(np.asarray(st) == 1)
+        out = solve_ensemble(vec, (0.0, 0.1),
+                             jnp.asarray(Y0, jnp.float64),
+                             method=method, rtol=1e-4, atol=1e-6)
+        d = np.max(np.abs(np.asarray(y) - np.asarray(out.y)))
+        assert d < 1e-3, (method.__name__, d)
+        nsf = np.asarray(ns, np.float64)
+        nsx = np.asarray(out.nsteps, np.float64)
+        assert abs(nsf.mean() - nsx.mean()) < 0.2 * nsx.mean() + 2.0, \
+            (method.__name__, nsf.mean(), nsx.mean())
+
+
+def test_fused_esdirk_grid_dae_lanes():
+    """Diagonal-M index-1 DAE with lane-interleaved algebraic rows
+    (zeros in M mark them; the 1/(h d) rescale of common.py:2038-2044
+    becomes a lane mask): even lanes y' = -y, odd lanes y = y_even.
+    Exact solution y0 * exp(-t) on every lane."""
+    from extensisq_tpu.ops import solve_fused_esdirk_grid
+
+    n = 128
+    lane = np.arange(n)
+    M = (lane % 2 == 0).astype(np.float64)
+
+    def dae_kern(t, y):
+        mask = (jax.lax.broadcasted_iota(jnp.int32, y.shape, 1)
+                % 2 == 0).astype(jnp.float32)
+        return mask * (-y) + (1.0 - mask) * (jnp.roll(y, 1, -1) - y)
+
+    B = 8
+    Y0 = (np.ones((B, n)) * np.linspace(0.5, 2.0, B)[:, None]) \
+        .astype(np.float32)
+    y, st, ns, nf = solve_fused_esdirk_grid(
+        dae_kern, (0.0, 1.0), Y0, M=M, yp0_batch=(-Y0), rtol=1e-5,
+        atol=1e-7, block_members=8, interpret=True)
+    assert np.all(np.asarray(st) == 1)
+    exact = Y0 * np.exp(-1.0)
+    assert np.max(np.abs(np.asarray(y) - exact)) < 1e-4
+
+
+def test_fused_esdirk_grid_compensated_t_eval():
+    """Compensated mode holds the official tolerances on the grid
+    layout, and in-kernel t_eval snapshots match the XLA driver's
+    dense output at tolerance scale."""
+    from extensisq_tpu.ops import solve_fused_esdirk_grid
+    from extensisq_tpu import Kv3I
+
+    n = 128
+    kern, vec = _rdiff_pair(n)
+    B = 8
+    xg = np.linspace(0, 1, n, endpoint=False)
+    amps = np.linspace(0.3, 0.7, B)
+    Y0 = (0.5 + 0.4 * amps[:, None]
+          * np.sin(2 * np.pi * xg)[None, :]).astype(np.float32)
+
+    y, st, ns, nf = solve_fused_esdirk_grid(
+        kern, (0.0, 0.1), Y0, rtol=1e-6, atol=1e-9, block_members=8,
+        interpret=True, compensated=True)
+    assert np.all(np.asarray(st) == 1)
+    out = solve_ensemble(vec, (0.0, 0.1), jnp.asarray(Y0, jnp.float64),
+                         method=Kv3I, rtol=1e-6, atol=1e-9)
+    assert np.max(np.abs(np.asarray(y) - np.asarray(out.y))) < 3e-5
+
+    tq = np.array([0.0, 0.03, 0.1], np.float32)
+    y2, st2, ns2, nf2, yq = solve_fused_esdirk_grid(
+        kern, (0.0, 0.1), Y0, rtol=1e-4, atol=1e-6, block_members=8,
+        interpret=True, t_eval=tq)
+    assert np.all(np.asarray(st2) == 1)
+    out2 = solve_ensemble(vec, (0.0, 0.1),
+                          jnp.asarray(Y0, jnp.float64), method=Kv3I,
+                          rtol=1e-4, atol=1e-6,
+                          t_eval=jnp.asarray(tq, jnp.float64))
+    yx = np.asarray(out2.y_eval).transpose(1, 0, 2)
+    assert np.max(np.abs(np.asarray(yq) - yx)) < 1e-3
+    np.testing.assert_array_equal(np.asarray(yq)[0],
+                                  np.asarray(Y0, np.float32))

@@ -416,9 +416,53 @@ def config4():
           f"tpu {dtf*1e3:7.1f} ms "
           f"({dtf / max(int(nsf.max()), 1) * 1e3:.3f} ms/step, "
           f"{int(nsf.max())} steps max)")
+
+    # 4d: MID-SIZE implicit (the last layout hole): 128-state stiff
+    # periodic reaction-diffusion ensemble through the grid-layout
+    # ESDIRK kernel (tridiagonal Newton matrices via in-kernel
+    # 4-color JVPs + parallel cyclic reduction) vs the XLA device
+    # path.  Step counts inflate ~3x at the large-h steady-state tail
+    # (f32 RHS cancellation noise caps h there) — the endpoint stays
+    # at tolerance scale and the wall-time win is what ships.
+    from extensisq_tpu.ops import solve_fused_esdirk_grid
+    ngr2 = 128
+    Dg2, dxg2 = 1.0, 1.0 / 128
+
+    def rdiff_g(t, y):
+        return (Dg2 * (jnp.roll(y, 1, -1) + jnp.roll(y, -1, -1)
+                       - 2.0 * y) / dxg2 ** 2 + y * y * (1.0 - y))
+
+    def rdiff_v(t, y):
+        return (Dg2 * (jnp.roll(y, 1) + jnp.roll(y, -1)
+                       - 2.0 * y) / dxg2 ** 2 + y * y * (1.0 - y))
+
+    Bg2 = 32
+    xg2 = np.linspace(0, 1, ngr2, endpoint=False)
+    amps2 = np.linspace(0.3, 0.7, Bg2)
+    YG2 = (0.5 + 0.4 * amps2[:, None]
+           * np.sin(2 * np.pi * xg2)[None, :]).astype(np.float32)
+    rung2 = jax.jit(lambda Y: solve_fused_esdirk_grid(
+        rdiff_g, (0.0, 1.0), Y, rtol=1e-4, atol=1e-6,
+        block_members=32))
+    dtg2, outg2 = time_tpu(rung2, YG2, reps=3)
+    assert np.all(np.asarray(outg2[1]) == 1)
+    runx2 = jax.jit(lambda Y: solve_ensemble(
+        rdiff_v, (0.0, 1.0), Y, method=Kv3I, rtol=1e-4, atol=1e-6))
+    dtx2, outx2 = time_tpu(runx2, jnp.asarray(YG2, jnp.float64),
+                           reps=3)
+    assert bool(np.all(np.asarray(outx2.status) == 1))
+    dg2 = float(np.max(np.abs(np.asarray(outg2[0])
+                              - np.asarray(outx2.y))))
+    assert dg2 < 1e-3, f"grid ESDIRK endpoint drift vs XLA: {dg2}"
+    print(f"4d rdiff-MoL n={ngr2} Kv3I x{Bg2}: fused-grid "
+          f"{dtg2*1e3:7.1f} ms vs XLA device path {dtx2*1e3:7.1f} ms "
+          f"({dtx2/dtg2:4.1f}x); endpoint |d| {dg2:.1e}")
     return {"4a_fused_robertson_ms": dtf4a * 1e3,
             "4c_fused_dae_ms_per_step":
-                dtf / max(int(nsf.max()), 1) * 1e3}
+                dtf / max(int(nsf.max()), 1) * 1e3,
+            "4d_grid_esdirk_fused_ms": dtg2 * 1e3,
+            "4d_grid_esdirk_xla_ms": dtx2 * 1e3,
+            "4d_grid_esdirk_speedup": dtx2 / dtg2}
 
 
 def config5():

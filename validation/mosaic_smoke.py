@@ -44,7 +44,8 @@ def main():
                                    solve_fused_esdirk,
                                    solve_fused_adams,
                                    solve_fused_adams_grid,
-                                   solve_fused_erk_grid)
+                                   solve_fused_erk_grid,
+                                   solve_fused_esdirk_grid)
     from extensisq_tpu.ops.fused_rkc import roll
     from extensisq_tpu import BS5, Fi5N, Kv3I, TRBDF2
 
@@ -176,6 +177,23 @@ def main():
     check("fused_erk_grid t_eval", lambda Y: solve_fused_erk_grid(
         fisher_g, (0.0, 0.5), Y, block_members=32,
         t_eval=np.linspace(0.0, 0.5, 4).astype(np.float32)), YG)
+
+    def rdiff_g(t, y):
+        return (0.01 * (jnp.roll(y, 1, -1) + jnp.roll(y, -1, -1)
+                        - 2.0 * y) * ngr * ngr + y * y * (1.0 - y))
+
+    YG8 = YG[:8]
+    check("fused_esdirk_grid", lambda Y: solve_fused_esdirk_grid(
+        rdiff_g, (0.0, 0.1), Y, block_members=8), YG8)
+    check("fused_esdirk_grid compensated",
+          lambda Y: solve_fused_esdirk_grid(
+              rdiff_g, (0.0, 0.1), Y, block_members=8, rtol=1e-6,
+              atol=1e-9, compensated=True), YG8)
+    check("fused_esdirk_grid t_eval",
+          lambda Y: solve_fused_esdirk_grid(
+              rdiff_g, (0.0, 0.1), Y, block_members=8,
+              t_eval=np.linspace(0.0, 0.1, 4).astype(np.float32)),
+          YG8)
 
     if FAILED:
         print("\nFAIL:", ", ".join(FAILED))
