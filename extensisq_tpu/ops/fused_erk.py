@@ -41,6 +41,8 @@ from jax.experimental.pallas import tpu as pltpu
 from ..core.controller import resolve_controller
 
 _RUNNING, _FINISHED, _TOO_SMALL, _OVERFLOW = 0, 1, 2, 3
+_EVENT = 8     # terminal-event truncation; matches the device
+               # driver's TERMINAL_EVENT (_config.py:34)
 
 
 def _fblend(cond, a, b):
@@ -142,6 +144,17 @@ def _hermite_tiles(theta, h, y0_rows, f0_rows, y1_rows, f1_rows):
 
 
 
+def _make_ev_spec(events):
+    """Normalize the user ``events`` argument into the static
+    (g, terminal, direction) triples _run_erk_loop consumes (the
+    reference's solve_ivp event-attribute protocol)."""
+    if events is None:
+        return None
+    evs = (events,) if callable(events) else tuple(events)
+    return [(e, bool(getattr(e, "terminal", False)),
+             float(getattr(e, "direction", 0.0))) for e in evs]
+
+
 class _ES(NamedTuple):
     """Layout-generic while-loop carry for the fused adaptive ERK loop."""
     it: Any
@@ -166,11 +179,13 @@ class _ES(NamedTuple):
     nstep: Any
     nfev: Any
     qrows: Any      # (nq) x (rows) carried t_eval snapshot tiles
+    ev: Any         # (gprev, fired, ev_t, ev_rows) event tuples
 
 
 def _run_erk_loop(fun, consts, cc, compensated, max_steps, nq, tq_vals,
                   fzero, izero, mnorm, split_rows,
-                  t, tf_r, dir_r, rtol_r, atol_r, h_abs0, y, f):
+                  t, tf_r, dir_r, rtol_r, atol_r, h_abs0, y, f,
+                  ev_spec=None, join_rows=None):
     """The whole adaptive ERK integration loop, LAYOUT-GENERIC.
 
     Shared by the two fused-ERK member layouts:
@@ -187,8 +202,21 @@ def _run_erk_loop(fun, consts, cc, compensated, max_steps, nq, tq_vals,
     row tiles for t_eval snapshots).  ``consts`` is the static
     tableau tuple (A, B_w, C, E, s, fsal, h_min_a, tiny_err).
     Returns the final ``_ES`` carry.
+
+    ``ev_spec``: None or a static list of (g, terminal, direction)
+    event triples in the layout's conventions (g(t, y) -> per-member
+    scalar tile).  Sign changes of g across accepted steps are
+    detected like the device driver (solve.py:_make_event_handler ==
+    the reference's solve_ivp event protocol), the root is refined by
+    25 bisection rounds ON THE STEP'S CUBIC HERMITE interpolant, the
+    FIRST crossing per member per event is recorded, and terminal
+    events truncate the member at the earliest terminal root
+    (status 8, the driver's TERMINAL_EVENT).  ``join_rows`` inverts
+    ``split_rows`` (hermite row list -> layout state array) for the
+    in-bisection g evaluations.
     """
     A, B_w, C, E, s, fsal, h_min_a, tiny_err = consts
+    n_ev = 0 if ev_spec is None else len(ev_spec)
 
     def _wsum(rows, w):
         acc = None
@@ -321,12 +349,13 @@ def _run_erk_loop(fun, consts, cc, compensated, max_steps, nq, tq_vals,
         # their row cubic-Hermite interpolated from the step's
         # (y, f) endpoint pairs (common.py:766-790 semantics)
         qrows_new = st.qrows
-        if nq:
+        if nq or n_ev:
             y_old_rows = split_rows(st.y)
             f_old_rows = split_rows(st.f)
             y_new_rows = split_rows(y_new)
             f_new_rows = split_rows(f_new)
             h_safe = _fblend(h == 0.0, fzero + 1.0, h)
+        if nq:
             qrows_new = []
             for q in range(nq):
                 tqc = tq_vals[q]
@@ -343,14 +372,94 @@ def _run_erk_loop(fun, consts, cc, compensated, max_steps, nq, tq_vals,
                     for j in range(len(vals))))
             qrows_new = tuple(qrows_new)
 
+        # events: sign change over the accepted step -> 25-round
+        # bisection on the Hermite interpolant; first crossing per
+        # member recorded; terminal events truncate at the earliest
+        # terminal root (solve.py:_make_event_handler semantics)
+        ev_new = st.ev
+        trunc = izero != izero            # all-false member mask
+        te = fzero
+        te_dir = fzero + 1e30
+        y_te_rows = None
+        if n_ev:
+            gprev, evfired, ev_t, ev_rows = st.ev
+            roots, groots, fires, g_news = [], [], [], []
+            for i, (ge, eterm, edir) in enumerate(ev_spec):
+                g_new_i = ge(t_new, y_new)
+                g_news.append(g_new_i)
+                gp = gprev[i]
+                up_x = (gp <= 0.0) & (g_new_i >= 0.0)
+                dn_x = (gp >= 0.0) & (g_new_i <= 0.0)
+                if edir > 0:
+                    sign_x = up_x
+                elif edir < 0:
+                    sign_x = dn_x
+                else:
+                    sign_x = up_x | dn_x
+                fired_i = sign_x & upd & (evfired[i] == 0)
+                a = fzero
+                b = fzero + 1.0
+                fa = gp
+                for _ in range(25):
+                    mid = 0.5 * (a + b)
+                    ymid = join_rows(_hermite_tiles(
+                        mid, h, y_old_rows, f_old_rows,
+                        y_new_rows, f_new_rows))
+                    fm = ge(st.t + mid * h_safe, ymid)
+                    left = fa * fm <= 0.0
+                    a = _fblend(left, a, mid)
+                    b = _fblend(left, mid, b)
+                    fa = _fblend(left, fa, fm)
+                th = 0.5 * (a + b)
+                roots.append(st.t + th * h_safe)
+                groots.append(_hermite_tiles(
+                    th, h, y_old_rows, f_old_rows, y_new_rows,
+                    f_new_rows))
+                fires.append(fired_i)
+                if eterm:
+                    di = direction * roots[i]
+                    better = fired_i & (di < te_dir)
+                    te_dir = _fblend(better, di, te_dir)
+                    te = _fblend(better, roots[i], te)
+                    if y_te_rows is None:
+                        y_te_rows = [_fblend(better, r, y_new_rows[j])
+                                     for j, r in enumerate(groots[i])]
+                    else:
+                        y_te_rows = [_fblend(better, r, y_te_rows[j])
+                                     for j, r in enumerate(groots[i])]
+                    trunc = trunc | fired_i
+            # record roots the terminal truncation does not discard
+            ev_t_n, ev_rows_n, evf_n, gp_n = [], [], [], []
+            for i, (ge, eterm, edir) in enumerate(ev_spec):
+                keep = fires[i] & (~trunc
+                                   | (direction * roots[i] <= te_dir))
+                ev_t_n.append(_fblend(keep, roots[i], ev_t[i]))
+                ev_rows_n.append(tuple(
+                    _fblend(keep, groots[i][j], ev_rows[i][j])
+                    for j in range(len(groots[i]))))
+                evf_n.append(_iblend(keep, izero + 1, evfired[i]))
+                gp_n.append(_fblend(upd, g_news[i], gprev[i]))
+            ev_new = (tuple(gp_n), tuple(evf_n), tuple(ev_t_n),
+                      tuple(ev_rows_n))
+            status = _iblend(trunc, izero + _EVENT, status)
+
         updn = jnp.broadcast_to(upd, st.y.shape)
+        y_out = _fblend(updn, y_new, st.y)
+        t_out = _fblend(upd, t_new, st.t)
+        t_lo_out = _fblend(upd, t_lo_new, st.t_lo)
+        if n_ev and y_te_rows is not None:
+            y_trunc = join_rows(y_te_rows)
+            truncn = jnp.broadcast_to(trunc, st.y.shape)
+            y_out = _fblend(truncn, y_trunc, y_out)
+            t_out = _fblend(trunc, te, t_out)
+            t_lo_out = _fblend(trunc, fzero, t_lo_out)
         return _ES(
             it=st.it + 1,
             tf=st.tf, direction=st.direction,
             rtol=st.rtol, atol=st.atol,
-            t=_fblend(upd, t_new, st.t),
-            t_lo=_fblend(upd, t_lo_new, st.t_lo),
-            y=_fblend(updn, y_new, st.y),
+            t=t_out,
+            t_lo=t_lo_out,
+            y=y_out,
             y_lo=_fblend(updn, y_lo_new, st.y_lo),
             f=_fblend(updn, f_new, st.f),
             h_abs=_fblend(running, h_abs_next, st.h_abs),
@@ -369,10 +478,18 @@ def _run_erk_loop(fun, consts, cc, compensated, max_steps, nq, tq_vals,
             nstep=st.nstep + _iblend(upd, izero + 1, izero),
             nfev=st.nfev + dfev,
             qrows=qrows_new,
+            ev=ev_new,
         )
 
     # snapshot rows start at y0: covers points at/before t0
     qrows0 = tuple(tuple(split_rows(y)) for _ in range(nq))
+    if n_ev:
+        ev0 = (tuple(ge(t, y) for ge, _, _ in ev_spec),   # g(t0, y0)
+               tuple(izero for _ in range(n_ev)),
+               tuple(fzero for _ in range(n_ev)),
+               tuple(tuple(split_rows(y)) for _ in range(n_ev)))
+    else:
+        ev0 = ()
     st0 = _ES(
         it=jnp.zeros((), jnp.int32),
         tf=tf_r, direction=dir_r, rtol=rtol_r, atol=atol_r,
@@ -380,14 +497,14 @@ def _run_erk_loop(fun, consts, cc, compensated, max_steps, nq, tq_vals,
         status=izero, std_sc=izero + 1, err_old=fzero + 1.0,
         h_prev=fzero, max_fac=fzero + 10.0, fresh=izero + 1,
         rejected=izero, min_step=fzero, nstep=izero,
-        nfev=izero + 1, qrows=qrows0)
+        nfev=izero + 1, qrows=qrows0, ev=ev0)
     return jax.lax.while_loop(cond, body, st0)
 
 
 def solve_fused_erk(fun, t_span, y0_batch, method=None, rtol=1e-4,
                     atol=1e-6, first_step=None, max_steps=100_000,
                     block_members=1024, interpret=False,
-                    compensated=False, t_eval=None):
+                    compensated=False, t_eval=None, events=None):
     """Integrate an ensemble of small ODE systems in one Pallas kernel.
 
     y0_batch: (B, n) float32 initial states.  Returns
@@ -410,6 +527,18 @@ def solve_fused_erk(fun, t_span, y0_batch, method=None, rtol=1e-4,
     (y_final, status, nsteps, nfev, y_eval) with ``y_eval`` of shape
     (len(t_eval), B, n).  Points at/before t0 take y0; points a
     member never reaches take its final state.
+
+    ``events``: optional callable or list of callables in the
+    layout's conventions (g(t, y) -> per-member tile, e.g.
+    ``lambda t, y: y[0]``), each optionally carrying the reference's
+    ``terminal`` / ``direction`` attributes (the solve_ivp event
+    protocol).  Sign changes across accepted steps fire the event;
+    the root is bisected in-kernel on the step's cubic Hermite
+    interpolant (solve.py:_make_event_handler semantics, first
+    crossing per member recorded), and terminal events truncate the
+    member at the root with status 8 (the driver's TERMINAL_EVENT).
+    Appends ``(t_events (n_ev, B), y_events (n_ev, B, n),
+    n_events (n_ev, B))`` to the return; non-fired slots are NaN.
     """
     if method is None:
         from ..methods import BS5 as method
@@ -454,9 +583,15 @@ def solve_fused_erk(fun, t_span, y0_batch, method=None, rtol=1e-4,
     tq_vals = (None if t_eval is None
                else [float(v) for v in np.asarray(t_eval)])
 
+    ev_spec = _make_ev_spec(events)
+    n_ev = 0 if ev_spec is None else len(ev_spec)
+
     def kernel(sc_ref, y0_ref, yout_ref, stat_ref, nstep_ref, nfev_ref,
-               *maybe_yq):
-        yq_ref = maybe_yq[0] if nq else None
+               *rest):
+        rest = list(rest)
+        yq_ref = rest.pop(0) if nq else None
+        if n_ev:
+            tev_ref, yev_ref, fev_ref = rest[:3]
         y = y0_ref[:].T.reshape(n, sub, 128)
         # distributed-layout zeros keep the while carry away from
         # replicated layouts (Mosaic cannot relayout back to them);
@@ -476,7 +611,8 @@ def solve_fused_erk(fun, t_span, y0_batch, method=None, rtol=1e-4,
             fun, (A, B_w, C, E, s, fsal, h_min_a, tiny_err), cc,
             compensated, max_steps, nq, tq_vals, fzero, izero,
             _member_norm, lambda yy: [yy[j] for j in range(n)],
-            t, tf_r, dir_r, rtol_r, atol_r, h_abs0, y, f)
+            t, tf_r, dir_r, rtol_r, atol_r, h_abs0, y, f,
+            ev_spec=ev_spec, join_rows=jnp.stack)
 
         yout_ref[:] = st.y.reshape(n, bm).T
         stat_ref[:] = st.status.reshape(1, bm)
@@ -489,6 +625,12 @@ def solve_fused_erk(fun, t_span, y0_batch, method=None, rtol=1e-4,
                 rows = [_fblend(unreached, st.y[j], st.qrows[q][j])
                         for j in range(n)]
                 yq_ref[q] = jnp.stack(rows).reshape(n, bm).T
+        if n_ev:
+            _, evf, ev_t, ev_rows = st.ev
+            for i in range(n_ev):
+                tev_ref[i] = ev_t[i].reshape(1, bm)
+                yev_ref[i] = jnp.stack(ev_rows[i]).reshape(n, bm).T
+                fev_ref[i] = evf[i].reshape(1, bm)
 
     n_padded = y0_batch.shape[0]
     out_shapes = [
@@ -513,6 +655,20 @@ def solve_fused_erk(fun, t_span, y0_batch, method=None, rtol=1e-4,
         out_specs.append(
             pl.BlockSpec((nq, bm, n), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM))
+    if n_ev:
+        out_shapes += [
+            jax.ShapeDtypeStruct((n_ev, 1, n_padded), jnp.float32),
+            jax.ShapeDtypeStruct((n_ev, n_padded, n), jnp.float32),
+            jax.ShapeDtypeStruct((n_ev, 1, n_padded), jnp.int32),
+        ]
+        out_specs += [
+            pl.BlockSpec((n_ev, 1, bm), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_ev, bm, n), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_ev, 1, bm), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+        ]
     # trace with x64 OFF: TPU Pallas has no 64-bit types and the
     # library enables x64 globally (weak literals would promote)
     with jax.enable_x64(False):
@@ -533,6 +689,16 @@ def solve_fused_erk(fun, t_span, y0_batch, method=None, rtol=1e-4,
     y_out = y_out[:n_total]
     base = (y_out, status[0, :n_total], nsteps[0, :n_total],
             nfev[0, :n_total])
+    k = 4
     if nq:
-        return base + (outs[4][:, :n_total],)
+        base = base + (outs[k][:, :n_total],)
+        k += 1
+    if n_ev:
+        tev, yev, fev = outs[k], outs[k + 1], outs[k + 2]
+        fired = fev[:, 0, :n_total]
+        nanv = jnp.float32(np.nan)
+        t_events = jnp.where(fired != 0, tev[:, 0, :n_total], nanv)
+        y_events = jnp.where((fired != 0)[:, :, None],
+                             yev[:, :n_total], nanv)
+        base = base + (t_events, y_events, fired)
     return base

@@ -35,13 +35,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..core.controller import resolve_controller
-from .fused_erk import _fblend, _run_erk_loop
+from .fused_erk import _fblend, _make_ev_spec, _run_erk_loop
 
 
 def solve_fused_erk_grid(fun, t_span, y0_batch, method=None, rtol=1e-4,
                          atol=1e-6, first_step=None, max_steps=100_000,
                          block_members=32, interpret=False,
-                         compensated=False, t_eval=None):
+                         compensated=False, t_eval=None, events=None):
     """Integrate a mid-size-system ensemble with an ERK pair in one
     Pallas kernel.
 
@@ -56,7 +56,12 @@ def solve_fused_erk_grid(fun, t_span, y0_batch, method=None, rtol=1e-4,
     point (common.py:766-790 evaluation form).  ``compensated=True``
     enables the mixed-precision mode (Neumaier dots + double-single
     y/t carries) for official tolerances, exactly as in
-    ``solve_fused_erk``.
+    ``solve_fused_erk``.  ``events``: callable(s) g(t, y) ->
+    (bm, 1) member column (reduce the lane axis yourself, e.g. a
+    lane slice ``y[:, 63:64]``), with the reference's ``terminal`` /
+    ``direction`` attributes honoured; appends (t_events, y_events,
+    n_events) exactly like ``solve_fused_erk`` (in-kernel Hermite
+    bisection, first crossing, terminal truncation -> status 8).
     """
     if method is None:
         from ..methods import BS5 as method
@@ -105,9 +110,15 @@ def solve_fused_erk_grid(fun, t_span, y0_batch, method=None, rtol=1e-4,
     tq_vals = (None if t_eval is None
                else [float(v) for v in np.asarray(t_eval)])
 
+    ev_spec = _make_ev_spec(events)
+    n_ev = 0 if ev_spec is None else len(ev_spec)
+
     def kernel(sc_ref, y0_ref, yout_ref, stat_ref, nstep_ref, nfev_ref,
-               *maybe_yq):
-        yq_ref = maybe_yq[0] if nq else None
+               *rest):
+        rest = list(rest)
+        yq_ref = rest.pop(0) if nq else None
+        if n_ev:
+            tev_ref, yev_ref, fev_ref = rest[:3]
         y = y0_ref[:]
         # distributed-layout member-scalar zeros, derived from runtime
         # data so they cannot fold into replicated splats (fused_erk)
@@ -129,7 +140,8 @@ def solve_fused_erk_grid(fun, t_span, y0_batch, method=None, rtol=1e-4,
             fun, (A, B_w, C, E, s, fsal, h_min_a, tiny_err), cc,
             compensated, max_steps, nq, tq_vals, fzero, izero,
             mnorm, lambda yy: [yy],
-            t, tf_r, dir_r, rtol_r, atol_r, h_abs0, y, f)
+            t, tf_r, dir_r, rtol_r, atol_r, h_abs0, y, f,
+            ev_spec=ev_spec, join_rows=lambda rows: rows[0])
 
         yout_ref[:] = st.y
         stat_ref[:] = st.status
@@ -140,6 +152,12 @@ def solve_fused_erk_grid(fun, t_span, y0_batch, method=None, rtol=1e-4,
             for q in range(nq):
                 unreached = dir_r * tq_vals[q] > dir_r * st.t
                 yq_ref[q] = _fblend(unreached, st.y, st.qrows[q][0])
+        if n_ev:
+            _, evf, ev_t, ev_rows = st.ev
+            for i in range(n_ev):
+                tev_ref[i] = ev_t[i]
+                yev_ref[i] = ev_rows[i][0]
+                fev_ref[i] = evf[i]
 
     out_shapes = [
         jax.ShapeDtypeStruct((B, n), jnp.float32),
@@ -163,6 +181,20 @@ def solve_fused_erk_grid(fun, t_span, y0_batch, method=None, rtol=1e-4,
         out_specs.append(
             pl.BlockSpec((nq, bm, n), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM))
+    if n_ev:
+        out_shapes += [
+            jax.ShapeDtypeStruct((n_ev, B, 1), jnp.float32),
+            jax.ShapeDtypeStruct((n_ev, B, n), jnp.float32),
+            jax.ShapeDtypeStruct((n_ev, B, 1), jnp.int32),
+        ]
+        out_specs += [
+            pl.BlockSpec((n_ev, bm, 1), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_ev, bm, n), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_ev, bm, 1), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+        ]
     # trace with x64 OFF: TPU Pallas has no 64-bit types and the
     # library enables x64 globally (weak literals would promote)
     with jax.enable_x64(False):
@@ -182,6 +214,16 @@ def solve_fused_erk_grid(fun, t_span, y0_batch, method=None, rtol=1e-4,
     y_out, status, nsteps, nfev = outs[:4]
     ret = (y_out[:n_total], status[:n_total, 0],
            nsteps[:n_total, 0], nfev[:n_total, 0])
+    k = 4
     if nq:
-        ret = ret + (outs[4][:, :n_total],)
+        ret = ret + (outs[k][:, :n_total],)
+        k += 1
+    if n_ev:
+        tev, yev, fev = outs[k], outs[k + 1], outs[k + 2]
+        fired = fev[:, :n_total, 0]
+        nanv = jnp.float32(np.nan)
+        t_events = jnp.where(fired != 0, tev[:, :n_total, 0], nanv)
+        y_events = jnp.where((fired != 0)[:, :, None],
+                             yev[:, :n_total], nanv)
+        ret = ret + (t_events, y_events, fired)
     return ret

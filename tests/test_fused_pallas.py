@@ -1046,3 +1046,103 @@ def test_fused_esdirk_grid_compensated_t_eval():
     assert np.max(np.abs(np.asarray(yq) - yx)) < 1e-3
     np.testing.assert_array_equal(np.asarray(yq)[0],
                                   np.asarray(Y0, np.float32))
+
+
+def test_fused_erk_events():
+    """In-kernel events on the fused fast path: sign-change detection
+    per direction flag, Hermite-bisection roots, first-crossing
+    recording, and terminal truncation (status 8 == the driver's
+    TERMINAL_EVENT) — all matching the device driver's event handler
+    (solve.py:_make_event_handler) at tolerance scale."""
+    from extensisq_tpu.ops import solve_fused_erk
+    from extensisq_tpu import BS5
+
+    def f(t, y):
+        return jnp.stack([y[1], -y[0] - 0.05 * y[1]])
+
+    B = 128
+    amps = np.linspace(1.2, 2.0, B)
+    Y0 = np.stack([amps, np.zeros(B)], axis=1).astype(np.float32)
+
+    def ev_x(t, y):              # x downward crossing at t ~ pi/2
+        return y[0]
+    ev_x.direction = -1.0
+
+    def ev_term(t, y):           # v recovers through -0.9 after the
+        return y[1] + 0.9        # bottom: fires AFTER ev_x
+    ev_term.terminal = True
+    ev_term.direction = 1.0
+
+    yf, st, ns, nf, t_ev, y_ev, n_ev = solve_fused_erk(
+        f, (0.0, 20.0), Y0, method=BS5, rtol=1e-6, atol=1e-9,
+        block_members=128, interpret=True, events=[ev_x, ev_term])
+    assert np.all(np.asarray(st) == 8)
+    assert np.asarray(n_ev).sum() == 2 * B
+
+    out = solve_ensemble(f, (0.0, 20.0), jnp.asarray(Y0, jnp.float64),
+                         method=BS5, rtol=1e-6, atol=1e-9,
+                         events=[ev_x, ev_term])
+    tx = np.asarray(out.t_events)
+    assert np.nanmax(np.abs(np.asarray(t_ev)[0] - tx[:, 0, 0])) < 1e-3
+    assert np.nanmax(np.abs(np.asarray(t_ev)[1] - tx[:, 1, 0])) < 1e-3
+    assert np.max(np.abs(np.asarray(yf) - np.asarray(out.y))) < 1e-3
+    assert np.nanmax(np.abs(np.asarray(y_ev)[0]
+                            - np.asarray(out.y_events)[:, 0, 0])) < 1e-3
+
+
+def test_fused_erk_events_nonterminal_runs_to_tf():
+    """Recording-only events must not stop the integration; members
+    finish at tf with status 1 and the first crossing recorded."""
+    from extensisq_tpu.ops import solve_fused_erk
+    from extensisq_tpu import BS5
+
+    def f(t, y):
+        return jnp.stack([y[1], -y[0]])
+
+    B = 128
+    Y0 = np.stack([np.linspace(0.8, 1.2, B), np.zeros(B)],
+                  axis=1).astype(np.float32)
+
+    def ev(t, y):
+        return y[0]
+
+    yf, st, ns, nf, t_ev, y_ev, n_ev = solve_fused_erk(
+        f, (0.0, 10.0), Y0, method=BS5, rtol=1e-6, atol=1e-9,
+        block_members=128, interpret=True, events=ev)
+    assert np.all(np.asarray(st) == 1)
+    assert np.all(np.asarray(n_ev) == 1)
+    # first x = 0 crossing of cos-like solution: t = pi/2
+    assert np.nanmax(np.abs(np.asarray(t_ev)[0] - np.pi / 2)) < 1e-3
+
+
+def test_fused_erk_grid_events():
+    """The grid layout inherits events through the shared loop: a
+    lane-sliced event function on a mid-size advection-reaction
+    ensemble terminates every member when the tracked lane crosses
+    the threshold."""
+    from extensisq_tpu.ops import solve_fused_erk_grid
+
+    n = 128
+    kern, _ = _fisher_pair(n)
+    B = 8
+    xg = np.linspace(0, 1, n, endpoint=False)
+    amps = np.linspace(0.2, 0.8, B)
+    Y0 = (0.5 + 0.4 * amps[:, None]
+          * np.sin(2 * np.pi * xg)[None, :]).astype(np.float32)
+
+    def ev(t, y):                # lane 0 grows through 0.95
+        return y[:, 0:1] - 0.95
+    ev.terminal = True
+    ev.direction = 1.0
+
+    yf, st, ns, nf, t_ev, y_ev, n_ev = solve_fused_erk_grid(
+        kern, (0.0, 5.0), Y0, rtol=1e-5, atol=1e-7,
+        block_members=8, interpret=True, events=ev)
+    st = np.asarray(st)
+    fired = np.asarray(n_ev)[0] != 0
+    # Fisher-KPP drives u -> 1 everywhere: every member fires
+    assert np.all(fired) and np.all(st == 8)
+    # the recorded event state has lane 0 at the threshold
+    assert np.nanmax(np.abs(np.asarray(y_ev)[0][:, 0] - 0.95)) < 1e-3
+    # truncated endpoints sit at the event state
+    assert np.max(np.abs(np.asarray(yf)[:, 0] - 0.95)) < 1e-3

@@ -63,6 +63,13 @@ def main():
         vdp, (0.0, 2.0), Y, method=BS5, block_members=256,
         t_eval=tq), Y2)
 
+    def ev_row(t, y):
+        return y[0] - 1.0
+    ev_row.terminal = True
+    check("fused_erk events", lambda Y: solve_fused_erk(
+        vdp, (0.0, 2.0), Y, method=BS5, block_members=256,
+        events=ev_row), Y2)
+
     def acc2(t, u, v):
         r2 = u[0] ** 2 + u[1] ** 2
         aa = -(r2 * jnp.sqrt(r2)) ** -1.0
@@ -177,6 +184,13 @@ def main():
     check("fused_erk_grid t_eval", lambda Y: solve_fused_erk_grid(
         fisher_g, (0.0, 0.5), Y, block_members=32,
         t_eval=np.linspace(0.0, 0.5, 4).astype(np.float32)), YG)
+
+    def ev_lane(t, y):
+        return y[:, 0:1] - 0.95
+    ev_lane.terminal = True
+    check("fused_erk_grid events", lambda Y: solve_fused_erk_grid(
+        fisher_g, (0.0, 0.5), Y, block_members=32,
+        events=ev_lane), YG)
 
     def rdiff_g(t, y):
         return (0.01 * (jnp.roll(y, 1, -1) + jnp.roll(y, -1, -1)
