@@ -155,6 +155,85 @@ def _make_ev_spec(events):
              float(getattr(e, "direction", 0.0))) for e in evs]
 
 
+def _handle_events(ev_spec, ev_state, upd, direction, t_old, t_new,
+                   h, h_safe, y_old_rows, f_old_rows, y_new_rows,
+                   f_new_rows, fzero, izero, join_rows):
+    """One accepted step's event handling, LAYOUT-GENERIC and shared
+    by every fused family that carries (y, y') step endpoints: sign
+    change detection per the solve_ivp terminal/direction protocol,
+    25 bisection rounds on the step's cubic Hermite interpolant,
+    first-crossing recording, terminal selection.
+
+    ``ev_state`` is the (gprev, fired, ev_t, ev_rows) carry tuple.
+    Returns (ev_state_new, trunc, te, y_te_rows): ``trunc`` is the
+    member mask terminated this step, at time ``te`` and state rows
+    ``y_te_rows`` (None when no terminal event exists)."""
+    gprev, evfired, ev_t, ev_rows = ev_state
+    trunc = izero != izero            # all-false member mask
+    te = fzero
+    te_dir = fzero + 1e30
+    y_te_rows = None
+    roots, groots, fires, g_news = [], [], [], []
+    for i, (ge, eterm, edir) in enumerate(ev_spec):
+        g_new_i = ge(t_new, join_rows(y_new_rows))
+        g_news.append(g_new_i)
+        gp = gprev[i]
+        up_x = (gp <= 0.0) & (g_new_i >= 0.0)
+        dn_x = (gp >= 0.0) & (g_new_i <= 0.0)
+        if edir > 0:
+            sign_x = up_x
+        elif edir < 0:
+            sign_x = dn_x
+        else:
+            sign_x = up_x | dn_x
+        fired_i = sign_x & upd & (evfired[i] == 0)
+        a = fzero
+        b = fzero + 1.0
+        fa = gp
+        for _ in range(25):
+            mid = 0.5 * (a + b)
+            ymid = join_rows(_hermite_tiles(
+                mid, h, y_old_rows, f_old_rows,
+                y_new_rows, f_new_rows))
+            fm = ge(t_old + mid * h_safe, ymid)
+            left = fa * fm <= 0.0
+            a = _fblend(left, a, mid)
+            b = _fblend(left, mid, b)
+            fa = _fblend(left, fa, fm)
+        th = 0.5 * (a + b)
+        roots.append(t_old + th * h_safe)
+        groots.append(_hermite_tiles(
+            th, h, y_old_rows, f_old_rows, y_new_rows,
+            f_new_rows))
+        fires.append(fired_i)
+        if eterm:
+            di = direction * roots[i]
+            better = fired_i & (di < te_dir)
+            te_dir = _fblend(better, di, te_dir)
+            te = _fblend(better, roots[i], te)
+            if y_te_rows is None:
+                y_te_rows = [_fblend(better, r, y_new_rows[j])
+                             for j, r in enumerate(groots[i])]
+            else:
+                y_te_rows = [_fblend(better, r, y_te_rows[j])
+                             for j, r in enumerate(groots[i])]
+            trunc = trunc | fired_i
+    # record roots the terminal truncation does not discard
+    ev_t_n, ev_rows_n, evf_n, gp_n = [], [], [], []
+    for i in range(len(ev_spec)):
+        keep = fires[i] & (~trunc
+                           | (direction * roots[i] <= te_dir))
+        ev_t_n.append(_fblend(keep, roots[i], ev_t[i]))
+        ev_rows_n.append(tuple(
+            _fblend(keep, groots[i][j], ev_rows[i][j])
+            for j in range(len(groots[i]))))
+        evf_n.append(_iblend(keep, izero + 1, evfired[i]))
+        gp_n.append(_fblend(upd, g_news[i], gprev[i]))
+    ev_new = (tuple(gp_n), tuple(evf_n), tuple(ev_t_n),
+              tuple(ev_rows_n))
+    return ev_new, trunc, te, y_te_rows
+
+
 class _ES(NamedTuple):
     """Layout-generic while-loop carry for the fused adaptive ERK loop."""
     it: Any
@@ -379,68 +458,12 @@ def _run_erk_loop(fun, consts, cc, compensated, max_steps, nq, tq_vals,
         ev_new = st.ev
         trunc = izero != izero            # all-false member mask
         te = fzero
-        te_dir = fzero + 1e30
         y_te_rows = None
         if n_ev:
-            gprev, evfired, ev_t, ev_rows = st.ev
-            roots, groots, fires, g_news = [], [], [], []
-            for i, (ge, eterm, edir) in enumerate(ev_spec):
-                g_new_i = ge(t_new, y_new)
-                g_news.append(g_new_i)
-                gp = gprev[i]
-                up_x = (gp <= 0.0) & (g_new_i >= 0.0)
-                dn_x = (gp >= 0.0) & (g_new_i <= 0.0)
-                if edir > 0:
-                    sign_x = up_x
-                elif edir < 0:
-                    sign_x = dn_x
-                else:
-                    sign_x = up_x | dn_x
-                fired_i = sign_x & upd & (evfired[i] == 0)
-                a = fzero
-                b = fzero + 1.0
-                fa = gp
-                for _ in range(25):
-                    mid = 0.5 * (a + b)
-                    ymid = join_rows(_hermite_tiles(
-                        mid, h, y_old_rows, f_old_rows,
-                        y_new_rows, f_new_rows))
-                    fm = ge(st.t + mid * h_safe, ymid)
-                    left = fa * fm <= 0.0
-                    a = _fblend(left, a, mid)
-                    b = _fblend(left, mid, b)
-                    fa = _fblend(left, fa, fm)
-                th = 0.5 * (a + b)
-                roots.append(st.t + th * h_safe)
-                groots.append(_hermite_tiles(
-                    th, h, y_old_rows, f_old_rows, y_new_rows,
-                    f_new_rows))
-                fires.append(fired_i)
-                if eterm:
-                    di = direction * roots[i]
-                    better = fired_i & (di < te_dir)
-                    te_dir = _fblend(better, di, te_dir)
-                    te = _fblend(better, roots[i], te)
-                    if y_te_rows is None:
-                        y_te_rows = [_fblend(better, r, y_new_rows[j])
-                                     for j, r in enumerate(groots[i])]
-                    else:
-                        y_te_rows = [_fblend(better, r, y_te_rows[j])
-                                     for j, r in enumerate(groots[i])]
-                    trunc = trunc | fired_i
-            # record roots the terminal truncation does not discard
-            ev_t_n, ev_rows_n, evf_n, gp_n = [], [], [], []
-            for i, (ge, eterm, edir) in enumerate(ev_spec):
-                keep = fires[i] & (~trunc
-                                   | (direction * roots[i] <= te_dir))
-                ev_t_n.append(_fblend(keep, roots[i], ev_t[i]))
-                ev_rows_n.append(tuple(
-                    _fblend(keep, groots[i][j], ev_rows[i][j])
-                    for j in range(len(groots[i]))))
-                evf_n.append(_iblend(keep, izero + 1, evfired[i]))
-                gp_n.append(_fblend(upd, g_news[i], gprev[i]))
-            ev_new = (tuple(gp_n), tuple(evf_n), tuple(ev_t_n),
-                      tuple(ev_rows_n))
+            ev_new, trunc, te, y_te_rows = _handle_events(
+                ev_spec, st.ev, upd, direction, st.t, t_new, h,
+                h_safe, y_old_rows, f_old_rows, y_new_rows,
+                f_new_rows, fzero, izero, join_rows)
             status = _iblend(trunc, izero + _EVENT, status)
 
         updn = jnp.broadcast_to(upd, st.y.shape)

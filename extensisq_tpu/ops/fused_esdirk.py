@@ -55,7 +55,8 @@ from .._config import (NEWTON_MAXITER, MAX_RATE, MAX_FACTOR_NRF,
                        MIN_FACTOR, MAX_FACTOR, MAX_FACTOR0)
 from ..core.controller import resolve_controller
 from .fused_erk import (_fblend, _iblend, _sanitize, _member_norm,
-                        _df_add, _two_sum, _comp_wsum, _hermite_tiles)
+                        _df_add, _two_sum, _comp_wsum, _hermite_tiles,
+                        _make_ev_spec, _handle_events, _EVENT)
 
 _RUNNING, _FINISHED, _TOO_SMALL, _OVERFLOW = 0, 1, 2, 3
 
@@ -69,7 +70,7 @@ def solve_fused_esdirk(fun, t_span, y0_batch, method=None, M=None,
                        yp0_batch=None, rtol=1e-4, atol=1e-6,
                        first_step=None, max_steps=100_000,
                        block_members=1024, interpret=False,
-                       compensated=False, t_eval=None):
+                       compensated=False, t_eval=None, events=None):
     """Integrate an ensemble of small stiff systems / index-1 DAEs in
     one TPU kernel.
 
@@ -104,6 +105,15 @@ def solve_fused_esdirk(fun, t_span, y0_batch, method=None, M=None,
     points a member never reaches take its final state.  For
     dense/hidden-M DAEs the snapshots are un-rotated to user
     coordinates like the endpoint.
+
+    ``events``: callable(s) g(t, y) in the row-stacked convention,
+    honouring the reference's ``terminal`` / ``direction`` attribute
+    protocol; appends (t_events, y_events, n_events) exactly like
+    ``solve_fused_erk`` (in-kernel Hermite bisection on the carried
+    (y, y') endpoints, first crossing per member, terminal
+    truncation -> status 8).  Not supported together with a DENSE /
+    hidden mass matrix (the kernel then integrates in rotated
+    coordinates; use the XLA driver).
     """
     if method is None:
         from ..methods import Kv3I as method
@@ -242,6 +252,14 @@ def solve_fused_esdirk(fun, t_span, y0_batch, method=None, M=None,
     tq_vals = (None if t_eval is None
                else [float(v) for v in np.asarray(t_eval)])
 
+    ev_spec = _make_ev_spec(events)
+    n_ev = 0 if ev_spec is None else len(ev_spec)
+    if n_ev and rot is not None:
+        raise ValueError("events with a dense/hidden mass matrix are "
+                         "not supported in the fused kernel (it "
+                         "integrates in rotated coordinates); use the "
+                         "XLA driver")
+
     def _rows(y):
         return [y[i] for i in range(n)]
 
@@ -314,8 +332,11 @@ def solve_fused_esdirk(fun, t_span, y0_batch, method=None, M=None,
         return x
 
     def kernel(sc_ref, y0_ref, yp0_ref, yout_ref, stat_ref, nstep_ref,
-               nfev_ref, *maybe_yq):
-        yq_ref = maybe_yq[0] if nq else None
+               nfev_ref, *rest):
+        rest = list(rest)
+        yq_ref = rest.pop(0) if nq else None
+        if n_ev:
+            tev_ref, yev_ref, fev_ref = rest[:3]
         y = y0_ref[:].T.reshape(n, sub, 128)
         fzero = y[0] * 0.0
         izero = fzero.astype(jnp.int32)
@@ -351,6 +372,7 @@ def solve_fused_esdirk(fun, t_span, y0_batch, method=None, M=None,
             nstep: Any
             nfev: Any
             qrows: Any      # ((nq) x (n)) carried t_eval snapshot tiles
+            ev: Any         # (gprev, fired, ev_t, ev_rows) tuples
 
         def cond(st):
             return jnp.max(_iblend(st.status == _RUNNING,
@@ -663,7 +685,28 @@ def solve_fused_esdirk(fun, t_span, y0_batch, method=None, M=None,
                         for j in range(n)))
                 qrows_new = tuple(qrows_new)
 
+            ev_new = st.ev
+            trunc = izero != izero
+            te = fzero
+            y_te_rows = None
+            if n_ev:
+                h_safe_e = _fblend(h == 0.0, fzero + 1.0, h)
+                ev_new, trunc, te, y_te_rows = _handle_events(
+                    ev_spec, st.ev, upd, direction, st.t, t_new, h,
+                    h_safe_e, _rows(st.y), _rows(st.yp),
+                    _rows(y_new), _rows(yp_new), fzero, izero,
+                    _stack)
+                status = _iblend(trunc, izero + _EVENT, status)
+
             updn = jnp.broadcast_to(upd, st.y.shape)
+            y_out_c = _fblend(updn, y_new, st.y)
+            t_out_c = _fblend(upd, t_new, st.t)
+            t_lo_out_c = _fblend(upd, t_lo_new, st.t_lo)
+            if n_ev and y_te_rows is not None:
+                truncn = jnp.broadcast_to(trunc, st.y.shape)
+                y_out_c = _fblend(truncn, _stack(y_te_rows), y_out_c)
+                t_out_c = _fblend(trunc, te, t_out_c)
+                t_lo_out_c = _fblend(trunc, fzero, t_lo_out_c)
             rej_new = _iblend(
                 upd, izero,
                 _iblend(rejected_b | (running & ~too_small
@@ -673,9 +716,9 @@ def solve_fused_esdirk(fun, t_span, y0_batch, method=None, M=None,
                 it=st.it + 1,
                 tf=st.tf, direction=st.direction,
                 rtol=st.rtol, atol=st.atol,
-                t=_fblend(upd, t_new, st.t),
-                t_lo=_fblend(upd, t_lo_new, st.t_lo),
-                y=_fblend(updn, y_new, st.y),
+                t=t_out_c,
+                t_lo=t_lo_out_c,
+                y=y_out_c,
                 y_lo=_fblend(updn, y_lo_new, st.y_lo),
                 yp=_fblend(updn, yp_new, st.yp),
                 h_abs=_fblend(running, h_abs_next, st.h_abs),
@@ -690,11 +733,20 @@ def solve_fused_esdirk(fun, t_span, y0_batch, method=None, M=None,
                 nstep=st.nstep + _iblend(upd, izero + 1, izero),
                 nfev=st.nfev + _iblend(running, nfev_d, izero),
                 qrows=qrows_new,
+                ev=ev_new,
             )
 
         # snapshot rows start at y0: covers points at/before t0
         qrows0 = tuple(tuple(y[j] for j in range(n))
                        for _ in range(nq))
+        if n_ev:
+            ev0 = (tuple(ge(t, y) for ge, _, _ in ev_spec),
+                   tuple(izero for _ in range(n_ev)),
+                   tuple(fzero for _ in range(n_ev)),
+                   tuple(tuple(y[j] for j in range(n))
+                         for _ in range(n_ev)))
+        else:
+            ev0 = ()
         st0 = S(
             it=jnp.zeros((), jnp.int32),
             tf=tf_r, direction=dir_r, rtol=rtol_r, atol=atol_r,
@@ -702,7 +754,8 @@ def solve_fused_esdirk(fun, t_span, y0_batch, method=None, M=None,
             status=izero, std_sc=izero + 1, err_old=fzero + 1.0,
             h_prev=fzero, max_fac=fzero + MAX_FACTOR0,
             rejected=izero, nstep=izero,
-            nfev=izero + (0 if have_yp0 else 1), qrows=qrows0)
+            nfev=izero + (0 if have_yp0 else 1), qrows=qrows0,
+            ev=ev0)
         st = jax.lax.while_loop(cond, body, st0)
 
         yout_ref[:] = st.y.reshape(n, bm).T
@@ -716,6 +769,12 @@ def solve_fused_esdirk(fun, t_span, y0_batch, method=None, M=None,
                 rows = [_fblend(unreached, st.y[j], st.qrows[q][j])
                         for j in range(n)]
                 yq_ref[q] = jnp.stack(rows).reshape(n, bm).T
+        if n_ev:
+            _, evf, ev_t, ev_rows = st.ev
+            for i in range(n_ev):
+                tev_ref[i] = ev_t[i].reshape(1, bm)
+                yev_ref[i] = jnp.stack(ev_rows[i]).reshape(n, bm).T
+                fev_ref[i] = evf[i].reshape(1, bm)
 
     n_padded = y0_batch.shape[0]
     if not have_yp0:
@@ -742,6 +801,20 @@ def solve_fused_esdirk(fun, t_span, y0_batch, method=None, M=None,
         out_specs.append(
             pl.BlockSpec((nq, bm, n), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM))
+    if n_ev:
+        out_shapes += [
+            jax.ShapeDtypeStruct((n_ev, 1, n_padded), jnp.float32),
+            jax.ShapeDtypeStruct((n_ev, n_padded, n), jnp.float32),
+            jax.ShapeDtypeStruct((n_ev, 1, n_padded), jnp.int32),
+        ]
+        out_specs += [
+            pl.BlockSpec((n_ev, 1, bm), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_ev, bm, n), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_ev, 1, bm), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+        ]
     with jax.enable_x64(False):
         outs = pl.pallas_call(
             kernel,
@@ -768,10 +841,20 @@ def solve_fused_esdirk(fun, t_span, y0_batch, method=None, M=None,
                            precision=jax.lax.Precision.HIGHEST)
     ret = (y_out, status[0, :n_total], nsteps[0, :n_total],
            nfev[0, :n_total])
+    k = 4
     if nq:
-        y_eval = outs[4][:, :n_total]
+        y_eval = outs[k][:, :n_total]
         if rot is not None:
             y_eval = jnp.matmul(y_eval, Vmat,
                                 precision=jax.lax.Precision.HIGHEST)
         ret = ret + (y_eval,)
+        k += 1
+    if n_ev:
+        tev, yev, fev = outs[k], outs[k + 1], outs[k + 2]
+        fired = fev[:, 0, :n_total]
+        nanv = jnp.float32(np.nan)
+        t_events = jnp.where(fired != 0, tev[:, 0, :n_total], nanv)
+        y_events = jnp.where((fired != 0)[:, :, None],
+                             yev[:, :n_total], nanv)
+        ret = ret + (t_events, y_events, fired)
     return ret

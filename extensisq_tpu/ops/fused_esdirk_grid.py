@@ -61,7 +61,8 @@ from .._config import (NEWTON_MAXITER, MAX_RATE, MAX_FACTOR_NRF,
                        MIN_FACTOR, MAX_FACTOR, MAX_FACTOR0)
 from ..core.controller import resolve_controller
 from .fused_erk import (_fblend, _iblend, _sanitize, _df_add,
-                        _two_sum, _comp_wsum, _hermite_tiles)
+                        _two_sum, _comp_wsum, _hermite_tiles,
+                        _make_ev_spec, _handle_events, _EVENT)
 from .fused_esdirk import _pow
 
 _RUNNING, _FINISHED, _TOO_SMALL, _OVERFLOW = 0, 1, 2, 3
@@ -85,6 +86,7 @@ class _G(NamedTuple):
     nstep: Any
     nfev: Any
     qrows: Any        # tuple (nq) of (bm, n) t_eval snapshots
+    ev: Any           # (gprev, fired, ev_t, ev_rows) tuples
 
 
 def _pcr_solve(wl, wd, wu, rhs, n_log2):
@@ -121,7 +123,8 @@ def solve_fused_esdirk_grid(fun, t_span, y0_batch, method=None, M=None,
                             yp0_batch=None, rtol=1e-4, atol=1e-6,
                             first_step=None, max_steps=100_000,
                             block_members=8, interpret=False,
-                            compensated=False, t_eval=None):
+                            compensated=False, t_eval=None,
+                            events=None):
     """Integrate a mid-size stiff-system / index-1-DAE ensemble with
     an ESDIRK method in one TPU kernel.
 
@@ -135,6 +138,9 @@ def solve_fused_esdirk_grid(fun, t_span, y0_batch, method=None, M=None,
     nsteps (B,), nfev (B,)); ``t_eval`` appends y_eval
     (len(t_eval), B, n) interpolated from inside the kernel
     (common.py:766-790 form, y' = the stiffly accurate last stage).
+    ``events``: callable(s) g(t, y) -> (bm, 1) member column with the
+    reference's ``terminal`` / ``direction`` attributes; appends
+    (t_events, y_events, n_events) like the other fused kernels.
     """
     if method is None:
         from ..methods import Kv3I as method
@@ -222,11 +228,17 @@ def solve_fused_esdirk_grid(fun, t_span, y0_batch, method=None, M=None,
     tq_vals = (None if t_eval is None
                else [float(v) for v in np.asarray(t_eval)])
 
+    ev_spec = _make_ev_spec(events)
+    n_ev = 0 if ev_spec is None else len(ev_spec)
+
     def kernel(sc_ref, y0_ref, yp0_ref, *rest):
         rest = list(rest)
         m_ref = rest.pop(0) if have_m else None
         yout_ref, stat_ref, nstep_ref, nfev_ref = rest[:4]
-        yq_ref = rest[4] if nq else None
+        rest = rest[4:]
+        yq_ref = rest.pop(0) if nq else None
+        if n_ev:
+            tev_ref, yev_ref, fev_ref = rest[:3]
         y = y0_ref[:]
         fzero = y[:, :1] * 0.0            # (bm, 1) member scalars
         izero = fzero.astype(jnp.int32)
@@ -524,6 +536,24 @@ def solve_fused_esdirk_grid(fun, t_span, y0_batch, method=None, M=None,
                         _fblend(crossed, vals, st.qrows[q]))
                 qrows_new = tuple(qrows_new)
 
+            ev_new = st.ev
+            trunc = izero != izero
+            te = fzero
+            y_te_rows = None
+            if n_ev:
+                h_safe_e = _fblend(h == 0.0, fzero + 1.0, h)
+                ev_new, trunc, te, y_te_rows = _handle_events(
+                    ev_spec, st.ev, upd, dir_r, st.t, t_new, h,
+                    h_safe_e, [st.y], [st.yp], [y_new], [yp_new],
+                    fzero, izero, lambda rows: rows[0])
+                status = _iblend(trunc, izero + _EVENT, status)
+            y_out_c = _fblend(upd, y_new, st.y)
+            t_out_c = _fblend(upd, t_new, st.t)
+            t_lo_out_c = _fblend(upd, t_lo_new, st.t_lo)
+            if n_ev and y_te_rows is not None:
+                y_out_c = _fblend(trunc, y_te_rows[0], y_out_c)
+                t_out_c = _fblend(trunc, te, t_out_c)
+                t_lo_out_c = _fblend(trunc, fzero, t_lo_out_c)
             rej_new = _iblend(
                 upd, izero,
                 _iblend(rejected_b | (running & ~too_small
@@ -531,9 +561,9 @@ def solve_fused_esdirk_grid(fun, t_span, y0_batch, method=None, M=None,
                         izero + 1, izero))
             return _G(
                 it=st.it + 1,
-                t=_fblend(upd, t_new, st.t),
-                t_lo=_fblend(upd, t_lo_new, st.t_lo),
-                y=_fblend(upd, y_new, st.y),
+                t=t_out_c,
+                t_lo=t_lo_out_c,
+                y=y_out_c,
                 y_lo=_fblend(upd, y_lo_new, st.y_lo),
                 yp=_fblend(upd, yp_new, st.yp),
                 h_abs=_fblend(running, h_abs_next, st.h_abs),
@@ -547,7 +577,8 @@ def solve_fused_esdirk_grid(fun, t_span, y0_batch, method=None, M=None,
                 rejected=rej_new,
                 nstep=st.nstep + _iblend(upd, izero + 1, izero),
                 nfev=st.nfev + _iblend(running, nfev_d, izero),
-                qrows=qrows_new)
+                qrows=qrows_new,
+                ev=ev_new)
 
         st0 = _G(
             it=jnp.zeros((), jnp.int32),
@@ -556,7 +587,12 @@ def solve_fused_esdirk_grid(fun, t_span, y0_batch, method=None, M=None,
             h_prev=fzero, max_fac=fzero + MAX_FACTOR0,
             rejected=izero, nstep=izero,
             nfev=izero + (0 if have_yp0 else 1),
-            qrows=tuple(y for _ in range(nq)))
+            qrows=tuple(y for _ in range(nq)),
+            ev=((tuple(ge(t, y) for ge, _, _ in ev_spec),
+                 tuple(izero for _ in range(n_ev)),
+                 tuple(fzero for _ in range(n_ev)),
+                 tuple((y,) for _ in range(n_ev)))
+                if n_ev else ()))
         st = jax.lax.while_loop(cond, body, st0)
 
         yout_ref[:] = st.y
@@ -568,6 +604,12 @@ def solve_fused_esdirk_grid(fun, t_span, y0_batch, method=None, M=None,
             for q in range(nq):
                 unreached = dir_r * tq_vals[q] > dir_r * st.t
                 yq_ref[q] = _fblend(unreached, st.y, st.qrows[q])
+        if n_ev:
+            _, evf, ev_t, ev_rows = st.ev
+            for i in range(n_ev):
+                tev_ref[i] = ev_t[i]
+                yev_ref[i] = ev_rows[i][0]
+                fev_ref[i] = evf[i]
 
     out_shapes = [
         jax.ShapeDtypeStruct((B, n), jnp.float32),
@@ -591,6 +633,20 @@ def solve_fused_esdirk_grid(fun, t_span, y0_batch, method=None, M=None,
         out_specs.append(
             pl.BlockSpec((nq, bm, n), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM))
+    if n_ev:
+        out_shapes += [
+            jax.ShapeDtypeStruct((n_ev, B, 1), jnp.float32),
+            jax.ShapeDtypeStruct((n_ev, B, n), jnp.float32),
+            jax.ShapeDtypeStruct((n_ev, B, 1), jnp.int32),
+        ]
+        out_specs += [
+            pl.BlockSpec((n_ev, bm, 1), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_ev, bm, n), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_ev, bm, 1), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+        ]
     yp_in = (yp0_batch if have_yp0
              else jnp.zeros_like(y0_batch))
     with jax.enable_x64(False):
@@ -615,6 +671,16 @@ def solve_fused_esdirk_grid(fun, t_span, y0_batch, method=None, M=None,
     y_out, status, nsteps, nfev = outs[:4]
     ret = (y_out[:n_total], status[:n_total, 0],
            nsteps[:n_total, 0], nfev[:n_total, 0])
+    k = 4
     if nq:
-        ret = ret + (outs[4][:, :n_total],)
+        ret = ret + (outs[k][:, :n_total],)
+        k += 1
+    if n_ev:
+        tev, yev, fev = outs[k], outs[k + 1], outs[k + 2]
+        fired = fev[:, :n_total, 0]
+        nanv = jnp.float32(np.nan)
+        t_events = jnp.where(fired != 0, tev[:, :n_total, 0], nanv)
+        y_events = jnp.where((fired != 0)[:, :, None],
+                             yev[:, :n_total], nanv)
+        ret = ret + (t_events, y_events, fired)
     return ret

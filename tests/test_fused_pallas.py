@@ -1146,3 +1146,65 @@ def test_fused_erk_grid_events():
     assert np.nanmax(np.abs(np.asarray(y_ev)[0][:, 0] - 0.95)) < 1e-3
     # truncated endpoints sit at the event state
     assert np.max(np.abs(np.asarray(yf)[:, 0] - 0.95)) < 1e-3
+
+
+def test_fused_esdirk_events():
+    """Events on the fused implicit path (small-system kernel): a
+    stiff decay ensemble terminates when a slow component crosses a
+    threshold; the in-kernel Hermite roots match both the analytic
+    crossing and the device driver's event handler."""
+    from extensisq_tpu.ops import solve_fused_esdirk
+    from extensisq_tpu import Kv3I
+
+    def f(t, y):
+        return jnp.stack([-50.0 * y[0] + y[1], -y[1]])
+
+    B = 128
+    a0 = np.linspace(1.0, 2.0, B)
+    Y0 = np.stack([a0, a0], axis=1).astype(np.float32)
+
+    def ev(t, y):
+        return y[1] - 0.5        # y1 = a0 e^-t crosses 0.5 downward
+    ev.terminal = True
+    ev.direction = -1.0
+
+    yf, st, ns, nf, t_ev, y_ev, n_ev = solve_fused_esdirk(
+        f, (0.0, 10.0), Y0, method=Kv3I, rtol=1e-5, atol=1e-8,
+        block_members=128, interpret=True, events=ev)
+    assert np.all(np.asarray(st) == 8)
+    t_exact = np.log(a0 / 0.5)
+    assert np.max(np.abs(np.asarray(t_ev)[0] - t_exact)) < 2e-3
+    out = solve_ensemble(f, (0.0, 10.0), jnp.asarray(Y0, jnp.float64),
+                         method=Kv3I, rtol=1e-5, atol=1e-8, events=ev)
+    tx = np.asarray(out.t_events)[:, 0, 0]
+    assert np.nanmax(np.abs(np.asarray(t_ev)[0] - tx)) < 1e-3
+
+
+def test_fused_esdirk_grid_events():
+    """Events on the mid-size implicit grid kernel: terminate when
+    the spatial mean of a reaction-diffusion field reaches 0.9 (a
+    lane-reduced event function)."""
+    from extensisq_tpu.ops import solve_fused_esdirk_grid
+
+    n = 128
+    kern, _ = _rdiff_pair(n)
+    B = 8
+    xg = np.linspace(0, 1, n, endpoint=False)
+    amps = np.linspace(0.3, 0.7, B)
+    Y0 = (0.5 + 0.4 * amps[:, None]
+          * np.sin(2 * np.pi * xg)[None, :]).astype(np.float32)
+
+    def ev(t, y):
+        return jnp.mean(y, axis=-1, keepdims=True) - 0.9
+    ev.terminal = True
+    ev.direction = 1.0
+
+    y, st, ns, nf, t_ev, y_ev, n_ev = solve_fused_esdirk_grid(
+        kern, (0.0, 20.0), Y0, rtol=1e-4, atol=1e-6,
+        block_members=8, interpret=True, events=ev)
+    assert np.all(np.asarray(st) == 8)
+    assert np.asarray(n_ev).sum() == B
+    mean_at_ev = np.asarray(y_ev)[0].mean(axis=-1)
+    assert np.max(np.abs(mean_at_ev - 0.9)) < 2e-3
+    # truncated endpoints sit at the event state
+    assert np.max(np.abs(np.asarray(y).mean(axis=-1) - 0.9)) < 2e-3

@@ -125,6 +125,13 @@ def main():
         rob, (0.0, 1e4), Y, method=Kv3I, block_members=256,
         t_eval=np.logspace(-2, 4, 7).astype(np.float32)), Y3)
 
+    def ev_y2(t, y):
+        return y[1] - 2e-5
+    ev_y2.terminal = True
+    check("fused_esdirk events", lambda Y: solve_fused_esdirk(
+        rob, (0.0, 1e4), Y, method=Kv3I, block_members=256,
+        events=ev_y2), Y3)
+
     # hidden-M DAE (SVD pre-rotation)
     rng = np.random.RandomState(1)
     A = rng.rand(2, 2)
@@ -208,6 +215,14 @@ def main():
               rdiff_g, (0.0, 0.1), Y, block_members=8,
               t_eval=np.linspace(0.0, 0.1, 4).astype(np.float32)),
           YG8)
+
+    def ev_mean(t, y):
+        return jnp.mean(y, axis=-1, keepdims=True) - 0.9
+    ev_mean.terminal = True
+    check("fused_esdirk_grid events",
+          lambda Y: solve_fused_esdirk_grid(
+              rdiff_g, (0.0, 0.1), Y, block_members=8,
+              events=ev_mean), YG8)
 
     if FAILED:
         print("\nFAIL:", ", ".join(FAILED))
