@@ -37,7 +37,8 @@ from jax.experimental.pallas import tpu as pltpu
 from ..steppers.adams import AdamsStepper, _GSTR
 from ..types import IVPParams
 from .fused_erk import (_fblend, _iblend, _sanitize, _df_add, _two_sum,
-                        _hermite_tiles)
+                        _hermite_tiles, _make_ev_spec, _handle_events,
+                        _EVENT)
 from ._adams_common import TileOps, make_coefficients
 
 _RUNNING, _FINISHED, _TOO_SMALL, _OVERFLOW = 0, 1, 2, 3
@@ -78,12 +79,13 @@ class _K(NamedTuple):
     nsteps: Any
     nfailed: Any
     qrows: Any        # tuple (nq) of tuple (n) t_eval snapshot tiles
+    ev: Any           # (gprev, fired, ev_t, ev_rows) event tuples
 
 
 def solve_fused_adams(fun, t_span, y0_batch, rtol=1e-4, atol=1e-6,
                       first_step=None, k_max=12, max_steps=200_000,
                       block_members=1024, interpret=False,
-                      compensated=False, t_eval=None):
+                      compensated=False, t_eval=None, events=None):
     """Integrate an ensemble with SWAG entirely in one TPU kernel.
 
     y0_batch: (B, n) float32, n <= 8.  Returns (y_final (B, n),
@@ -110,6 +112,15 @@ def solve_fused_adams(fun, t_span, y0_batch, rtol=1e-4, atol=1e-6,
     local which the tests pin at tolerance scale).  Appends ``y_eval``
     of shape (len(t_eval), B, n) to the return.  Points at/before t0
     take y0; points a member never reaches take its final state.
+
+    ``events``: callable(s) g(t, y) in the row-stacked convention
+    with the reference's ``terminal`` / ``direction`` attributes;
+    appends (t_events, y_events, n_events) like the other fused
+    kernels (Hermite-bisection roots on the (y, yp) step endpoints,
+    first crossing per member, terminal truncation -> status 8).
+    Crossings inside the final near-end LINEAR-extrapolation interval
+    (below min-step scale) are not detected — use the XLA driver if
+    that matters.
     """
     y0_batch = jnp.asarray(y0_batch, jnp.float32)
     n_total, n = y0_batch.shape
@@ -145,6 +156,9 @@ def solve_fused_adams(fun, t_span, y0_batch, rtol=1e-4, atol=1e-6,
     tq_vals = (None if t_eval is None
                else [float(v) for v in np.asarray(t_eval)])
 
+    ev_spec = _make_ev_spec(events)
+    n_ev = 0 if ev_spec is None else len(ev_spec)
+
     # initial state via the XLA stepper (h_start etc.), then packed
     # into one f32 and one i32 row array
     stepper = AdamsStepper(fun, n, np.float32,
@@ -174,6 +188,16 @@ def solve_fused_adams(fun, t_span, y0_batch, rtol=1e-4, atol=1e-6,
               states0.g, states0.gi]
     # snapshot rows start at y0: covers points at/before t0
     fparts += [y0_batch] * nq
+    if n_ev:
+        with jax.enable_x64(False):
+            y0_rows_host = jnp.asarray(y0_batch, jnp.float32).T
+            t0_host = jnp.full((B,), t0, jnp.float32)
+            for ge, _, _ in ev_spec:
+                g0 = jnp.asarray(ge(t0_host, y0_rows_host),
+                                 jnp.float32).reshape(B, 1)
+                fparts += [g0,
+                           jnp.zeros((B, 1), jnp.float32),  # ev_t
+                           y0_batch]                        # ev_rows
     F0 = jnp.concatenate([p.astype(jnp.float32) for p in fparts],
                          axis=1).T                      # (f_rows, B)
     # int rows: k, kold, kprev, ns, ivc, kgi, iv(km-2), phase1, status,
@@ -186,6 +210,7 @@ def solve_fused_adams(fun, t_span, y0_batch, rtol=1e-4, atol=1e-6,
               states0.nsteps[:, None], states0.nfailed[:, None],
               jnp.ones((B, 1), jnp.int32),       # fresh
               jnp.zeros((B, 1), jnp.int32)]      # ifail
+    iparts += [jnp.zeros((B, 1), jnp.int32)] * n_ev   # fired latches
     I0 = jnp.concatenate([p.astype(jnp.int32) for p in iparts],
                          axis=1).T
     f_rows = F0.shape[0]
@@ -194,8 +219,11 @@ def solve_fused_adams(fun, t_span, y0_batch, rtol=1e-4, atol=1e-6,
     status_row = 6 + n_iv + 1
 
     def kernel(F_ref, I_ref, yout_ref, stat_ref, nstep_ref, nfev_ref,
-               *maybe_yq):
-        yq_ref = maybe_yq[0] if nq else None
+               *rest):
+        rest = list(rest)
+        yq_ref = rest.pop(0) if nq else None
+        if n_ev:
+            tev_ref, yev_ref, fev_ref = rest[:3]
         F_in = F_ref[:].reshape(f_rows, sub, 128)
         I_in = I_ref[:].reshape(i_rows, sub, 128)
         fzero = F_in[0] * 0.0
@@ -225,6 +253,11 @@ def solve_fused_adams(fun, t_span, y0_batch, rtol=1e-4, atol=1e-6,
             gi = frows(fo, km - 1); fo += km - 1
             qrows = [tuple(frows(fo + q * n, n)) for q in range(nq)]
             fo += nq * n
+            ev_gp, ev_tt, ev_rw = [], [], []
+            for _ in range(n_ev):
+                ev_gp.append(F[fo]); fo += 1
+                ev_tt.append(F[fo]); fo += 1
+                ev_rw.append(tuple(frows(fo, n))); fo += n
             io = 6
             iv = [I[io + r] for r in range(n_iv)]; io += n_iv
             return _K(
@@ -239,7 +272,11 @@ def solve_fused_adams(fun, t_span, y0_batch, rtol=1e-4, atol=1e-6,
                 kgi=I[5], phase1=I[io], status=I[io + 1],
                 nfev=I[io + 2], nsteps=I[io + 3], nfailed=I[io + 4],
                 fresh=I[io + 5], ifail=I[io + 6],
-                qrows=tuple(qrows))
+                qrows=tuple(qrows),
+                ev=((tuple(ev_gp),
+                     tuple(I[io + 7 + i] for i in range(n_ev)),
+                     tuple(ev_tt), tuple(ev_rw))
+                    if n_ev else ()))
 
         def pack(st):
             frows_out = [st.t, st.t_lo, st.h, st.hold]
@@ -252,10 +289,16 @@ def solve_fused_adams(fun, t_span, y0_batch, rtol=1e-4, atol=1e-6,
                           + list(st.w) + list(st.g) + list(st.gi))
             for rw in st.qrows:
                 frows_out += list(rw)
+            if n_ev:
+                gp, evf, evt, evr = st.ev
+                for i in range(n_ev):
+                    frows_out += [gp[i], evt[i]] + list(evr[i])
             irows_out = [st.k, st.kold, st.kprev, st.ns, st.ivc,
                          st.kgi] + list(st.iv) \
                 + [st.phase1, st.status, st.nfev, st.nsteps,
                    st.nfailed, st.fresh, st.ifail]
+            if n_ev:
+                irows_out += list(st.ev[1])
             return jnp.stack(frows_out), jnp.stack(irows_out)
 
         tfs = tf + fzero
@@ -561,12 +604,28 @@ def solve_fused_adams(fun, t_span, y0_batch, rtol=1e-4, atol=1e-6,
                         for j in range(n)))
                 qrows_new = tuple(qrows_new)
 
+            # events (y_corr / yp_new are the step's endpoints)
+            ev_new = st.ev
+            trunc = izero != izero
+            te = fzero
+            y_te_rows = None
+            if n_ev:
+                h_safe_e = fb(h_in == 0.0, fzero + 1.0, h_in)
+                ev_new, trunc, te, y_te_rows = _handle_events(
+                    ev_spec, st.ev, ok, dirs, st.t, t_new, h_in,
+                    h_safe_e, list(st.y), list(st.yp),
+                    list(y_corr), list(yp_new), fzero, izero,
+                    jnp.stack)
+                status3 = ib(trunc, izero + _EVENT, status3)
+
             # writeback (flat semantics: failed-attempt restores carry)
             y_out = []
             ylo_out = []
             for j in range(n):
                 val = fb(extrap, y_ext[j],
                          fb(ok, y_corr[j], st.y[j]))
+                if n_ev and y_te_rows is not None:
+                    val = fb(trunc, y_te_rows[j], val)
                 val, _ = _sanitize(val)
                 y_out.append(val)
                 lval = fb(extrap, y_ext_lo[j],
@@ -596,8 +655,9 @@ def solve_fused_adams(fun, t_span, y0_batch, rtol=1e-4, atol=1e-6,
 
             st2 = _K(
                 it=st.it + 1,
-                t=fb(extrap, tfs, fb(ok, t_new, st.t)),
-                t_lo=fb(extrap | (ok & is_last), fzero,
+                t=fb(trunc, te, fb(extrap, tfs,
+                                   fb(ok, t_new, st.t))),
+                t_lo=fb(trunc | extrap | (ok & is_last), fzero,
                         fb(ok, t_lo_new, st.t_lo)),
                 h=h_out,
                 hold=fb(ok, h_in, st.hold),
@@ -630,7 +690,8 @@ def solve_fused_adams(fun, t_span, y0_batch, rtol=1e-4, atol=1e-6,
                 nfev=nfev2,
                 nsteps=st.nsteps + ib(ok_any, izero + 1, izero),
                 nfailed=st.nfailed + ib(failed, izero + 1, izero),
-                qrows=qrows_new)
+                qrows=qrows_new,
+                ev=ev_new)
             F2, I2 = pack(st2)
             return F2, I2, st2.it
 
@@ -650,6 +711,13 @@ def solve_fused_adams(fun, t_span, y0_batch, rtol=1e-4, atol=1e-6,
                 rows = [_fblend(unreached, stf.y[j],
                                 stf.qrows[q][j]) for j in range(n)]
                 yq_ref[q] = jnp.stack(rows).reshape(n, bm).T
+        if n_ev:
+            _, evf, ev_t, ev_rows = stf.ev
+            for i in range(n_ev):
+                tev_ref[i] = ev_t[i].reshape(1, bm)
+                yev_ref[i] = jnp.stack(
+                    list(ev_rows[i])).reshape(n, bm).T
+                fev_ref[i] = evf[i].reshape(1, bm)
 
     out_shapes = [
         jax.ShapeDtypeStruct((B, n), jnp.float32),
@@ -673,6 +741,20 @@ def solve_fused_adams(fun, t_span, y0_batch, rtol=1e-4, atol=1e-6,
         out_specs.append(
             pl.BlockSpec((nq, bm, n), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM))
+    if n_ev:
+        out_shapes += [
+            jax.ShapeDtypeStruct((n_ev, 1, B), jnp.float32),
+            jax.ShapeDtypeStruct((n_ev, B, n), jnp.float32),
+            jax.ShapeDtypeStruct((n_ev, 1, B), jnp.int32),
+        ]
+        out_specs += [
+            pl.BlockSpec((n_ev, 1, bm), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_ev, bm, n), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_ev, 1, bm), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+        ]
     with jax.enable_x64(False):
         outs = pl.pallas_call(
             kernel,
@@ -692,6 +774,16 @@ def solve_fused_adams(fun, t_span, y0_batch, rtol=1e-4, atol=1e-6,
     y_out = y_out[:n_total]
     ret = (y_out, status[0, :n_total], nsteps[0, :n_total],
            nfev[0, :n_total])
+    k = 4
     if nq:
-        ret = ret + (outs[4][:, :n_total],)
+        ret = ret + (outs[k][:, :n_total],)
+        k += 1
+    if n_ev:
+        tev, yev, fev = outs[k], outs[k + 1], outs[k + 2]
+        fired = fev[:, 0, :n_total]
+        nanv = jnp.float32(np.nan)
+        t_events = jnp.where(fired != 0, tev[:, 0, :n_total], nanv)
+        y_events = jnp.where((fired != 0)[:, :, None],
+                             yev[:, :n_total], nanv)
+        ret = ret + (t_events, y_events, fired)
     return ret

@@ -39,7 +39,8 @@ from jax.experimental.pallas import tpu as pltpu
 from ..steppers.adams import AdamsStepper, _GSTR
 from ..types import IVPParams
 from ._adams_common import TileOps, make_coefficients
-from .fused_erk import _sanitize, _df_add, _hermite_tiles
+from .fused_erk import (_sanitize, _df_add, _hermite_tiles,
+                        _make_ev_spec, _handle_events, _EVENT)
 
 _RUNNING, _FINISHED, _TOO_SMALL, _OVERFLOW = 0, 1, 2, 3
 
@@ -78,12 +79,13 @@ class _G(NamedTuple):
     nsteps: Any
     nfailed: Any
     qrows: Any        # tuple (nq) of (bm, n) t_eval snapshots
+    ev: Any           # (gprev, fired, ev_t, ev_rows) event tuples
 
 
 def solve_fused_adams_grid(fun, t_span, y0_batch, rtol=1e-4, atol=1e-6,
                            first_step=None, k_max=12,
                            max_steps=200_000, block_members=32,
-                           interpret=False, t_eval=None):
+                           interpret=False, t_eval=None, events=None):
     """Integrate a mid-size-system ensemble with SWAG in one kernel.
 
     y0_batch: (B, n) float32 with n a MULTIPLE OF 128 (the state
@@ -94,7 +96,10 @@ def solve_fused_adams_grid(fun, t_span, y0_batch, rtol=1e-4, atol=1e-6,
     nsteps (B,), nfev (B,)); with ``t_eval`` (increasing snapshot
     times) appends y_eval (len(t_eval), B, n), rows cubic-Hermite
     interpolated from inside the kernel as each member crosses each
-    point (common.py:766-790 evaluation form).
+    point (common.py:766-790 evaluation form).  ``events``:
+    callable(s) g(t, y) -> (bm, 1) member column with the reference's
+    ``terminal`` / ``direction`` attributes; appends (t_events,
+    y_events, n_events) like the other fused kernels.
     """
     y0_batch = jnp.asarray(y0_batch, jnp.float32)
     n_total, n = y0_batch.shape
@@ -126,6 +131,9 @@ def solve_fused_adams_grid(fun, t_span, y0_batch, rtol=1e-4, atol=1e-6,
     tq_vals = (None if t_eval is None
                else [float(v) for v in np.asarray(t_eval)])
 
+    ev_spec = _make_ev_spec(events)
+    n_ev = 0 if ev_spec is None else len(ev_spec)
+
     # initial state via the XLA stepper (h_start etc.); its RHS takes
     # (n,) vectors — adapt the (bm, n) kernel convention
     def fun_vec(t, y):
@@ -144,12 +152,13 @@ def solve_fused_adams_grid(fun, t_span, y0_batch, rtol=1e-4, atol=1e-6,
             lambda y: stepper.init(t0, y, params,
                                    first_step=first_step))(y0_batch)
 
-    # state-sized input: [y, yp, wt, phi(km+2), qrows(nq)] on lanes
+    # state-sized input: [y, yp, wt, phi(km+2), qrows(nq),
+    # ev_rows(n_ev)] on lanes
     sparts = [states0.y, states0.yp, states0.wt,
-              states0.phi.reshape(B, -1)] + [y0_batch] * nq
+              states0.phi.reshape(B, -1)] + [y0_batch] * (nq + n_ev)
     FS0 = jnp.concatenate([p.astype(jnp.float32) for p in sparts],
                           axis=1)
-    n_sslot = 3 + (km + 2) + nq
+    n_sslot = 3 + (km + 2) + nq + n_ev
     # per-member scalars: [t, t_lo, h, hold, psi(km), alpha(km),
     # beta(km), sig(km+1), v(km), w(km), g(km+1), gi(km-1)]
     cparts = [states0.t[:, None],
@@ -157,6 +166,13 @@ def solve_fused_adams_grid(fun, t_span, y0_batch, rtol=1e-4, atol=1e-6,
               states0.h[:, None], states0.hold[:, None],
               states0.psi, states0.alpha, states0.beta, states0.sig,
               states0.v, states0.w, states0.g, states0.gi]
+    if n_ev:
+        with jax.enable_x64(False):
+            t0_col = jnp.full((B, 1), t0, jnp.float32)
+            for ge, _, _ in ev_spec:
+                g0 = jnp.asarray(ge(t0_col, y0_batch),
+                                 jnp.float32).reshape(B, 1)
+                cparts += [g0, jnp.zeros((B, 1), jnp.float32)]
     FC0 = jnp.concatenate([p.astype(jnp.float32) for p in cparts],
                           axis=1)
     iparts = [states0.k[:, None], states0.kold[:, None],
@@ -165,14 +181,18 @@ def solve_fused_adams_grid(fun, t_span, y0_batch, rtol=1e-4, atol=1e-6,
               states0.phase1[:, None].astype(jnp.int32),
               states0.status[:, None], states0.nfev[:, None],
               states0.nsteps[:, None], states0.nfailed[:, None]]
+    iparts += [jnp.zeros((B, 1), jnp.int32)] * n_ev    # fired latches
     IC0 = jnp.concatenate([p.astype(jnp.int32) for p in iparts],
                           axis=1)
     n_fc = FC0.shape[1]
     n_ic = IC0.shape[1]
 
     def kernel(fs_ref, fc_ref, ic_ref, yout_ref, stat_ref, nstep_ref,
-               nfev_ref, *maybe_yq):
-        yq_ref = maybe_yq[0] if nq else None
+               nfev_ref, *rest):
+        rest = list(rest)
+        yq_ref = rest.pop(0) if nq else None
+        if n_ev:
+            tev_ref, yev_ref, fev_ref = rest[:3]
         FS = fs_ref[:]
         FC = fc_ref[:]
         IC = ic_ref[:]
@@ -220,6 +240,10 @@ def solve_fused_adams_grid(fun, t_span, y0_batch, rtol=1e-4, atol=1e-6,
             w = fcols(co, km); co += km
             g = fcols(co, km + 1); co += km + 1
             gi = fcols(co, km - 1); co += km - 1
+            ev_gp, ev_tt = [], []
+            for _ in range(n_ev):
+                ev_gp.append(FA[co]); co += 1
+                ev_tt.append(FA[co]); co += 1
             io = 6 + n_iv
             return _G(
                 it=it,
@@ -235,21 +259,34 @@ def solve_fused_adams_grid(fun, t_span, y0_batch, rtol=1e-4, atol=1e-6,
                 phase1=IA[io], status=IA[io + 1], nfev=IA[io + 2],
                 nsteps=IA[io + 3], nfailed=IA[io + 4],
                 fresh=IA[io + 5], ifail=IA[io + 6],
-                qrows=tuple(SA[3 + km + 2 + q] for q in range(nq)))
+                qrows=tuple(SA[3 + km + 2 + q] for q in range(nq)),
+                ev=((tuple(ev_gp),
+                     tuple(IA[io + 7 + i] for i in range(n_ev)),
+                     tuple(ev_tt),
+                     tuple((SA[3 + km + 2 + nq + i],)
+                           for i in range(n_ev)))
+                    if n_ev else ()))
 
         def pack(st):
+            ev_srows, ev_frows, ev_irows = [], [], []
+            if n_ev:
+                gp, evf, evt, evr = st.ev
+                for i in range(n_ev):
+                    ev_srows.append(evr[i][0])
+                    ev_frows += [gp[i], evt[i]]
+                ev_irows = list(evf)
             SA = jnp.stack([st.y, st.yp, st.wt] + list(st.phi)
-                           + list(st.qrows))
+                           + list(st.qrows) + ev_srows)
             FA = jnp.stack([st.t, st.t_lo, st.h, st.hold]
                            + list(st.psi) + list(st.alpha)
                            + list(st.beta) + list(st.sig)
                            + list(st.v) + list(st.w) + list(st.g)
-                           + list(st.gi))
+                           + list(st.gi) + ev_frows)
             IA = jnp.stack([st.k, st.kold, st.kprev, st.ns, st.ivc,
                             st.kgi] + list(st.iv)
                            + [st.phase1, st.status, st.nfev,
                               st.nsteps, st.nfailed, st.fresh,
-                              st.ifail])
+                              st.ifail] + ev_irows)
             return SA, FA, IA
 
         i_status = 6 + n_iv + 1
@@ -273,7 +310,15 @@ def solve_fused_adams_grid(fun, t_span, y0_batch, rtol=1e-4, atol=1e-6,
             nfev=ic_col(6 + n_iv + 2), nsteps=ic_col(6 + n_iv + 3),
             nfailed=ic_col(6 + n_iv + 4),
             fresh=izero + 1, ifail=izero,
-            qrows=tuple(fs_slot(3 + km + 2 + q) for q in range(nq)))
+            qrows=tuple(fs_slot(3 + km + 2 + q) for q in range(nq)),
+            ev=((tuple(fc_col(n_fc - 2 * n_ev + 2 * i)
+                       for i in range(n_ev)),
+                 tuple(izero for _ in range(n_ev)),
+                 tuple(fc_col(n_fc - 2 * n_ev + 2 * i + 1)
+                       for i in range(n_ev)),
+                 tuple((fs_slot(3 + km + 2 + nq + i),)
+                       for i in range(n_ev)))
+                if n_ev else ()))
 
         tfs = tf + szero
         dirs = direction
@@ -479,8 +524,24 @@ def solve_fused_adams_grid(fun, t_span, y0_batch, rtol=1e-4, atol=1e-6,
                            fb(cross_e, ext, st.qrows[q])))
                 qrows_new = tuple(qrows_new)
 
+            # events (y_corr / yp_new are the step's endpoints)
+            ev_new = st.ev
+            trunc = izero != izero
+            te = szero
+            y_te_rows = None
+            if n_ev:
+                ev_new, trunc, te, y_te_rows = _handle_events(
+                    ev_spec, st.ev, ok, dirs, st.t, t_new, h_in,
+                    h_safe if nq else fb(h_in == 0.0, szero + 1.0,
+                                         h_in),
+                    [st.y], [st.yp], [y_corr], [yp_new],
+                    szero, izero, lambda rows: rows[0])
+                status3 = ib(trunc, izero + _EVENT, status3)
+
             # writeback (flat semantics: failed-attempt restores carry)
             y_out = fb(extrap, y_ext, fb(ok, y_corr, st.y))
+            if n_ev and y_te_rows is not None:
+                y_out = fb(trunc, y_te_rows[0], y_out)
             y_out, _ = _sanitize(y_out)
             yp_out = fb(ok, yp_new, st.yp)
             yp_out, _ = _sanitize(yp_out)
@@ -502,8 +563,9 @@ def solve_fused_adams_grid(fun, t_span, y0_batch, rtol=1e-4, atol=1e-6,
 
             st2 = _G(
                 it=st.it + 1,
-                t=fb(extrap, tfs, fb(ok, t_new, st.t)),
-                t_lo=fb(extrap | (ok & is_last), szero,
+                t=fb(trunc, te, fb(extrap, tfs,
+                                   fb(ok, t_new, st.t))),
+                t_lo=fb(trunc | extrap | (ok & is_last), szero,
                         fb(ok, t_lo_new, st.t_lo)),
                 h=h_out,
                 hold=fb(ok, h_in, st.hold),
@@ -535,7 +597,8 @@ def solve_fused_adams_grid(fun, t_span, y0_batch, rtol=1e-4, atol=1e-6,
                 nfev=nfev2,
                 nsteps=st.nsteps + ib(ok_any, izero + 1, izero),
                 nfailed=st.nfailed + ib(failed, izero + 1, izero),
-                qrows=qrows_new)
+                qrows=qrows_new,
+                ev=ev_new)
             SA2, FA2, IA2 = pack(st2)
             return SA2, FA2, IA2, st2.it
 
@@ -554,6 +617,12 @@ def solve_fused_adams_grid(fun, t_span, y0_batch, rtol=1e-4, atol=1e-6,
             for q in range(nq):
                 unreached = dirs * tq_vals[q] > dirs * stf.t
                 yq_ref[q] = O.fb(unreached, stf.y, stf.qrows[q])
+        if n_ev:
+            _, evf, ev_t, ev_rows = stf.ev
+            for i in range(n_ev):
+                tev_ref[i] = ev_t[i]
+                yev_ref[i] = ev_rows[i][0]
+                fev_ref[i] = evf[i]
 
     out_shapes = [
         jax.ShapeDtypeStruct((B, n), jnp.float32),
@@ -577,6 +646,20 @@ def solve_fused_adams_grid(fun, t_span, y0_batch, rtol=1e-4, atol=1e-6,
         out_specs.append(
             pl.BlockSpec((nq, bm, n), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM))
+    if n_ev:
+        out_shapes += [
+            jax.ShapeDtypeStruct((n_ev, B, 1), jnp.float32),
+            jax.ShapeDtypeStruct((n_ev, B, n), jnp.float32),
+            jax.ShapeDtypeStruct((n_ev, B, 1), jnp.int32),
+        ]
+        out_specs += [
+            pl.BlockSpec((n_ev, bm, 1), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_ev, bm, n), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_ev, bm, 1), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+        ]
     with jax.enable_x64(False):
         outs = pl.pallas_call(
             kernel,
@@ -597,6 +680,16 @@ def solve_fused_adams_grid(fun, t_span, y0_batch, rtol=1e-4, atol=1e-6,
 
     ret = (y_out[:n_total], status[:n_total, 0],
            nsteps[:n_total, 0], nfev[:n_total, 0])
+    k = 4
     if nq:
-        ret = ret + (outs[4][:, :n_total],)
+        ret = ret + (outs[k][:, :n_total],)
+        k += 1
+    if n_ev:
+        tev, yev, fev = outs[k], outs[k + 1], outs[k + 2]
+        fired = fev[:, :n_total, 0]
+        nanv = jnp.float32(np.nan)
+        t_events = jnp.where(fired != 0, tev[:, :n_total, 0], nanv)
+        y_events = jnp.where((fired != 0)[:, :, None],
+                             yev[:, :n_total], nanv)
+        ret = ret + (t_events, y_events, fired)
     return ret

@@ -1208,3 +1208,74 @@ def test_fused_esdirk_grid_events():
     assert np.max(np.abs(mean_at_ev - 0.9)) < 2e-3
     # truncated endpoints sit at the event state
     assert np.max(np.abs(np.asarray(y).mean(axis=-1) - 0.9)) < 2e-3
+
+
+def test_fused_adams_events():
+    """Events on the fused multistep path (hand-tiled SWAG kernel):
+    recording + terminal crossings on a damped-oscillator ensemble
+    match the device driver's event handler."""
+    from extensisq_tpu.ops import solve_fused_adams
+    from extensisq_tpu import SWAG
+
+    def f(t, y):
+        return jnp.stack([y[1], -y[0] - 0.05 * y[1]])
+
+    B = 128
+    amps = np.linspace(1.2, 2.0, B)
+    Y0 = np.stack([amps, np.zeros(B)], axis=1).astype(np.float32)
+
+    def ev_x(t, y):
+        return y[0]
+    ev_x.direction = -1.0
+
+    def ev_term(t, y):
+        return y[1] + 0.9
+    ev_term.terminal = True
+    ev_term.direction = 1.0
+
+    yf, st, ns, nf, t_ev, y_ev, n_ev = solve_fused_adams(
+        f, (0.0, 20.0), Y0, rtol=1e-6, atol=1e-9, k_max=8,
+        block_members=128, interpret=True, events=[ev_x, ev_term])
+    assert np.all(np.asarray(st) == 8)
+    assert np.asarray(n_ev).sum() == 2 * B
+    out = solve_ensemble(f, (0.0, 20.0), jnp.asarray(Y0, jnp.float64),
+                         method=SWAG, rtol=1e-6, atol=1e-9,
+                         events=[ev_x, ev_term])
+    tx = np.asarray(out.t_events)
+    assert np.nanmax(np.abs(np.asarray(t_ev)[0] - tx[:, 0, 0])) < 1e-3
+    assert np.nanmax(np.abs(np.asarray(t_ev)[1] - tx[:, 1, 0])) < 1e-3
+    assert np.max(np.abs(np.asarray(yf) - np.asarray(out.y))) < 2e-3
+
+
+def test_fused_adams_grid_events():
+    """Events on the mid-size multistep grid kernel: a heat-decay
+    ensemble terminates when the tracked lane drops through 0.5,
+    matching the analytic e^{-4 pi^2 D t} crossing."""
+    from extensisq_tpu.ops import solve_fused_adams_grid
+
+    n = 128
+    D, dx = 0.01, 1.0 / n
+
+    def kern(t, y):
+        return D * (jnp.roll(y, 1, -1) + jnp.roll(y, -1, -1)
+                    - 2.0 * y) / dx ** 2
+
+    B = 8
+    xg = np.linspace(0, 1, n, endpoint=False)
+    amps = np.linspace(0.8, 1.2, B)
+    Y0 = (amps[:, None]
+          * np.sin(2 * np.pi * xg)[None, :]).astype(np.float32)
+
+    def ev(t, y):
+        return y[:, 32:33] - 0.5
+    ev.terminal = True
+    ev.direction = -1.0
+
+    y, st, ns, nf, t_ev, y_ev, n_ev = solve_fused_adams_grid(
+        kern, (0.0, 3.0), Y0, rtol=1e-5, atol=1e-7, k_max=6,
+        block_members=8, interpret=True, events=ev)
+    assert np.all(np.asarray(st) == 8)
+    lam = 4 * np.pi ** 2 * D
+    t_exact = np.log(amps * np.sin(2 * np.pi * xg[32]) / 0.5) / lam
+    assert np.max(np.abs(np.asarray(t_ev)[0] - t_exact)) < 5e-3
+    assert np.max(np.abs(np.asarray(y_ev)[0][:, 32] - 0.5)) < 1e-3

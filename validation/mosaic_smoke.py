@@ -161,6 +161,8 @@ def main():
         rtol=1e-6, atol=1e-9), Y2)
     check("fused_adams t_eval", lambda Y: solve_fused_adams(
         vdp, (0.0, 2.0), Y, block_members=256, t_eval=tq), Y2)
+    check("fused_adams events", lambda Y: solve_fused_adams(
+        vdp, (0.0, 2.0), Y, block_members=256, events=ev_row), Y2)
 
     # mid-size layout: states on lanes, members on sublanes
     ngr = 128
@@ -178,6 +180,14 @@ def main():
     check("fused_adams_grid t_eval", lambda Y: solve_fused_adams_grid(
         heat_g, (0.0, 0.2), Y, k_max=6, block_members=32,
         t_eval=np.linspace(0.0, 0.2, 4).astype(np.float32)), YG)
+
+    def ev_lane32(t, y):
+        return y[:, 32:33] - 0.5
+    ev_lane32.terminal = True
+    check("fused_adams_grid events",
+          lambda Y: solve_fused_adams_grid(
+              heat_g, (0.0, 0.2), Y, k_max=6, block_members=32,
+              events=ev_lane32), YG)
 
     def fisher_g(t, y):
         return (-1.0 * (y - jnp.roll(y, 1, -1)) * ngr
