@@ -350,6 +350,13 @@ def solve_fused_esdirk(fun, t_span, y0_batch, method=None, M=None,
             yp = yp0_ref[:].T.reshape(n, sub, 128)
         else:
             yp = fun(t, y)
+            if m_diag is not None and rot is None:
+                # initial derivative solves M yp0 = f0 (the stepper's
+                # init, steppers/esdirk.py; zeros in M require an
+                # explicit yp0 and never reach here).  The rotated
+                # path is already unit-mass.
+                yp = jnp.stack([yp[i] * (1.0 / float(m_diag[i]))
+                                for i in range(n)])
 
         class S(NamedTuple):
             it: Any

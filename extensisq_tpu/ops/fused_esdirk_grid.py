@@ -249,10 +249,6 @@ def solve_fused_esdirk_grid(fun, t_span, y0_batch, method=None, M=None,
         atol_r = sc_ref[3] + fzero
         dir_r = sc_ref[4] + fzero
         h_abs0 = sc_ref[5] + fzero
-        if have_yp0:
-            yp = yp0_ref[:]
-        else:
-            yp = fun(t, y)
         if have_m:
             m_lane = m_ref[:]                           # (1, n)
             alg_lane = ((m_lane == 0.0).astype(jnp.float32)
@@ -260,6 +256,14 @@ def solve_fused_esdirk_grid(fun, t_span, y0_batch, method=None, M=None,
         else:
             m_lane = None
             alg_lane = None
+        if have_yp0:
+            yp = yp0_ref[:]
+        else:
+            yp = fun(t, y)
+            if have_m:
+                # initial derivative solves M yp0 = f0 (zeros in M
+                # require an explicit yp0 and never reach here)
+                yp = yp / m_lane
 
         # lane residue one-hots for the mod-4 striped Jacobian seeds
         lane = jax.lax.broadcasted_iota(jnp.int32, (bm, n), 1)

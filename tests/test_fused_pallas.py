@@ -1279,3 +1279,37 @@ def test_fused_adams_grid_events():
     t_exact = np.log(amps * np.sin(2 * np.pi * xg[32]) / 0.5) / lam
     assert np.max(np.abs(np.asarray(t_ev)[0] - t_exact)) < 5e-3
     assert np.max(np.abs(np.asarray(y_ev)[0][:, 32] - 0.5)) < 1e-3
+
+
+def test_fused_esdirk_nonunit_diagonal_mass():
+    """Non-unit diagonal mass matrices without an explicit yp0: the
+    initial derivative must solve M yp0 = f0 (steppers/esdirk.py
+    init), not equal f0 — regression for a review finding where the
+    wrong K0 degraded the first error estimate (18 vs 13 steps and a
+    1.8e-5 endpoint at rtol 1e-5 on M = 2I)."""
+    from extensisq_tpu.ops import (solve_fused_esdirk,
+                                   solve_fused_esdirk_grid)
+
+    def f2(t, y):
+        return jnp.stack([-y[0], -y[1]])
+
+    B = 128
+    Y0 = (np.ones((B, 2))
+          * np.linspace(0.5, 1.5, B)[:, None]).astype(np.float32)
+    M = np.array([2.0, 3.0])
+    y, st, ns, nf = solve_fused_esdirk(
+        f2, (0.0, 1.0), Y0, M=M, rtol=1e-5, atol=1e-7,
+        block_members=128, interpret=True)
+    exact = Y0 * np.exp(-1.0 / M[None, :])
+    assert np.all(np.asarray(st) == 1)
+    assert np.max(np.abs(np.asarray(y) - exact)) < 1e-5
+
+    n = 128
+    Y0g = (np.ones((8, n))
+           * np.linspace(0.5, 1.5, 8)[:, None]).astype(np.float32)
+    yg, stg, nsg, nfg = solve_fused_esdirk_grid(
+        lambda t, y: -y, (0.0, 1.0), Y0g, M=2.0 * np.ones(n),
+        rtol=1e-5, atol=1e-7, block_members=8, interpret=True)
+    assert np.all(np.asarray(stg) == 1)
+    assert np.max(np.abs(np.asarray(yg)
+                         - Y0g * np.exp(-0.5))) < 3e-6
