@@ -1313,3 +1313,30 @@ def test_fused_esdirk_nonunit_diagonal_mass():
     assert np.all(np.asarray(stg) == 1)
     assert np.max(np.abs(np.asarray(yg)
                          - Y0g * np.exp(-0.5))) < 3e-6
+
+
+def test_fused_erk_events_backward():
+    """Backward-time integration with events: direction semantics are
+    relative to integration direction (a crossing is detected between
+    step endpoints regardless of sign of h); terminal truncation
+    lands at the analytic root."""
+    from extensisq_tpu.ops import solve_fused_erk
+    from extensisq_tpu import BS5
+
+    def f(t, y):
+        return jnp.stack([y[0]])     # y = y0 e^t; backward decays
+
+    B = 128
+    Y0 = np.linspace(2.0, 4.0, B)[:, None].astype(np.float32)
+
+    def ev(t, y):
+        return y[0] - 1.0            # crosses 1 at t = -log(y0)
+    ev.terminal = True
+
+    yf, st, ns, nf, t_ev, y_ev, n_ev = solve_fused_erk(
+        f, (0.0, -5.0), Y0, method=BS5, rtol=1e-6, atol=1e-9,
+        block_members=128, interpret=True, events=ev)
+    assert np.all(np.asarray(st) == 8)
+    t_exact = -np.log(Y0[:, 0].astype(np.float64))
+    assert np.max(np.abs(np.asarray(t_ev)[0] - t_exact)) < 1e-4
+    assert np.max(np.abs(np.asarray(yf)[:, 0] - 1.0)) < 1e-4
