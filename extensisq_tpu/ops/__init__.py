@@ -24,10 +24,14 @@ remain the conformance solvers).
   1-D MoL, nearest-neighbour chains, n a power-of-two multiple of
   128): tridiagonal Newton matrices from 4-color in-kernel JVPs,
   solved by parallel cyclic reduction on the lane axis
+* :func:`solve_fused_rkn_grid` — mid-size SECOND-ORDER systems
+  (oscillator lattices, discretized wave equations): the partitioned
+  Nystrom loop in the same states-on-lanes layout
 """
 from .fused_erk import solve_fused_erk
 from .fused_erk_grid import solve_fused_erk_grid
 from .fused_rkn import solve_fused_rkn
+from .fused_rkn_grid import solve_fused_rkn_grid
 from .fused_rkc import (solve_fused_rkc,
                         solve_fused_rkc_ensemble)
 from .fused_esdirk import solve_fused_esdirk
@@ -36,7 +40,8 @@ from .fused_adams import solve_fused_adams
 from .fused_adams_grid import solve_fused_adams_grid
 
 __all__ = ["solve_fused_erk", "solve_fused_erk_grid",
-           "solve_fused_rkn", "solve_fused_rkc",
+           "solve_fused_rkn", "solve_fused_rkn_grid",
+           "solve_fused_rkc",
            "solve_fused_rkc_ensemble", "solve_fused_esdirk",
            "solve_fused_esdirk_grid", "solve_fused_adams",
            "solve_fused_adams_grid"]

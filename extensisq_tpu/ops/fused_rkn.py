@@ -27,6 +27,263 @@ from .fused_erk import (_RUNNING, _FINISHED, _TOO_SMALL, _OVERFLOW,
                         _two_sum, _comp_wsum, _df_add, _hermite_tiles)
 
 
+class _RS(NamedTuple):
+    """Layout-generic while-loop carry for the fused RKN loop."""
+    it: Any
+    tf: Any
+    direction: Any
+    rtol: Any
+    atol: Any
+    t: Any
+    t_lo: Any
+    u: Any
+    u_lo: Any
+    v: Any
+    v_lo: Any
+    f: Any
+    h_abs: Any
+    status: Any
+    std_sc: Any
+    err_old: Any
+    h_prev: Any
+    max_fac: Any
+    fresh: Any
+    rejected: Any
+    min_step: Any
+    nstep: Any
+    nfev: Any
+    qrows: Any  # (nq) of (u, v) snapshot pairs
+
+
+def _run_rkn_loop(acc, consts, cc, compensated, max_steps, nq, tq_vals,
+                  fzero, izero, mnorm, cat,
+                  t, tf_r, dir_r, rtol_r, atol_r, h_abs0, u, v, f):
+    """The whole adaptive RKN integration loop, LAYOUT-GENERIC.
+
+    Shared by the two fused-RKN member layouts (the fused-ERK split,
+    see fused_erk._run_erk_loop):
+
+    * ``solve_fused_rkn`` — members on the 128-lane axis, state rows
+      unrolled: u, v (m, sub, 128), per-member scalars (sub, 128);
+    * ``solve_fused_rkn_grid`` — state on the lane axis, members on
+      sublanes: u, v (bm, n), per-member scalars (bm, 1).
+
+    ``mnorm`` reduces the state axis to a member-scalar tile and
+    ``cat`` concatenates the u/v partitions along the state axis for
+    the combined error norm.  ``consts`` is the static tableau tuple
+    (A, Ap, B_w, Bp, C, E, Ep, s, fsal, h_min_a, tiny_err).
+    Returns the final ``_RS`` carry.
+    """
+    A, Ap, B_w, Bp, C, E, Ep, s, fsal, h_min_a, tiny_err = consts
+
+    def _wsum(rows, w):
+        acc_ = None
+        for wi, r in zip(w, rows):
+            if wi == 0.0:
+                continue
+            term = wi * r
+            acc_ = term if acc_ is None else acc_ + term
+        return jnp.zeros_like(rows[0]) if acc_ is None else acc_
+
+    def _dot(rows, w):
+        if compensated:
+            hi, lo = _comp_wsum(rows, w)
+            return hi, lo
+        return _wsum(rows, w), None
+
+
+    def cond(st):
+        return jnp.max(_iblend(st.status == _RUNNING,
+                               izero + 1, izero)) > 0
+
+    def body(st):
+        tf = st.tf
+        direction = st.direction
+        rtol = st.rtol
+        atol = st.atol
+        running = st.status == _RUNNING
+        fresh_b = st.fresh != 0
+        rejected_b = st.rejected != 0
+        std_b = st.std_sc != 0
+
+        ms = jnp.maximum(h_min_a * (jnp.abs(st.t) + st.h_abs),
+                         tiny_err)
+        h_pre = jnp.maximum(st.h_abs, ms)
+        d = jnp.abs(tf - st.t)
+        split = (d < 2.0 * h_pre) & (d > h_pre)
+        h_f = _fblend(split, jnp.maximum(0.5 * d, ms),
+                      _fblend(d <= h_pre, d, h_pre))
+        h_abs = _fblend(fresh_b, h_f, st.h_abs)
+        min_step = _fblend(fresh_b, ms, st.min_step)
+        std_b = std_b | (fresh_b & split)
+
+        too_small = h_abs < min_step
+        h = h_abs * direction
+        hh = h * h
+
+        # stages: K rows are accelerations (common.py:1281-1287)
+        rows = [st.f]
+        for i in range(1, s):
+            du = hh * _wsum(rows, A[i, :i]) + (C[i] * h) * st.v
+            dv = h * _wsum(rows, Ap[i, :i])
+            if compensated:
+                du = du + st.u_lo
+                dv = dv + st.v_lo
+            rows.append(acc(st.t + C[i] * h, st.u + du, st.v + dv))
+
+        bs, bc = _dot(rows, B_w)
+        ps, pc = _dot(rows, Bp)
+        if compensated:
+            u_hi, u_l1 = _df_add(st.u, st.u_lo, h * st.v)
+            u_hi, u_l2 = _two_sum(u_hi, u_l1 + hh * bs)
+            u_new, u_lo_new = _two_sum(u_hi, u_l2 + hh * bc)
+            v_hi, v_l1 = _df_add(st.v, st.v_lo, h * ps)
+            v_new, v_lo_new = _two_sum(v_hi, v_l1 + h * pc)
+        else:
+            u_new = st.u + h * st.v + hh * bs
+            v_new = st.v + h * ps
+            u_lo_new = st.u_lo
+            v_lo_new = st.v_lo
+        if fsal:
+            rows.append(acc(st.t + h, u_new, v_new))
+        mm = s + (1 if fsal else 0)
+        es, ec = _dot(rows[:mm], E[:mm])
+        eps_, epc = _dot(rows[:mm], Ep[:mm])
+        if compensated:
+            err_u = hh * (es + ec)
+            err_v = h * (eps_ + epc)
+        else:
+            err_u = hh * es
+            err_v = h * eps_
+        err = cat(err_u, err_v)
+        scale = atol + rtol * jnp.maximum(
+            jnp.abs(cat(st.u, st.v)),
+            jnp.abs(cat(u_new, v_new)))
+        err_norm = mnorm(err / scale)
+        err_norm, bad_e = _sanitize(err_norm)
+        err_norm = err_norm + bad_e.astype(jnp.float32) * 10.0
+
+        accepted = (err_norm < 1.0) & ~too_small & running
+
+        err_c = jnp.maximum(err_norm, 1e-30)
+        f_std = cc.safety * err_c ** cc.error_exponent
+        hr = h / _fblend(st.h_prev == 0.0, h, st.h_prev)
+        f_2nd = jnp.clip(
+            cc.safety_sc * err_c ** cc.minbeta1
+            * jnp.maximum(st.err_old, 1e-30) ** cc.minbeta2
+            * hr ** cc.minalpha, cc.min_factor, st.max_fac)
+        is_tiny = err_norm < tiny_err
+        fac_acc = _fblend(is_tiny, st.max_fac,
+                          _fblend(std_b, f_std, f_2nd))
+        fac_acc = _fblend(rejected_b, jnp.minimum(1.0, fac_acc),
+                          fac_acc)
+        std_after = _iblend(is_tiny, izero + 1,
+                            _iblend(std_b, izero, st.std_sc))
+        max_fac_new = _fblend(fac_acc < 4.0, fzero + 4.0,
+                              st.max_fac)
+        fac_rej = jnp.maximum(
+            cc.min_factor, cc.safety * err_c ** cc.error_exponent)
+        h_abs_next = h_abs * _fblend(accepted, fac_acc, fac_rej)
+        h_abs_next, _ = _sanitize(h_abs_next)
+
+        status = _iblend(running & too_small, izero + _TOO_SMALL,
+                         _iblend(running & bad_e,
+                                 izero + _OVERFLOW, st.status))
+
+        is_last = accepted & (h_abs >= d)
+        if compensated:
+            t_adv, t_lo_adv = _df_add(st.t, st.t_lo, h)
+            t_new = _fblend(is_last, tf, t_adv)
+            t_lo_new = _fblend(is_last, fzero, t_lo_adv)
+        else:
+            t_new = _fblend(is_last, tf, st.t + h)
+            t_lo_new = st.t_lo
+        status = _iblend((status == _RUNNING) & is_last,
+                         izero + _FINISHED, status)
+
+        if fsal:
+            f_new = rows[s]
+        else:
+            f_new = acc(t_new, u_new, v_new)
+        u_new, _ = _sanitize(u_new)
+        v_new, _ = _sanitize(v_new)
+        f_new, _ = _sanitize(f_new)
+
+        upd = accepted
+        dfev = _iblend(running, izero + (s if fsal else s - 1),
+                       izero)
+        if not fsal:
+            dfev = dfev + _iblend(upd, izero + 1, izero)
+        hit_cap = (st.it + 1 >= max_steps) & (status == _RUNNING)
+        status = _iblend(hit_cap, izero + _OVERFLOW, status)
+
+        # t_eval snapshots: partitioned cubic Hermite — u rows
+        # with derivative v, v rows with the carried acceleration
+        # (common.py:766-790 evaluation form)
+        qrows_new = st.qrows
+        if nq:
+            h_safe = _fblend(h == 0.0, fzero + 1.0, h)
+            qrows_new = []
+            for q in range(nq):
+                tqc = tq_vals[q]
+                crossed = (upd
+                           & (direction * (tqc - st.t) > 0.0)
+                           & (direction * tqc
+                              <= direction * t_new))
+                theta = (tqc - st.t) / h_safe
+                qu = _hermite_tiles(theta, h, [st.u], [st.v],
+                                    [u_new], [v_new])[0]
+                qv = _hermite_tiles(theta, h, [st.v], [st.f],
+                                    [v_new], [f_new])[0]
+                crm = jnp.broadcast_to(crossed, st.u.shape)
+                qrows_new.append(
+                    (_fblend(crm, qu, st.qrows[q][0]),
+                     _fblend(crm, qv, st.qrows[q][1])))
+            qrows_new = tuple(qrows_new)
+
+        updm = jnp.broadcast_to(upd, st.u.shape)
+        return _RS(
+            it=st.it + 1,
+            tf=st.tf, direction=st.direction,
+            rtol=st.rtol, atol=st.atol,
+            t=_fblend(upd, t_new, st.t),
+            t_lo=_fblend(upd, t_lo_new, st.t_lo),
+            u=_fblend(updm, u_new, st.u),
+            u_lo=_fblend(updm, u_lo_new, st.u_lo),
+            v=_fblend(updm, v_new, st.v),
+            v_lo=_fblend(updm, v_lo_new, st.v_lo),
+            f=_fblend(updm, f_new, st.f),
+            h_abs=_fblend(running, h_abs_next, st.h_abs),
+            status=status,
+            std_sc=_iblend(upd, std_after, st.std_sc),
+            err_old=_fblend(upd, err_norm, st.err_old),
+            h_prev=_fblend(upd, h, st.h_prev),
+            max_fac=_fblend(upd, max_fac_new, st.max_fac),
+            fresh=_iblend(upd | (status != _RUNNING), izero + 1,
+                          izero),
+            rejected=_iblend(upd, izero,
+                             _iblend(rejected_b
+                                     | (running & ~accepted),
+                                     izero + 1, izero)),
+            min_step=min_step,
+            nstep=st.nstep + _iblend(upd, izero + 1, izero),
+            nfev=st.nfev + dfev,
+            qrows=qrows_new,
+        )
+
+    # snapshot rows start at (u0, v0): covers points at/before t0
+    qrows0 = tuple((u, v) for _ in range(nq))
+    st0 = _RS(
+        it=jnp.zeros((), jnp.int32),
+        tf=tf_r, direction=dir_r, rtol=rtol_r, atol=atol_r,
+        t=t, t_lo=fzero, u=u, u_lo=u * 0.0, v=v, v_lo=v * 0.0,
+        f=f, h_abs=h_abs0,
+        status=izero, std_sc=izero + 1, err_old=fzero + 1.0,
+        h_prev=fzero, max_fac=fzero + 10.0, fresh=izero + 1,
+        rejected=izero, min_step=fzero, nstep=izero,
+        nfev=izero + 1, qrows=qrows0)
+    return jax.lax.while_loop(cond, body, st0)
+
 def solve_fused_rkn(acc, t_span, y0_batch, method=None, rtol=1e-4,
                     atol=1e-6, first_step=None, max_steps=100_000,
                     block_members=1024, interpret=False,
@@ -92,21 +349,6 @@ def solve_fused_rkn(acc, t_span, y0_batch, method=None, rtol=1e-4,
     tq_vals = (None if t_eval is None
                else [float(v) for v in np.asarray(t_eval)])
 
-    def _wsum(rows, w):
-        acc_ = None
-        for wi, r in zip(w, rows):
-            if wi == 0.0:
-                continue
-            term = wi * r
-            acc_ = term if acc_ is None else acc_ + term
-        return jnp.zeros_like(rows[0]) if acc_ is None else acc_
-
-    def _dot(rows, w):
-        if compensated:
-            hi, lo = _comp_wsum(rows, w)
-            return hi, lo
-        return _wsum(rows, w), None
-
     def kernel(sc_ref, y0_ref, yout_ref, stat_ref, nstep_ref, nfev_ref,
                *maybe_yq):
         yq_ref = maybe_yq[0] if nq else None
@@ -123,223 +365,12 @@ def solve_fused_rkn(acc, t_span, y0_batch, method=None, rtol=1e-4,
         h_abs0 = sc_ref[5] + fzero
         f = acc(t, u, v)
 
-        class S(NamedTuple):
-            it: Any
-            tf: Any
-            direction: Any
-            rtol: Any
-            atol: Any
-            t: Any
-            t_lo: Any
-            u: Any
-            u_lo: Any
-            v: Any
-            v_lo: Any
-            f: Any
-            h_abs: Any
-            status: Any
-            std_sc: Any
-            err_old: Any
-            h_prev: Any
-            max_fac: Any
-            fresh: Any
-            rejected: Any
-            min_step: Any
-            nstep: Any
-            nfev: Any
-            qrows: Any  # (nq) of (u (m,sub,128), v (m,sub,128)) pairs
-
-        def cond(st):
-            return jnp.max(_iblend(st.status == _RUNNING,
-                                   izero + 1, izero)) > 0
-
-        def body(st):
-            tf = st.tf
-            direction = st.direction
-            rtol = st.rtol
-            atol = st.atol
-            running = st.status == _RUNNING
-            fresh_b = st.fresh != 0
-            rejected_b = st.rejected != 0
-            std_b = st.std_sc != 0
-
-            ms = jnp.maximum(h_min_a * (jnp.abs(st.t) + st.h_abs),
-                             tiny_err)
-            h_pre = jnp.maximum(st.h_abs, ms)
-            d = jnp.abs(tf - st.t)
-            split = (d < 2.0 * h_pre) & (d > h_pre)
-            h_f = _fblend(split, jnp.maximum(0.5 * d, ms),
-                          _fblend(d <= h_pre, d, h_pre))
-            h_abs = _fblend(fresh_b, h_f, st.h_abs)
-            min_step = _fblend(fresh_b, ms, st.min_step)
-            std_b = std_b | (fresh_b & split)
-
-            too_small = h_abs < min_step
-            h = h_abs * direction
-            hh = h * h
-
-            # stages: K rows are accelerations (common.py:1281-1287)
-            rows = [st.f]
-            for i in range(1, s):
-                du = hh * _wsum(rows, A[i, :i]) + (C[i] * h) * st.v
-                dv = h * _wsum(rows, Ap[i, :i])
-                if compensated:
-                    du = du + st.u_lo
-                    dv = dv + st.v_lo
-                rows.append(acc(st.t + C[i] * h, st.u + du, st.v + dv))
-
-            bs, bc = _dot(rows, B_w)
-            ps, pc = _dot(rows, Bp)
-            if compensated:
-                u_hi, u_l1 = _df_add(st.u, st.u_lo, h * st.v)
-                u_hi, u_l2 = _two_sum(u_hi, u_l1 + hh * bs)
-                u_new, u_lo_new = _two_sum(u_hi, u_l2 + hh * bc)
-                v_hi, v_l1 = _df_add(st.v, st.v_lo, h * ps)
-                v_new, v_lo_new = _two_sum(v_hi, v_l1 + h * pc)
-            else:
-                u_new = st.u + h * st.v + hh * bs
-                v_new = st.v + h * ps
-                u_lo_new = st.u_lo
-                v_lo_new = st.v_lo
-            if fsal:
-                rows.append(acc(st.t + h, u_new, v_new))
-            mm = s + (1 if fsal else 0)
-            es, ec = _dot(rows[:mm], E[:mm])
-            eps_, epc = _dot(rows[:mm], Ep[:mm])
-            if compensated:
-                err_u = hh * (es + ec)
-                err_v = h * (eps_ + epc)
-            else:
-                err_u = hh * es
-                err_v = h * eps_
-            err = jnp.concatenate([err_u, err_v])
-            scale = atol + rtol * jnp.maximum(
-                jnp.abs(jnp.concatenate([st.u, st.v])),
-                jnp.abs(jnp.concatenate([u_new, v_new])))
-            err_norm = _member_norm(err / scale)
-            err_norm, bad_e = _sanitize(err_norm)
-            err_norm = err_norm + bad_e.astype(jnp.float32) * 10.0
-
-            accepted = (err_norm < 1.0) & ~too_small & running
-
-            err_c = jnp.maximum(err_norm, 1e-30)
-            f_std = cc.safety * err_c ** cc.error_exponent
-            hr = h / _fblend(st.h_prev == 0.0, h, st.h_prev)
-            f_2nd = jnp.clip(
-                cc.safety_sc * err_c ** cc.minbeta1
-                * jnp.maximum(st.err_old, 1e-30) ** cc.minbeta2
-                * hr ** cc.minalpha, cc.min_factor, st.max_fac)
-            is_tiny = err_norm < tiny_err
-            fac_acc = _fblend(is_tiny, st.max_fac,
-                              _fblend(std_b, f_std, f_2nd))
-            fac_acc = _fblend(rejected_b, jnp.minimum(1.0, fac_acc),
-                              fac_acc)
-            std_after = _iblend(is_tiny, izero + 1,
-                                _iblend(std_b, izero, st.std_sc))
-            max_fac_new = _fblend(fac_acc < 4.0, fzero + 4.0,
-                                  st.max_fac)
-            fac_rej = jnp.maximum(
-                cc.min_factor, cc.safety * err_c ** cc.error_exponent)
-            h_abs_next = h_abs * _fblend(accepted, fac_acc, fac_rej)
-            h_abs_next, _ = _sanitize(h_abs_next)
-
-            status = _iblend(running & too_small, izero + _TOO_SMALL,
-                             _iblend(running & bad_e,
-                                     izero + _OVERFLOW, st.status))
-
-            is_last = accepted & (h_abs >= d)
-            if compensated:
-                t_adv, t_lo_adv = _df_add(st.t, st.t_lo, h)
-                t_new = _fblend(is_last, tf, t_adv)
-                t_lo_new = _fblend(is_last, fzero, t_lo_adv)
-            else:
-                t_new = _fblend(is_last, tf, st.t + h)
-                t_lo_new = st.t_lo
-            status = _iblend((status == _RUNNING) & is_last,
-                             izero + _FINISHED, status)
-
-            if fsal:
-                f_new = rows[s]
-            else:
-                f_new = acc(t_new, u_new, v_new)
-            u_new, _ = _sanitize(u_new)
-            v_new, _ = _sanitize(v_new)
-            f_new, _ = _sanitize(f_new)
-
-            upd = accepted
-            dfev = _iblend(running, izero + (s if fsal else s - 1),
-                           izero)
-            if not fsal:
-                dfev = dfev + _iblend(upd, izero + 1, izero)
-            hit_cap = (st.it + 1 >= max_steps) & (status == _RUNNING)
-            status = _iblend(hit_cap, izero + _OVERFLOW, status)
-
-            # t_eval snapshots: partitioned cubic Hermite — u rows
-            # with derivative v, v rows with the carried acceleration
-            # (common.py:766-790 evaluation form)
-            qrows_new = st.qrows
-            if nq:
-                h_safe = _fblend(h == 0.0, fzero + 1.0, h)
-                qrows_new = []
-                for q in range(nq):
-                    tqc = tq_vals[q]
-                    crossed = (upd
-                               & (direction * (tqc - st.t) > 0.0)
-                               & (direction * tqc
-                                  <= direction * t_new))
-                    theta = (tqc - st.t) / h_safe
-                    qu = _hermite_tiles(theta, h, [st.u], [st.v],
-                                        [u_new], [v_new])[0]
-                    qv = _hermite_tiles(theta, h, [st.v], [st.f],
-                                        [v_new], [f_new])[0]
-                    crm = jnp.broadcast_to(crossed, st.u.shape)
-                    qrows_new.append(
-                        (_fblend(crm, qu, st.qrows[q][0]),
-                         _fblend(crm, qv, st.qrows[q][1])))
-                qrows_new = tuple(qrows_new)
-
-            updm = jnp.broadcast_to(upd, st.u.shape)
-            return S(
-                it=st.it + 1,
-                tf=st.tf, direction=st.direction,
-                rtol=st.rtol, atol=st.atol,
-                t=_fblend(upd, t_new, st.t),
-                t_lo=_fblend(upd, t_lo_new, st.t_lo),
-                u=_fblend(updm, u_new, st.u),
-                u_lo=_fblend(updm, u_lo_new, st.u_lo),
-                v=_fblend(updm, v_new, st.v),
-                v_lo=_fblend(updm, v_lo_new, st.v_lo),
-                f=_fblend(updm, f_new, st.f),
-                h_abs=_fblend(running, h_abs_next, st.h_abs),
-                status=status,
-                std_sc=_iblend(upd, std_after, st.std_sc),
-                err_old=_fblend(upd, err_norm, st.err_old),
-                h_prev=_fblend(upd, h, st.h_prev),
-                max_fac=_fblend(upd, max_fac_new, st.max_fac),
-                fresh=_iblend(upd | (status != _RUNNING), izero + 1,
-                              izero),
-                rejected=_iblend(upd, izero,
-                                 _iblend(rejected_b
-                                         | (running & ~accepted),
-                                         izero + 1, izero)),
-                min_step=min_step,
-                nstep=st.nstep + _iblend(upd, izero + 1, izero),
-                nfev=st.nfev + dfev,
-                qrows=qrows_new,
-            )
-
-        # snapshot rows start at (u0, v0): covers points at/before t0
-        qrows0 = tuple((u, v) for _ in range(nq))
-        st0 = S(
-            it=jnp.zeros((), jnp.int32),
-            tf=tf_r, direction=dir_r, rtol=rtol_r, atol=atol_r,
-            t=t, t_lo=fzero, u=u, u_lo=u * 0.0, v=v, v_lo=v * 0.0,
-            f=f, h_abs=h_abs0,
-            status=izero, std_sc=izero + 1, err_old=fzero + 1.0,
-            h_prev=fzero, max_fac=fzero + 10.0, fresh=izero + 1,
-            rejected=izero, min_step=fzero, nstep=izero,
-            nfev=izero + 1, qrows=qrows0)
-        st = jax.lax.while_loop(cond, body, st0)
+        st = _run_rkn_loop(
+            acc, (A, Ap, B_w, Bp, C, E, Ep, s, fsal, h_min_a,
+                  tiny_err), cc, compensated, max_steps, nq, tq_vals,
+            fzero, izero, _member_norm,
+            lambda a, b: jnp.concatenate([a, b]),
+            t, tf_r, dir_r, rtol_r, atol_r, h_abs0, u, v, f)
 
         yout_ref[:] = jnp.concatenate([st.u, st.v]).reshape(n, bm).T
         stat_ref[:] = st.status.reshape(1, bm)

@@ -1,0 +1,186 @@
+"""Fused Pallas RKN solver for MID-SIZE second-order systems.
+
+``fused_rkn`` unrolls the state as member-tile rows (small m only) —
+mid-size second-order systems (coupled oscillator lattices, discretized
+wave equations, n ~ 128-512 positions) had only the XLA device path.
+This kernel applies the grid family's transposed layout (states on the
+128-lane axis, members on sublanes, further members over the pallas
+grid dimension) to the partitioned Nyström form: u' = v,
+v' = acc(t, u, v), stages store accelerations only, displacement
+updates use h^2 A and velocity updates h Ap
+(/root/reference/extensisq/common.py:1207-1310 structure).
+
+The adaptive loop is ``fused_rkn._run_rkn_loop`` verbatim — the layout
+enters as two closures (the member-norm axis and the u/v concatenation
+axis).  The RHS convention: ``acc(t, u, v)`` receives t (bm, 1) and
+u, v (bm, n), returns (bm, n); stencils via ``jnp.roll(..., -1)``.
+
+f32 (+ the compensated double-single mode); the XLA f64 path remains
+the conformance solver.  For in-kernel events use the first-order grid
+kernels or the XLA driver (the partitioned state needs a different
+event-function signature).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core.controller import resolve_controller
+from .fused_erk import _fblend
+from .fused_rkn import _run_rkn_loop
+
+
+def solve_fused_rkn_grid(acc, t_span, y0_batch, method=None, rtol=1e-4,
+                         atol=1e-6, first_step=None, max_steps=100_000,
+                         block_members=32, interpret=False,
+                         compensated=False, t_eval=None):
+    """Integrate a mid-size second-order ensemble with an RKN pair in
+    one Pallas kernel.
+
+    y0_batch: (B, 2n) float32 — [u, v] per member with n a MULTIPLE
+    OF 128 (each partition rides the lane axis).  ``acc(t, u, v)``:
+    t (bm, 1), u, v (bm, n) -> (bm, n).  Returns (y_final (B, 2n),
+    status (B,), nsteps (B,), nfev (B,)); ``t_eval`` appends y_eval
+    (len(t_eval), B, 2n) interpolated from inside the kernel
+    (partitioned cubic Hermite, common.py:766-790 form).
+    ``compensated=True`` enables the double-single mixed-precision
+    mode exactly as in ``solve_fused_rkn``.
+    """
+    if method is None:
+        from ..methods import Fi5N as method
+    tab = method.tableau
+    A = np.asarray(tab.A, dtype=np.float32)
+    Ap = (np.zeros_like(A) if tab.Ap is None
+          else np.asarray(tab.Ap, dtype=np.float32))
+    B_w = np.asarray(tab.B, dtype=np.float32)
+    Bp = np.asarray(tab.Bp, dtype=np.float32)
+    C = np.asarray(tab.C, dtype=np.float32)
+    E = np.asarray(tab.E, dtype=np.float32)
+    Ep = np.asarray(tab.Ep, dtype=np.float32)
+    s = tab.n_stages
+    fsal = bool(Ep[-1] != 0.0)
+    err_order = min(tab.order_secondary, tab.order)
+    cc = resolve_controller(None, tab.sc_params, -1.0 / (err_order + 1))
+    eps32 = float(np.finfo(np.float32).eps)
+    tiny_err = float(np.sqrt(np.finfo(np.float32).tiny))
+    h_min_a = 10.0 * eps32 / tab.c_spacing()
+
+    y0_batch = jnp.asarray(y0_batch, jnp.float32)
+    n_total, n2 = y0_batch.shape
+    if n2 % 2:
+        raise ValueError("state must be [u, v] with even length")
+    n = n2 // 2
+    if n % 128:
+        raise ValueError("fused grid RKN needs n % 128 == 0 per "
+                         "partition (u and v each ride the lane "
+                         "axis); pad the system or use fused_rkn "
+                         "(small m) / the XLA path")
+    bm = block_members
+    if bm % 8:
+        raise ValueError("block_members must be a multiple of 8")
+    pad = (-n_total) % bm
+    if pad:
+        y0_batch = jnp.concatenate(
+            [y0_batch, jnp.tile(y0_batch[-1:], (pad, 1))])
+    B = y0_batch.shape[0]
+    grid = B // bm
+
+    t0, tf = t_span
+    if first_step is not None:
+        h0 = jnp.asarray(first_step, jnp.float32)
+    else:
+        h0 = 0.01 * jnp.abs(jnp.asarray(tf, jnp.float32)
+                            - jnp.asarray(t0, jnp.float32))
+    t0 = jnp.asarray(t0, jnp.float32)
+    tf = jnp.asarray(tf, jnp.float32)
+    direction = jnp.sign(tf - t0)
+    scalars = jnp.stack([t0, tf, jnp.float32(rtol), jnp.float32(atol),
+                         direction, h0])
+
+    nq = 0 if t_eval is None else int(np.asarray(t_eval).shape[0])
+    tq_vals = (None if t_eval is None
+               else [float(v) for v in np.asarray(t_eval)])
+
+    def kernel(sc_ref, y0_ref, yout_ref, stat_ref, nstep_ref, nfev_ref,
+               *maybe_yq):
+        yq_ref = maybe_yq[0] if nq else None
+        yin = y0_ref[:]
+        u = yin[:, :n]
+        v = yin[:, n:]
+        fzero = yin[:, :1] * 0.0          # (bm, 1) member scalars
+        izero = fzero.astype(jnp.int32)
+        t = sc_ref[0] + fzero
+        tf_r = sc_ref[1] + fzero
+        rtol_r = sc_ref[2] + fzero
+        atol_r = sc_ref[3] + fzero
+        dir_r = sc_ref[4] + fzero
+        h_abs0 = sc_ref[5] + fzero
+        f = acc(t, u, v)
+
+        def mnorm(x):
+            """RMS over the lane (state) axis -> (bm, 1)."""
+            return jnp.sqrt(jnp.mean(x * x, axis=-1, keepdims=True))
+
+        st = _run_rkn_loop(
+            acc, (A, Ap, B_w, Bp, C, E, Ep, s, fsal, h_min_a,
+                  tiny_err), cc, compensated, max_steps, nq, tq_vals,
+            fzero, izero, mnorm,
+            lambda a, b: jnp.concatenate([a, b], axis=-1),
+            t, tf_r, dir_r, rtol_r, atol_r, h_abs0, u, v, f)
+
+        yout_ref[:] = jnp.concatenate([st.u, st.v], axis=-1)
+        stat_ref[:] = st.status
+        nstep_ref[:] = st.nstep
+        nfev_ref[:] = st.nfev
+        if nq:
+            # flush points the member never reached with the final y
+            for q in range(nq):
+                unreached = dir_r * tq_vals[q] > dir_r * st.t
+                qu = _fblend(unreached, st.u, st.qrows[q][0])
+                qv = _fblend(unreached, st.v, st.qrows[q][1])
+                yq_ref[q] = jnp.concatenate([qu, qv], axis=-1)
+
+    out_shapes = [
+        jax.ShapeDtypeStruct((B, n2), jnp.float32),
+        jax.ShapeDtypeStruct((B, 1), jnp.int32),
+        jax.ShapeDtypeStruct((B, 1), jnp.int32),
+        jax.ShapeDtypeStruct((B, 1), jnp.int32),
+    ]
+    out_specs = [
+        pl.BlockSpec((bm, n2), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((bm, 1), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((bm, 1), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((bm, 1), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    if nq:
+        out_shapes.append(
+            jax.ShapeDtypeStruct((nq, B, n2), jnp.float32))
+        out_specs.append(
+            pl.BlockSpec((nq, bm, n2), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM))
+    # trace with x64 OFF (TPU Pallas has no 64-bit types)
+    with jax.enable_x64(False):
+        outs = pl.pallas_call(
+            kernel,
+            grid=(grid,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((bm, n2), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=tuple(out_specs),
+            out_shape=tuple(out_shapes),
+            interpret=interpret,
+        )(scalars, y0_batch)
+
+    y_out, status, nsteps, nfev = outs[:4]
+    ret = (y_out[:n_total], status[:n_total, 0],
+           nsteps[:n_total, 0], nfev[:n_total, 0])
+    if nq:
+        ret = ret + (outs[4][:, :n_total],)
+    return ret

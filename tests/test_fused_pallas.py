@@ -1340,3 +1340,53 @@ def test_fused_erk_events_backward():
     t_exact = -np.log(Y0[:, 0].astype(np.float64))
     assert np.max(np.abs(np.asarray(t_ev)[0] - t_exact)) < 1e-4
     assert np.max(np.abs(np.asarray(yf)[:, 0] - 1.0)) < 1e-4
+
+
+def test_fused_rkn_grid_wave():
+    """Mid-size second-order fused RKN (states on lanes, partitioned
+    Nystrom loop shared verbatim with the member-tiled kernel): a
+    128-position discrete wave equation ensemble tracks the XLA f64
+    path's steps and endpoint at f32 tolerance scale, with in-kernel
+    partitioned-Hermite t_eval.  first_step is pinned on both sides
+    (the fused kernels use a fixed default initial step; on a
+    few-step problem the h ramp would otherwise dominate)."""
+    from extensisq_tpu.ops import solve_fused_rkn_grid
+    from extensisq_tpu import Fi5N
+
+    n = 128
+    c2 = 400.0
+
+    def acc_g(t, u, v):
+        return c2 * (jnp.roll(u, 1, -1) + jnp.roll(u, -1, -1)
+                     - 2.0 * u)
+
+    def f_vec(t, y):
+        u, v = y[:n], y[n:]
+        a = c2 * (jnp.roll(u, 1) + jnp.roll(u, -1) - 2.0 * u)
+        return jnp.concatenate([v, a])
+
+    B = 16
+    xg = np.linspace(0, 1, n, endpoint=False)
+    amps = np.linspace(0.5, 1.5, B)
+    U0 = amps[:, None] * np.sin(2 * np.pi * xg)[None, :]
+    Y0 = np.concatenate([U0, np.zeros_like(U0)],
+                        axis=1).astype(np.float32)
+    tq = np.array([0.0, 2.0, 4.0], np.float32)
+    y, st, ns, nf, yq = solve_fused_rkn_grid(
+        acc_g, (0.0, 4.0), Y0, rtol=1e-5, atol=1e-7,
+        block_members=8, interpret=True, t_eval=tq, first_step=0.05)
+    assert np.all(np.asarray(st) == 1)
+    out = solve_ensemble(f_vec, (0.0, 4.0),
+                         jnp.asarray(Y0, jnp.float64), method=Fi5N,
+                         rtol=1e-5, atol=1e-7,
+                         t_eval=jnp.asarray(tq, jnp.float64),
+                         first_step=0.05)
+    # ~2 wave periods: f32 stencil-cancellation phase noise bounds
+    # the agreement at ~1e-3 (measured 1.8e-3); steps track the f64
+    # path member-for-member within controller noise
+    assert np.max(np.abs(np.asarray(y) - np.asarray(out.y))) < 5e-3
+    yx = np.asarray(out.y_eval).transpose(1, 0, 2)
+    assert np.max(np.abs(np.asarray(yq) - yx)) < 5e-3
+    nsf = np.asarray(ns, np.float64)
+    nsx = np.asarray(out.nsteps, np.float64)
+    assert abs(nsf.mean() - nsx.mean()) < 0.1 * nsx.mean() + 2.0

@@ -45,7 +45,8 @@ def main():
                                    solve_fused_adams,
                                    solve_fused_adams_grid,
                                    solve_fused_erk_grid,
-                                   solve_fused_esdirk_grid)
+                                   solve_fused_esdirk_grid,
+                                   solve_fused_rkn_grid)
     from extensisq_tpu.ops.fused_rkc import roll
     from extensisq_tpu import BS5, Fi5N, Kv3I, TRBDF2
 
@@ -225,6 +226,17 @@ def main():
               rdiff_g, (0.0, 0.1), Y, block_members=8,
               t_eval=np.linspace(0.0, 0.1, 4).astype(np.float32)),
           YG8)
+
+    def wave_g(t, u, v):
+        return 400.0 * (jnp.roll(u, 1, -1) + jnp.roll(u, -1, -1)
+                        - 2.0 * u)
+
+    YW = np.concatenate([YG8, np.zeros_like(YG8)], axis=1)
+    check("fused_rkn_grid", lambda Y: solve_fused_rkn_grid(
+        wave_g, (0.0, 1.0), Y, block_members=8), YW)
+    check("fused_rkn_grid t_eval", lambda Y: solve_fused_rkn_grid(
+        wave_g, (0.0, 1.0), Y, block_members=8,
+        t_eval=np.linspace(0.0, 1.0, 4).astype(np.float32)), YW)
 
     def ev_mean(t, y):
         return jnp.mean(y, axis=-1, keepdims=True) - 0.9
