@@ -1316,10 +1316,14 @@ def test_fused_esdirk_nonunit_diagonal_mass():
 
 
 def test_fused_erk_events_backward():
-    """Backward-time integration with events: direction semantics are
-    relative to integration direction (a crossing is detected between
-    step endpoints regardless of sign of h); terminal truncation
-    lands at the analytic root."""
+    """Backward-time integration with events: crossings are detected
+    between step endpoints IN INTEGRATION ORDER, and the direction
+    flag refers to the sign of the g change along the integration
+    (the device driver's convention, solve.py:_make_event_handler:
+    g_old -> g_new are the step's integration-order endpoints).
+    Backward from t=0, y = y0 e^t decays, so g = y - 1 falls along
+    the integration: direction=-1 fires at the analytic root,
+    direction=+1 must NOT fire."""
     from extensisq_tpu.ops import solve_fused_erk
     from extensisq_tpu import BS5
 
@@ -1329,17 +1333,30 @@ def test_fused_erk_events_backward():
     B = 128
     Y0 = np.linspace(2.0, 4.0, B)[:, None].astype(np.float32)
 
-    def ev(t, y):
+    def ev_dn(t, y):
         return y[0] - 1.0            # crosses 1 at t = -log(y0)
-    ev.terminal = True
+    ev_dn.terminal = True
+    ev_dn.direction = -1.0
+
+    def ev_up(t, y):
+        return y[0] - 1.0
+    ev_up.direction = 1.0            # wrong way: never fires
 
     yf, st, ns, nf, t_ev, y_ev, n_ev = solve_fused_erk(
         f, (0.0, -5.0), Y0, method=BS5, rtol=1e-6, atol=1e-9,
-        block_members=128, interpret=True, events=ev)
+        block_members=128, interpret=True, events=[ev_dn, ev_up])
     assert np.all(np.asarray(st) == 8)
     t_exact = -np.log(Y0[:, 0].astype(np.float64))
     assert np.max(np.abs(np.asarray(t_ev)[0] - t_exact)) < 1e-4
     assert np.max(np.abs(np.asarray(yf)[:, 0] - 1.0)) < 1e-4
+    n_ev = np.asarray(n_ev)
+    assert np.all(n_ev[0] == 1) and np.all(n_ev[1] == 0)
+    # the device driver agrees on both counts
+    out = solve_ensemble(f, (0.0, -5.0), jnp.asarray(Y0, jnp.float64),
+                         method=BS5, rtol=1e-6, atol=1e-9,
+                         events=[ev_dn, ev_up])
+    nx = np.asarray(out.n_events)
+    assert np.all(nx[:, 0] == 1) and np.all(nx[:, 1] == 0)
 
 
 def test_fused_rkn_grid_wave():

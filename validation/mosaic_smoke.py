@@ -237,6 +237,19 @@ def main():
     check("fused_rkn_grid t_eval", lambda Y: solve_fused_rkn_grid(
         wave_g, (0.0, 1.0), Y, block_members=8,
         t_eval=np.linspace(0.0, 1.0, 4).astype(np.float32)), YW)
+    check("fused_rkn_grid compensated", lambda Y: solve_fused_rkn_grid(
+        wave_g, (0.0, 1.0), Y, block_members=8, rtol=1e-6,
+        atol=1e-9, compensated=True), YW)
+
+    # diagonal mass WITHOUT yp0: exercises the in-kernel M^-1 f0
+    # initial-derivative paths (both layouts)
+    check("fused_esdirk diag-M no-yp0", lambda Y: solve_fused_esdirk(
+        rob, (0.0, 1e3), Y, method=Kv3I, block_members=256,
+        M=np.array([2.0, 1.0, 3.0])), Y3)
+    check("fused_esdirk_grid diag-M no-yp0",
+          lambda Y: solve_fused_esdirk_grid(
+              rdiff_g, (0.0, 0.1), Y, block_members=8,
+              M=2.0 * np.ones(128)), YG8)
 
     def ev_mean(t, y):
         return jnp.mean(y, axis=-1, keepdims=True) - 0.9
