@@ -1407,3 +1407,27 @@ def test_fused_rkn_grid_wave():
     nsf = np.asarray(ns, np.float64)
     nsx = np.asarray(out.nsteps, np.float64)
     assert abs(nsf.mean() - nsx.mean()) < 0.1 * nsx.mean() + 2.0
+
+
+def test_fused_esdirk_grid_n256():
+    """The grid ESDIRK at n=256 (one more cyclic-reduction round than
+    the n=128 cases): endpoint still lands on the XLA f64 path at
+    tolerance scale."""
+    from extensisq_tpu.ops import solve_fused_esdirk_grid
+    from extensisq_tpu import Kv3I
+
+    n = 256
+    kern, vec = _rdiff_pair(n)
+    B = 8
+    xg = np.linspace(0, 1, n, endpoint=False)
+    amps = np.linspace(0.3, 0.7, B)
+    Y0 = (0.5 + 0.4 * amps[:, None]
+          * np.sin(2 * np.pi * xg)[None, :]).astype(np.float32)
+    y, st, ns, nf = solve_fused_esdirk_grid(
+        kern, (0.0, 0.05), Y0, rtol=1e-4, atol=1e-6,
+        block_members=8, interpret=True)
+    assert np.all(np.asarray(st) == 1)
+    out = solve_ensemble(vec, (0.0, 0.05),
+                         jnp.asarray(Y0, jnp.float64), method=Kv3I,
+                         rtol=1e-4, atol=1e-6)
+    assert np.max(np.abs(np.asarray(y) - np.asarray(out.y))) < 1e-3
