@@ -110,3 +110,22 @@ print("\nstiff ok:", bool(np.all(np.asarray(status) == 1)),
 print("history shape:", np.asarray(hist).shape)      # (6, 256, 3)
 print("member 0, y1(t):",
       np.array2string(np.asarray(hist)[:, 0, 1], precision=3))
+
+# -- 4. fused RKC without a spectral-radius bound, with an event ------
+# rho=None runs the netlib RKCRHO nonlinear power iteration INSIDE the
+# kernel (sommeijer.py:331-398) — nothing to supply; nfesig reports
+# the evals it cost.  Events use the solve_ivp protocol: this one
+# stops the solve when the mean concentration first crosses 1.02.
+def u_mean_crosses(t, y):
+    return jnp.mean(y[0]) - 1.02
+
+
+u_mean_crosses.terminal = True
+
+yf2, status, nsteps, nfev, nfesig, t_ev, y_ev, n_ev = solve_fused_rkc(
+    brusselator, (0.0, 1.0), U0, None, rtol=1e-4, atol=1e-7,
+    interpret=INTERPRET, events=u_mean_crosses)
+print("\nself-estimated rho: status", int(status),
+      "(8 = terminal event)", "nfesig:", int(nfesig))
+print("event at t =", float(t_ev[0]),
+      " mean u there:", float(np.asarray(y_ev)[0, 0].mean()))

@@ -6,9 +6,12 @@ remain the conformance solvers).
   compensated mode for official tolerances)
 * :func:`solve_fused_rkn` — Runge-Kutta-Nystrom ensembles
 * :func:`solve_fused_rkc` — stabilized RKC on one resident grid
-  (deviation-form recurrence with double-single coefficients)
+  (deviation-form recurrence with double-single coefficients;
+  in-kernel spectral-radius power iteration when no bound is given,
+  in-kernel events and t_eval)
 * :func:`solve_fused_rkc_ensemble` — member ensembles of PDE grids,
-  one member-block per Pallas program instance (BASELINE config 5)
+  one member-block per Pallas program instance (BASELINE config 5),
+  same per-member machinery incl. power iteration/events/t_eval
 * :func:`solve_fused_esdirk` — implicit/DAE ensembles (per-member
   batched Newton, n <= 8)
 * :func:`solve_fused_adams` — variable-order SWAG multistep ensembles

@@ -111,9 +111,10 @@ def solve_fused_esdirk(fun, t_span, y0_batch, method=None, M=None,
     protocol; appends (t_events, y_events, n_events) exactly like
     ``solve_fused_erk`` (in-kernel Hermite bisection on the carried
     (y, y') endpoints, first crossing per member, terminal
-    truncation -> status 8).  Not supported together with a DENSE /
-    hidden mass matrix (the kernel then integrates in rotated
-    coordinates; use the XLA driver).
+    truncation -> status 8).  With a DENSE / hidden mass matrix the
+    kernel integrates in rotated coordinates; event functions still
+    see USER coordinates (each g is wrapped through the y = V w
+    back-rotation) and y_events is un-rotated on output.
     """
     if method is None:
         from ..methods import Kv3I as method
@@ -254,11 +255,6 @@ def solve_fused_esdirk(fun, t_span, y0_batch, method=None, M=None,
 
     ev_spec = _make_ev_spec(events)
     n_ev = 0 if ev_spec is None else len(ev_spec)
-    if n_ev and rot is not None:
-        raise ValueError("events with a dense/hidden mass matrix are "
-                         "not supported in the fused kernel (it "
-                         "integrates in rotated coordinates); use the "
-                         "XLA driver")
 
     def _rows(y):
         return [y[i] for i in range(n)]
@@ -287,6 +283,16 @@ def solve_fused_esdirk(fun, t_span, y0_batch, method=None, M=None,
     else:
         def to_user(rows):
             return rows
+
+    if n_ev and rot is not None:
+        # the kernel integrates in rotated coordinates w = V^T y; user
+        # event functions see user coordinates, so wrap each g through
+        # the same back-rotation the norms use (y = V w).  y_events
+        # outputs are un-rotated on the host below.
+        def _wrap_ev(ge):
+            return lambda t, w: ge(t, _stack(to_user(_rows(w))))
+        ev_spec = [(_wrap_ev(ge), term, edir)
+                   for ge, term, edir in ev_spec]
 
     def _jacobian(t, y):
         """J[i][j] member tiles via n basis tangents of ONE
@@ -861,7 +867,10 @@ def solve_fused_esdirk(fun, t_span, y0_batch, method=None, M=None,
         fired = fev[:, 0, :n_total]
         nanv = jnp.float32(np.nan)
         t_events = jnp.where(fired != 0, tev[:, 0, :n_total], nanv)
-        y_events = jnp.where((fired != 0)[:, :, None],
-                             yev[:, :n_total], nanv)
+        yev = yev[:, :n_total]
+        if rot is not None:
+            yev = jnp.matmul(yev, Vmat,
+                             precision=jax.lax.Precision.HIGHEST)
+        y_events = jnp.where((fired != 0)[:, :, None], yev, nanv)
         ret = ret + (t_events, y_events, fired)
     return ret

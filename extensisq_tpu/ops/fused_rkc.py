@@ -6,20 +6,28 @@ SSV2stab's workload is a single large semi-discretized grid taking
 costs ~20 dispatched kernels (jnp.roll does not fuse), so the solve is
 dispatch-bound.  Here the grid lives in VMEM for the entire
 integration; stencil shifts are ``pltpu.roll`` (in-register lane/sublane
-rotations), and the stage recurrence, spectral-radius bound, error
-estimate, H220 controller and time loop all run inside one
+rotations), and the stage recurrence, spectral-radius estimation, error
+estimate, H220 controller, events and time loop all run inside one
 ``pallas_call``.
 
-Scope (the single-grid fast path; the f64 XLA path remains the
-conformance solver):
-* one system (the state IS the grid, any 2-D-tileable shape);
+Scope (the fast path; the f64 XLA path remains the conformance
+solver):
+* one system per program instance (the state IS the grid, any
+  2-D-tileable shape); :func:`solve_fused_rkc_ensemble` runs many
+  members over the Pallas grid dimension;
 * f32 arithmetic with a double-single carry for y and t (the same
   compensation machinery as fused_erk);
-* the spectral radius comes from a user bound: a float constant or a
-  traceable ``rho(t, y) -> scalar`` callback (the nonlinear power
-  iteration stays on the XLA path, sommeijer.py:331-398);
+* the spectral radius comes from a float constant, a traceable
+  ``rho(t, y) -> scalar`` callback, or — when ``rho is None`` — the
+  IN-KERNEL nonlinear power iteration (sommeijer.py:331-398, netlib
+  rkc.f RKCRHO) with the eigenvector warm start, the 25-step refresh
+  policy and the ``nfesig`` counter of the XLA stepper
+  (steppers/rkc.py);
 * Chebyshev stage loop is an in-kernel ``lax.fori_loop`` with the
-  runtime stage count m of rkc.py:_stages (sommeijer.py:273-329).
+  runtime stage count m of rkc.py:_stages (sommeijer.py:273-329);
+* ``t_eval`` snapshots and solve_ivp-protocol ``events`` (terminal /
+  direction, cubic-Hermite bisection roots) are handled inside the
+  kernel on both layouts.
 
 The RHS must be written with :func:`roll` from this module for its
 stencil shifts — it maps to ``pltpu.roll`` inside the kernel and to
@@ -33,10 +41,12 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .fused_erk import _two_sum, _df_add
+from .fused_erk import _two_sum, _df_add, _make_ev_spec
 from . import ds as D
 
 _RUNNING, _FINISHED, _TOO_SMALL, _OVERFLOW = 0, 1, 2, 3
+_RHO_FAIL = 6   # matches _config.RHO_FAIL
+_EVENT = 8      # matches _config.TERMINAL_EVENT
 
 _IN_KERNEL = [False]
 
@@ -47,6 +57,14 @@ def roll(x, shift, axis):
     if _IN_KERNEL[0]:
         return pltpu.roll(x, shift % x.shape[axis], axis)
     return jnp.roll(x, shift, axis)
+
+
+def _sblend(cond, a, b):
+    """Grid select by a SCALAR bool via arithmetic blending (Mosaic
+    rejects several vector-select layouts; scalar-mask arithmetic is
+    always legal)."""
+    m = cond.astype(jnp.float32)
+    return m * a + (1.0 - m) * b
 
 
 class _S(NamedTuple):
@@ -64,6 +82,17 @@ class _S(NamedTuple):
     nstep: Any
     nfev: Any
     iq: Any                # next unwritten t_eval snapshot index
+    # spectral-radius machinery (power-iteration mode only; V is an
+    # empty tuple when a user rho bound/callback is supplied)
+    sprad: Any
+    V: Any                 # eigenvector warm start (grid) or ()
+    newspc: Any            # i32 bool: re-estimate the spectral radius
+    jacatt: Any            # i32 bool: current estimate is up to date
+    nstsig: Any            # accepted steps since last refresh (mod 25)
+    nfesig: Any            # RHS evals spent on rho (reference counter)
+    # events: per-event previous g value / fired flag (or empty tuples)
+    gprev: Any
+    evfired: Any
 
 
 def _hermite(theta, h, y0, f0, y1, f1):
@@ -78,24 +107,131 @@ def _hermite(theta, h, y0, f0, y1, f1):
             + (h * (t3 - t2)) * f1)
 
 
+def _rho_power(fun, t, yn, fn, V, sprad_prev, active, linidx, ntot,
+               small, sqrtu, rho_uround):
+    """Nonlinear power iteration for the Jacobian spectral radius —
+    the in-kernel twin of steppers/rkc.py:_rho (sommeijer.py:331-398,
+    netlib rkc.f RKCRHO).  Mosaic-safe: every grid select is an
+    arithmetic blend by a scalar mask, and the degenerate
+    one-component sign flip uses a precomputed linear-index grid
+    instead of a scatter.  Runs ZERO iterations when ``active`` is
+    false (the while condition short-circuits), so inactive steps pay
+    only the v0 setup arithmetic.
+
+    Returns (sprad, V_new, n_evals, ok): on convergence failure after
+    50 iterations ``ok`` is false and sprad is 0 (exactly the XLA
+    stepper's failure value)."""
+    ynrm = jnp.sqrt(jnp.sum(yn * yn))
+    vnrm = jnp.sqrt(jnp.sum(V * V))
+    both = (ynrm != 0.0) & (vnrm != 0.0)
+    only_y = (ynrm != 0.0) & (vnrm == 0.0)
+    only_v = (ynrm == 0.0) & (vnrm != 0.0)
+    neither = (ynrm == 0.0) & (vnrm == 0.0)
+    dynrm = jnp.where(both | only_y, ynrm * sqrtu,
+                      jnp.float32(rho_uround))
+    vsafe = jnp.where(vnrm == 0.0, jnp.float32(1.0), vnrm)
+    mb = both.astype(jnp.float32)
+    moy = only_y.astype(jnp.float32)
+    mov = only_v.astype(jnp.float32)
+    mn = neither.astype(jnp.float32)
+    # the only_y branch scales V (not yn) by 1+sqrtu — this matches
+    # the REFERENCE's translation (sommeijer.py:358 `v[:] *= ...`
+    # after v[:] = V), which the XLA stepper also reproduces
+    v0 = (mb * (yn + V * (dynrm / vsafe))
+          + moy * (V * (1.0 + sqrtu))
+          + mov * (V * (dynrm / vsafe))
+          + mn * (V * 0.0 + dynrm))
+
+    def cond(c):
+        i, v, sigma, sprad, done, nev = c
+        return (done == 0) & (i < 50)
+
+    def body(c):
+        i, v, sigma, sprad, done, nev = c
+        fv = fun(t, v)
+        df = fv - fn
+        dfnrm = jnp.sqrt(jnp.sum(df * df))
+        sigma_new = dfnrm / dynrm
+        conv = (i > 0) & (jnp.abs(sigma_new - sigma)
+                          <= jnp.maximum(sigma_new, small) * 0.01)
+        dfsafe = jnp.where(dfnrm == 0.0, jnp.float32(1.0), dfnrm)
+        v_pow = yn + df * (dynrm / dfsafe)
+        # degenerate case: flip the sign of component (i mod n)
+        flip = (linidx == jnp.mod(i, jnp.int32(ntot))
+                ).astype(jnp.float32)
+        v_deg = (1.0 - 2.0 * flip) * v
+        v_next = _sblend(dfnrm != 0.0, v_pow, v_deg)
+        return (i + 1, _sblend(conv, v, v_next), sigma_new,
+                jnp.where(conv, 1.2 * sigma_new, sprad),
+                jnp.where(conv, jnp.int32(1), done), nev + 1)
+
+    done0 = jnp.where(active, jnp.int32(0), jnp.int32(1))
+    sprad0 = jnp.where(active, jnp.float32(0.0), sprad_prev)
+    c = jax.lax.while_loop(
+        cond, body,
+        (jnp.int32(0), v0, jnp.float32(0.0), sprad0, done0,
+         jnp.int32(0)))
+    _, v, _, sprad, done, nev = c
+    ok = done != 0
+    V_new = _sblend(ok & active, v - yn, V)
+    return sprad, V_new, nev, ok
+
+
+def _linear_index_grid(shape):
+    """Row-major linear index of every grid element, as an i32 array
+    of the grid shape (>= 2-D, so broadcasted_iota is Mosaic-legal)."""
+    linidx = None
+    stride = 1
+    for ax in reversed(range(len(shape))):
+        io = jax.lax.broadcasted_iota(jnp.int32, shape, ax)
+        term = io * jnp.int32(stride)
+        linidx = term if linidx is None else linidx + term
+        stride *= shape[ax]
+    return linidx, int(np.prod(shape))
+
+
 def _integrate(fun, sprad_at, sc, y_init, *, mmax, max_steps, uround,
-               sqrtmin, snap=None):
+               sqrtmin, snap=None, events=None, const_jac=False):
     """Whole adaptive RKC integration of one grid, shared by the
     single-grid and member-ensemble kernels.  ``fun(t, y) -> dy`` on
-    the grid-shaped y; ``sprad_at(t, y) -> scalar``; ``sc`` the 6
-    solver scalars.  Runs the Chebyshev stage recurrence in
-    double-single arithmetic (see solve_fused_rkc docstring) and
-    returns the final ``_S`` state.
+    the grid-shaped y; ``sprad_at(t, y) -> scalar`` or None to run the
+    in-kernel nonlinear power iteration; ``sc`` the 6 solver scalars.
+    Runs the Chebyshev stage recurrence in double-single arithmetic
+    (see solve_fused_rkc docstring) and returns the final ``_S`` state.
 
-    ``snap``: optional (teval_ref, yq_ref, nq) — after each accepted
-    step, every snapshot time crossed by the step is written to
-    ``yq_ref`` via cubic Hermite interpolation from the carried
-    (y, f) endpoint pairs.  Points at/before t0 get y0; points the
-    integration never reaches are flushed with the final state by the
-    caller."""
+    ``snap``: optional (nq, read_tq, write_snap) — after each accepted
+    step, every snapshot time crossed by the step is written via
+    ``write_snap(i, value)``, cubic-Hermite interpolated from the
+    carried (y, f) endpoint pairs.  ``read_tq(i)`` returns snapshot
+    time i.  Points at/before t0 get y0; unreached points are flushed
+    with the final state.
+
+    ``events``: optional (ev_spec, write_event) — ev_spec is the
+    static list of (g, terminal, direction) triples from
+    fused_erk._make_ev_spec; after each accepted step, sign changes of
+    g fire the event (first crossing only), the root is refined by 25
+    bisection rounds on the step's cubic Hermite interpolant, and
+    recorded via ``write_event(i, keep, t_root, y_root)``.  Terminal
+    events truncate the integration at the earliest terminal root with
+    status 8 (the device driver's TERMINAL_EVENT semantics,
+    solve.py:_make_event_handler)."""
     t0s, tfs, rtol_s, atol_s, dir_s, h0s = sc
     f_init = fun(t0s, y_init)
     max_step_eff = jnp.abs(tfs - t0s)
+
+    power_rho = sprad_at is None
+    if power_rho:
+        linidx, ntot = _linear_index_grid(y_init.shape)
+        eps32 = float(np.finfo(np.float32).eps)
+        sqrtu = float(np.sqrt(eps32))
+        rho_uround = eps32
+        small = 1.0 / max_step_eff
+
+    if events is not None:
+        ev_spec, write_event = events
+        n_ev = len(ev_spec)
+    else:
+        n_ev = 0
 
     # rkc.f initial step heuristic (sommeijer.py:206-216)
     def init_absh(t, y, f, sprad):
@@ -197,7 +333,24 @@ def _integrate(fun, sprad_at, sc, y_init, *, mmax, max_steps, uround,
 
     def body(st):
         t, y, f = st.t, st.y, st.f
-        sprad = sprad_at(t, y)
+
+        # spectral radius: user bound/callback, or the in-kernel
+        # power iteration with the stepper's refresh policy
+        # (steppers/rkc.py step_flat: refresh on newspc only)
+        if power_rho:
+            active = st.newspc != 0
+            sprad, V_new, nev_rho, rho_ok = _rho_power(
+                fun, t, y, f, st.V, st.sprad, active, linidx, ntot,
+                small, sqrtu, rho_uround)
+            nfesig = st.nfesig + nev_rho
+            jacatt_att = jnp.where(active, jnp.int32(1), st.jacatt)
+        else:
+            sprad = sprad_at(t, y)
+            V_new = st.V
+            nfesig = st.nfesig
+            jacatt_att = st.jacatt
+            rho_ok = sprad == sprad   # always true
+
         absh = jnp.where(st.h_abs < 0.0,
                          init_absh(t, y, f, sprad), st.h_abs)
         nfev = st.nfev + jnp.where(st.h_abs < 0.0, 1, 0)
@@ -265,23 +418,92 @@ def _integrate(fun, sprad_at, sc, y_init, *, mmax, max_steps, uround,
         # advance the DS y-carry by the step deviation (once per step)
         y_hi, y_lo_new = D.ds_add_f(Y, e_m)
 
+        # events: sign changes of g over the accepted step fire; the
+        # root is bisected on the step's cubic Hermite interpolant;
+        # terminal events truncate at the earliest terminal root
+        # (fused_erk._handle_events semantics, scalar-member form)
+        gprev_new = st.gprev
+        evfired_new = st.evfired
+        trunc = accepted & (t != t)       # scalar false
+        te = jnp.float32(0.0)
+        y_te = None
+        if n_ev:
+            y0c = y + st.y_lo
+            h_safe = jnp.where(h == 0.0, jnp.float32(1.0), h)
+            te_dir = jnp.float32(1e30)
+            roots, groots, fires, g_news = [], [], [], []
+            for i, (ge, eterm, edir) in enumerate(ev_spec):
+                g_new_i = ge(t_new, yk)
+                g_news.append(g_new_i)
+                gp = st.gprev[i]
+                up_x = (gp <= 0.0) & (g_new_i >= 0.0)
+                dn_x = (gp >= 0.0) & (g_new_i <= 0.0)
+                if edir > 0:
+                    sign_x = up_x
+                elif edir < 0:
+                    sign_x = dn_x
+                else:
+                    sign_x = up_x | dn_x
+                fired_i = sign_x & accepted & (st.evfired[i] == 0)
+                a = jnp.float32(0.0)
+                b = jnp.float32(1.0)
+                fa = gp
+                for _ in range(25):
+                    mid = 0.5 * (a + b)
+                    ymid = _hermite(mid, h, y0c, f, yk, f_new)
+                    fm = ge(t + mid * h_safe, ymid)
+                    left = fa * fm <= 0.0
+                    a = jnp.where(left, a, mid)
+                    b = jnp.where(left, mid, b)
+                    fa = jnp.where(left, fa, fm)
+                th = 0.5 * (a + b)
+                roots.append(t + th * h_safe)
+                groots.append(_hermite(th, h, y0c, f, yk, f_new))
+                fires.append(fired_i)
+                if eterm:
+                    di = dir_s * roots[i]
+                    better = fired_i & (di < te_dir)
+                    te_dir = jnp.where(better, di, te_dir)
+                    te = jnp.where(better, roots[i], te)
+                    y_te = _sblend(better, groots[i],
+                                   yk if y_te is None else y_te)
+                    trunc = trunc | fired_i
+            gprev_new, evfired_new = [], []
+            for i in range(n_ev):
+                keep = fires[i] & (~trunc
+                                   | (dir_s * roots[i] <= te_dir))
+                write_event(i, keep, roots[i], groots[i])
+                gprev_new.append(jnp.where(accepted, g_news[i],
+                                           st.gprev[i]))
+                evfired_new.append(
+                    jnp.where(keep, jnp.int32(1), st.evfired[i]))
+            gprev_new = tuple(gprev_new)
+            evfired_new = tuple(evfired_new)
+
+        # terminal truncation rewrites the step endpoint
+        if n_ev and y_te is not None:
+            t_new = jnp.where(trunc, te, t_new)
+            t_lo_new = jnp.where(trunc, 0.0, t_lo_new)
+            y_hi = _sblend(trunc, y_te, y_hi)
+            y_lo_new = _sblend(trunc, y_hi * 0.0, y_lo_new)
+
         # t_eval snapshots: write every grid point this step crossed,
         # cubic-Hermite interpolated from the carried (y, f) endpoint
         # pairs (the reference's own RKC dense output is cubic
         # Hermite, sommeijer.py:400-406)
         iq = st.iq
         if snap is not None:
-            teval_ref, yq_ref, nq = snap
+            nq, read_tq, write_snap = snap
 
             def qbody(i, iq_c):
-                tq = teval_ref[i]
+                tq = read_tq(i)
                 cross = (accepted & (i == iq_c)
                          & (dir_s * tq <= dir_s * t_new))
 
                 @pl.when(cross)
                 def _():
                     theta = ((tq - st.t) - st.t_lo) / h
-                    yq_ref[i] = _hermite(theta, h, y, f, yk, f_new)
+                    write_snap(i, _hermite(theta, h, y, f, yk, f_new))
                 return iq_c + jnp.where(cross, 1, 0)
 
             iq = jax.lax.fori_loop(0, nq, qbody, iq)
@@ -291,9 +513,31 @@ def _integrate(fun, sprad_at, sc, y_init, *, mmax, max_steps, uround,
             jnp.where(too_small, _TOO_SMALL,
                       jnp.where(is_last, _FINISHED,
                                 st.status))).astype(jnp.int32)
+        if n_ev:
+            status = jnp.where(trunc, jnp.int32(_EVENT), status)
+        status = jnp.where(~rho_ok, jnp.int32(_RHO_FAIL), status)
         status = jnp.where((st.it + 1 >= max_steps)
                            & (status == _RUNNING),
                            jnp.int32(_OVERFLOW), status)
+
+        # spectral-radius refresh policy after the attempt
+        # (steppers/rkc.py:513-517): on accept, jacatt <- const_jac,
+        # nstsig cycles mod 25, refresh when it wraps; on reject,
+        # re-estimate unless the estimate is fresh this attempt
+        if power_rho:
+            cj = jnp.int32(1 if const_jac else 0)
+            nstsig_new = jnp.where(accepted,
+                                   jnp.mod(st.nstsig + 1, 25),
+                                   st.nstsig)
+            newspc_new = jnp.where(
+                accepted,
+                ((nstsig_new == 0) & (cj == 0)).astype(jnp.int32),
+                (jacatt_att == 0).astype(jnp.int32))
+            jacatt_new = jnp.where(accepted, cj, jacatt_att)
+        else:
+            nstsig_new = st.nstsig
+            newspc_new = st.newspc
+            jacatt_new = jacatt_att
 
         am = accepted.astype(jnp.float32)
         return _S(
@@ -309,40 +553,60 @@ def _integrate(fun, sprad_at, sc, y_init, *, mmax, max_steps, uround,
             status=status,
             nstep=st.nstep + jnp.where(accepted, 1, 0),
             nfev=nfev,
-            iq=iq)
+            iq=iq,
+            sprad=sprad,
+            V=V_new,
+            newspc=newspc_new,
+            jacatt=jacatt_new,
+            nstsig=nstsig_new,
+            nfesig=nfesig,
+            gprev=gprev_new,
+            evfired=evfired_new)
 
     # snapshot points at/before t0 take the initial state
     iq0 = jnp.int32(0)
     if snap is not None:
-        teval_ref, yq_ref, nq = snap
+        nq, read_tq, write_snap = snap
 
         def q0body(i, iq_c):
-            tq = teval_ref[i]
+            tq = read_tq(i)
             hit = (i == iq_c) & (dir_s * tq <= dir_s * t0s)
 
             @pl.when(hit)
             def _():
-                yq_ref[i] = y_init
+                write_snap(i, y_init)
             return iq_c + jnp.where(hit, 1, 0)
 
         iq0 = jax.lax.fori_loop(0, nq, q0body, iq0)
+
+    if n_ev:
+        gprev0 = tuple(ev_spec[i][0](t0s, y_init) for i in range(n_ev))
+        evfired0 = tuple(jnp.int32(0) for _ in range(n_ev))
+    else:
+        gprev0 = ()
+        evfired0 = ()
 
     st0 = _S(it=jnp.int32(0), t=t0s, t_lo=jnp.float32(0.0),
              y=y_init, y_lo=y_init * 0.0, f=f_init, h_abs=h0s,
              h_prev=jnp.float32(0.0), err_old=jnp.float32(1.0),
              status=jnp.int32(_RUNNING), nstep=jnp.int32(0),
-             nfev=jnp.int32(1), iq=iq0)
+             nfev=jnp.int32(1), iq=iq0,
+             sprad=jnp.float32(0.0),
+             V=(f_init * 1.0) if power_rho else (),
+             newspc=jnp.int32(1), jacatt=jnp.int32(0),
+             nstsig=jnp.int32(0), nfesig=jnp.int32(0),
+             gprev=gprev0, evfired=evfired0)
     st = jax.lax.while_loop(cond, body, st0)
 
     # flush snapshot points the integration never reached (beyond tf,
     # or anything left by an early failure) with the final state
     if snap is not None:
-        teval_ref, yq_ref, nq = snap
+        nq, read_tq, write_snap = snap
 
         def qfbody(i, _):
             @pl.when(i >= st.iq)
             def _():
-                yq_ref[i] = st.y
+                write_snap(i, st.y)
             return 0
 
         jax.lax.fori_loop(0, nq, qfbody, 0)
@@ -363,17 +627,23 @@ def _mmax_for(rtol, m_max):
     return (int(m_max) if m_max is not None else mmax), uround
 
 
-def solve_fused_rkc(fun, t_span, y0, rho, rtol=1e-4, atol=1e-6,
+def solve_fused_rkc(fun, t_span, y0, rho=None, rtol=1e-4, atol=1e-6,
                     first_step=None, max_steps=100_000,
-                    interpret=False, m_max=None, t_eval=None):
+                    interpret=False, m_max=None, t_eval=None,
+                    events=None, const_jac=False):
     """Integrate one stiff semi-discretized system in one TPU kernel.
 
     y0: float32 array of any VMEM-tileable shape (e.g. ``(2, ny, nx)``)
     — NOT flattened; ``fun(t, y) -> dy`` of the same shape, stencil
     shifts via :func:`roll`.  ``rho``: float upper bound of the
-    Jacobian spectral radius or a traceable callback ``rho(t, y)``.
+    Jacobian spectral radius, a traceable callback ``rho(t, y)``, or
+    ``None`` to run the IN-KERNEL nonlinear power iteration
+    (sommeijer.py:331-398) with the XLA stepper's refresh policy
+    (re-estimate on the first step, after rejections, and every 25
+    accepted steps; ``const_jac=True`` pins the first estimate).
     Returns (y_final, status, nsteps, nfev) with the fused-ERK status
-    convention.
+    convention, plus ``nfesig`` (power-iteration RHS evals, the
+    reference's counter) appended when ``rho is None``.
 
     The Chebyshev stage recurrence runs in double-single (hi, lo)
     arithmetic (ops/ds.py), so the internal-stability round-off bound
@@ -387,9 +657,22 @@ def solve_fused_rkc(fun, t_span, y0, rho, rtol=1e-4, atol=1e-6,
     kernel as the integration crosses each point, cubic-Hermite
     interpolated from the carried (y, f) step endpoints — the
     reference's own RKC dense output (sommeijer.py:400-406).  When
-    given, the return becomes (y_final, status, nsteps, nfev, y_eval)
-    with ``y_eval`` of shape (len(t_eval), *y0.shape); points at or
-    before t0 take y0, points past tf take y(tf).
+    given, ``y_eval`` of shape (len(t_eval), *y0.shape) is appended to
+    the return; points at or before t0 take y0, points past tf take
+    y(tf).
+
+    ``events``: optional callable or list of callables
+    ``g(t, y) -> scalar`` with the reference's optional ``terminal`` /
+    ``direction`` attributes (the solve_ivp event protocol).  Sign
+    changes across accepted steps fire the event; the root is bisected
+    in-kernel on the step's cubic Hermite interpolant (first crossing
+    recorded), and terminal events truncate the integration at the
+    root with status 8.  Appends ``(t_events (n_ev,),
+    y_events (n_ev, *y0.shape), n_events (n_ev,))`` to the return;
+    non-fired slots are NaN.
+
+    Return order: ``(y, status, nsteps, nfev[, nfesig][, y_eval]
+    [, t_events, y_events, n_events])``.
     """
     y0 = jnp.asarray(y0, jnp.float32)
     shape = y0.shape
@@ -405,37 +688,79 @@ def solve_fused_rkc(fun, t_span, y0, rho, rtol=1e-4, atol=1e-6,
 
     sqrtmin = float(np.sqrt(np.finfo(np.float32).tiny))
     mmax, uround = _mmax_for(rtol, m_max)
-    rho_const = None if callable(rho) else float(rho)
+    power = rho is None
+    rho_const = None if (power or callable(rho)) else float(rho)
 
     nq = 0 if t_eval is None else int(np.asarray(t_eval).shape[0])
     if t_eval is not None:
         t_eval = jnp.asarray(t_eval, jnp.float32)
 
+    ev_spec = _make_ev_spec(events)
+    n_ev = 0 if ev_spec is None else len(ev_spec)
+
     def kernel(sc_ref, *refs):
-        if t_eval is not None:
-            (teval_ref, y0_ref, yout_ref, stat_ref, nstep_ref,
-             nfev_ref, yq_ref) = refs
-            snap = (teval_ref, yq_ref, nq)
-        else:
-            y0_ref, yout_ref, stat_ref, nstep_ref, nfev_ref = refs
-            snap = None
+        refs = list(refs)
+        teval_ref = refs.pop(0) if t_eval is not None else None
+        y0_ref = refs.pop(0)
+        yout_ref, stat_ref, nstep_ref, nfev_ref = refs[:4]
+        refs = refs[4:]
+        nfesig_ref = refs.pop(0) if power else None
+        yq_ref = refs.pop(0) if t_eval is not None else None
+        if n_ev:
+            tev_ref, yev_ref, fev_ref = refs[:3]
         _IN_KERNEL[0] = True
         sc = tuple(sc_ref[i] for i in range(6))
 
-        def sprad_at(t, y):
-            if rho_const is not None:
-                return jnp.float32(rho_const)
-            return jnp.asarray(rho(t, y), jnp.float32)
+        if power:
+            sprad_at = None
+        elif rho_const is not None:
+            sprad_at = lambda t, y: jnp.float32(rho_const)  # noqa: E731
+        else:
+            sprad_at = lambda t, y: jnp.asarray(   # noqa: E731
+                rho(t, y), jnp.float32)
+
+        snap = None
+        if t_eval is not None:
+            def write_snap(i, val):
+                yq_ref[i] = val
+            snap = (nq, lambda i: teval_ref[i], write_snap)
+
+        events_k = None
+        if n_ev:
+            # outputs are uninitialized memory: clear before the loop
+            for i in range(n_ev):
+                tev_ref[i] = jnp.float32(0.0)
+                fev_ref[i] = jnp.int32(0)
+                yev_ref[i] = y0_ref[:] * 0.0
+
+            def write_event(i, keep, t_root, y_root):
+                @pl.when(keep)
+                def _():
+                    tev_ref[i] = t_root
+                    fev_ref[i] = jnp.int32(1)
+                    yev_ref[i] = y_root
+            events_k = (ev_spec, write_event)
 
         st = _integrate(fun, sprad_at, sc, y0_ref[:], mmax=mmax,
                         max_steps=max_steps, uround=uround,
-                        sqrtmin=sqrtmin, snap=snap)
+                        sqrtmin=sqrtmin, snap=snap, events=events_k,
+                        const_jac=const_jac)
 
         yout_ref[:] = st.y
         stat_ref[0] = st.status
         nstep_ref[0] = st.nstep
         nfev_ref[0] = st.nfev
+        if power:
+            nfesig_ref[0] = st.nfesig
         _IN_KERNEL[0] = False
+
+    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
+    args = [scalars]
+    if t_eval is not None:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        args.append(t_eval)
+    in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+    args.append(y0)
 
     out_shapes = [
         jax.ShapeDtypeStruct(shape, jnp.float32),
@@ -443,23 +768,30 @@ def solve_fused_rkc(fun, t_span, y0, rho, rtol=1e-4, atol=1e-6,
         jax.ShapeDtypeStruct((1,), jnp.int32),
         jax.ShapeDtypeStruct((1,), jnp.int32),
     ]
-    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
-    args = [scalars]
-    if t_eval is not None:
-        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
-        args.append(t_eval)
-        out_shapes.append(
-            jax.ShapeDtypeStruct((nq,) + shape, jnp.float32))
-    in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
-    args.append(y0)
     out_specs = [
         pl.BlockSpec(memory_space=pltpu.VMEM),
         pl.BlockSpec(memory_space=pltpu.SMEM),
         pl.BlockSpec(memory_space=pltpu.SMEM),
         pl.BlockSpec(memory_space=pltpu.SMEM),
     ]
+    if power:
+        out_shapes.append(jax.ShapeDtypeStruct((1,), jnp.int32))
+        out_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
     if t_eval is not None:
+        out_shapes.append(
+            jax.ShapeDtypeStruct((nq,) + shape, jnp.float32))
         out_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+    if n_ev:
+        out_shapes += [
+            jax.ShapeDtypeStruct((n_ev,), jnp.float32),
+            jax.ShapeDtypeStruct((n_ev,) + shape, jnp.float32),
+            jax.ShapeDtypeStruct((n_ev,), jnp.int32),
+        ]
+        out_specs += [
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ]
     with jax.enable_x64(False):
         outs = pl.pallas_call(
             kernel,
@@ -469,15 +801,29 @@ def solve_fused_rkc(fun, t_span, y0, rho, rtol=1e-4, atol=1e-6,
             interpret=interpret,
         )(*args)
     y_out, status, nsteps, nfev = outs[:4]
+    res = (y_out, status[0], nsteps[0], nfev[0])
+    k = 4
+    if power:
+        res = res + (outs[k][0],)
+        k += 1
     if t_eval is not None:
-        return y_out, status[0], nsteps[0], nfev[0], outs[4]
-    return y_out, status[0], nsteps[0], nfev[0]
+        res = res + (outs[k],)
+        k += 1
+    if n_ev:
+        tev, yev, fev = outs[k], outs[k + 1], outs[k + 2]
+        nanv = jnp.float32(np.nan)
+        t_events = jnp.where(fev != 0, tev, nanv)
+        exp = (slice(None),) + (None,) * len(shape)
+        y_events = jnp.where((fev != 0)[exp], yev, nanv)
+        res = res + (t_events, y_events, fev)
+    return res
 
 
-def solve_fused_rkc_ensemble(fun, t_span, y0, rho, params=None,
+def solve_fused_rkc_ensemble(fun, t_span, y0, rho=None, params=None,
                              rtol=1e-4, atol=1e-6, first_step=None,
                              max_steps=100_000, interpret=False,
-                             m_max=None):
+                             m_max=None, t_eval=None, events=None,
+                             const_jac=False):
     """Integrate an ENSEMBLE of stiff PDE grids in one TPU kernel.
 
     The flagship SSV2stab workload (BASELINE config 5, reference
@@ -495,13 +841,23 @@ def solve_fused_rkc_ensemble(fun, t_span, y0, rho, params=None,
     y0 : (n_members, *grid_shape) float32 — per-member initial grids.
     fun : ``fun(t, y)`` or ``fun(t, y, p)`` if ``params`` is given;
         ``y`` has ``grid_shape``; stencil shifts via :func:`roll`.
-    rho : float spectral-radius bound, or traceable callback —
-        ``rho(t, y)`` / ``rho(t, y, p)`` matching ``fun``'s arity.
+    rho : float spectral-radius bound, traceable callback
+        (``rho(t, y)`` / ``rho(t, y, p)`` matching ``fun``'s arity),
+        or ``None`` to run the in-kernel power iteration PER MEMBER
+        (each member carries its own eigenvector warm start and
+        refresh schedule; see :func:`solve_fused_rkc`).
     params : optional (n_members, k) float32 — per-member scalar
         parameters, delivered to ``fun`` as a k-tuple of SMEM scalars.
+    t_eval : optional snapshot times; appends ``y_eval`` of shape
+        (n_members, len(t_eval), *grid_shape).
+    events : optional event callables ``g(t, y)`` (or ``g(t, y, p)``
+        when ``params`` is given) with the solve_ivp protocol
+        attributes; appends ``(t_events (n_ev, n_members),
+        y_events (n_ev, n_members, *grid_shape),
+        n_events (n_ev, n_members))``; non-fired slots are NaN.
 
-    Returns (y_final, status, nsteps, nfev): per-member arrays of
-    shapes (n_members, *grid_shape) and (n_members,).  Per-member
+    Returns (y_final, status, nsteps, nfev[, nfesig][, y_eval]
+    [, t_events, y_events, n_events]): per-member arrays.  Per-member
     semantics (step sequence, controller, counters) are IDENTICAL to
     :func:`solve_fused_rkc` on that member alone — the same
     ``_integrate`` body runs per program instance.
@@ -525,7 +881,8 @@ def solve_fused_rkc_ensemble(fun, t_span, y0, rho, params=None,
 
     sqrtmin = float(np.sqrt(np.finfo(np.float32).tiny))
     mmax, uround = _mmax_for(rtol, m_max)
-    rho_const = None if callable(rho) else float(rho)
+    power = rho is None
+    rho_const = None if (power or callable(rho)) else float(rho)
 
     if params is not None:
         params = jnp.asarray(params, jnp.float32)
@@ -535,12 +892,24 @@ def solve_fused_rkc_ensemble(fun, t_span, y0, rho, params=None,
     else:
         n_par = 0
 
+    nq = 0 if t_eval is None else int(np.asarray(t_eval).shape[0])
+    if t_eval is not None:
+        t_eval = jnp.asarray(t_eval, jnp.float32)
+
+    ev_spec = _make_ev_spec(events)
+    n_ev = 0 if ev_spec is None else len(ev_spec)
+
     def kernel(sc_ref, *refs):
-        if params is not None:
-            par_ref, y0_ref, yout_ref, stat_ref, nstep_ref, \
-                nfev_ref = refs
-        else:
-            y0_ref, yout_ref, stat_ref, nstep_ref, nfev_ref = refs
+        refs = list(refs)
+        par_ref = refs.pop(0) if params is not None else None
+        teval_ref = refs.pop(0) if t_eval is not None else None
+        y0_ref = refs.pop(0)
+        yout_ref, stat_ref, nstep_ref, nfev_ref = refs[:4]
+        refs = refs[4:]
+        nfesig_ref = refs.pop(0) if power else None
+        yq_ref = refs.pop(0) if t_eval is not None else None
+        if n_ev:
+            tev_ref, yev_ref, fev_ref = refs[:3]
         _IN_KERNEL[0] = True
         sc = tuple(sc_ref[i] for i in range(6))
         i = pl.program_id(0)
@@ -548,22 +917,47 @@ def solve_fused_rkc_ensemble(fun, t_span, y0, rho, params=None,
         if params is not None:
             p = tuple(par_ref[i, j] for j in range(n_par))
             fun1 = lambda t, y: fun(t, y, p)                 # noqa: E731
-
-            def sprad_at(t, y):
-                if rho_const is not None:
-                    return jnp.float32(rho_const)
-                return jnp.asarray(rho(t, y, p), jnp.float32)
+            wrap = lambda g: (lambda t, y: g(t, y, p))       # noqa: E731
         else:
             fun1 = fun
+            wrap = lambda g: g                               # noqa: E731
 
-            def sprad_at(t, y):
-                if rho_const is not None:
-                    return jnp.float32(rho_const)
-                return jnp.asarray(rho(t, y), jnp.float32)
+        if power:
+            sprad_at = None
+        elif rho_const is not None:
+            sprad_at = lambda t, y: jnp.float32(rho_const)  # noqa: E731
+        else:
+            rho1 = wrap(rho)
+            sprad_at = lambda t, y: jnp.asarray(   # noqa: E731
+                rho1(t, y), jnp.float32)
+
+        snap = None
+        if t_eval is not None:
+            def write_snap(q, val):
+                yq_ref[0, q] = val
+            snap = (nq, lambda q: teval_ref[q], write_snap)
+
+        events_k = None
+        if n_ev:
+            ev_spec_k = [(wrap(ge), term, edir)
+                         for ge, term, edir in ev_spec]
+            for j in range(n_ev):
+                tev_ref[j, i] = jnp.float32(0.0)
+                fev_ref[j, i] = jnp.int32(0)
+                yev_ref[0, j] = y0_ref[0] * 0.0
+
+            def write_event(j, keep, t_root, y_root):
+                @pl.when(keep)
+                def _():
+                    tev_ref[j, i] = t_root
+                    fev_ref[j, i] = jnp.int32(1)
+                    yev_ref[0, j] = y_root
+            events_k = (ev_spec_k, write_event)
 
         st = _integrate(fun1, sprad_at, sc, y0_ref[0], mmax=mmax,
                         max_steps=max_steps, uround=uround,
-                        sqrtmin=sqrtmin)
+                        sqrtmin=sqrtmin, snap=snap, events=events_k,
+                        const_jac=const_jac)
 
         yout_ref[0] = st.y
         # the int outputs are whole-(n_members,) SMEM blocks (Mosaic
@@ -571,6 +965,8 @@ def solve_fused_rkc_ensemble(fun, t_span, y0, rho, params=None,
         stat_ref[i] = st.status
         nstep_ref[i] = st.nstep
         nfev_ref[i] = st.nfev
+        if power:
+            nfesig_ref[i] = st.nfesig
         _IN_KERNEL[0] = False
 
     zero_idx = (0,) * len(gshape)
@@ -586,23 +982,72 @@ def solve_fused_rkc_ensemble(fun, t_span, y0, rho, params=None,
         in_specs.append(pl.BlockSpec(params.shape, lambda i: (0, 0),
                                      memory_space=pltpu.SMEM))
         args.append(params)
+    if t_eval is not None:
+        in_specs.append(pl.BlockSpec((nq,), lambda i: (0,),
+                                     memory_space=pltpu.SMEM))
+        args.append(t_eval)
     in_specs.append(member_spec)
     args.append(y0)
 
-    out_shapes = (
+    out_shapes = [
         jax.ShapeDtypeStruct((n_members,) + gshape, jnp.float32),
         jax.ShapeDtypeStruct((n_members,), jnp.int32),
         jax.ShapeDtypeStruct((n_members,), jnp.int32),
         jax.ShapeDtypeStruct((n_members,), jnp.int32),
-    )
+    ]
+    out_specs = [member_spec, scalar_out_spec, scalar_out_spec,
+                 scalar_out_spec]
+    if power:
+        out_shapes.append(
+            jax.ShapeDtypeStruct((n_members,), jnp.int32))
+        out_specs.append(scalar_out_spec)
+    if t_eval is not None:
+        out_shapes.append(jax.ShapeDtypeStruct(
+            (n_members, nq) + gshape, jnp.float32))
+        out_specs.append(pl.BlockSpec(
+            (1, nq) + gshape, lambda i: (i, 0) + zero_idx,
+            memory_space=pltpu.VMEM))
+    if n_ev:
+        out_shapes += [
+            jax.ShapeDtypeStruct((n_ev, n_members), jnp.float32),
+            jax.ShapeDtypeStruct((n_members, n_ev) + gshape,
+                                 jnp.float32),
+            jax.ShapeDtypeStruct((n_ev, n_members), jnp.int32),
+        ]
+        out_specs += [
+            pl.BlockSpec((n_ev, n_members), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, n_ev) + gshape,
+                         lambda i: (i, 0) + zero_idx,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_ev, n_members), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ]
     with jax.enable_x64(False):
-        y_out, status, nsteps, nfev = pl.pallas_call(
+        outs = pl.pallas_call(
             kernel,
             grid=(n_members,),
             in_specs=in_specs,
-            out_specs=(member_spec, scalar_out_spec, scalar_out_spec,
-                       scalar_out_spec),
-            out_shape=out_shapes,
+            out_specs=tuple(out_specs),
+            out_shape=tuple(out_shapes),
             interpret=interpret,
         )(*args)
-    return y_out, status, nsteps, nfev
+    y_out, status, nsteps, nfev = outs[:4]
+    res = (y_out, status, nsteps, nfev)
+    k = 4
+    if power:
+        res = res + (outs[k],)
+        k += 1
+    if t_eval is not None:
+        res = res + (outs[k],)
+        k += 1
+    if n_ev:
+        tev, yev, fev = outs[k], outs[k + 1], outs[k + 2]
+        nanv = jnp.float32(np.nan)
+        t_events = jnp.where(fev != 0, tev, nanv)
+        # yev is (n_members, n_ev, *gshape) -> (n_ev, n_members, ...)
+        yev = jnp.moveaxis(yev, 1, 0)
+        exp = (slice(None), slice(None)) + (None,) * len(gshape)
+        y_events = jnp.where((fev != 0)[exp], yev, nanv)
+        res = res + (t_events, y_events, fev)
+    return res

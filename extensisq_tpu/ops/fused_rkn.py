@@ -23,8 +23,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..core.controller import resolve_controller
 from .fused_erk import (_RUNNING, _FINISHED, _TOO_SMALL, _OVERFLOW,
-                        _fblend, _iblend, _sanitize, _member_norm,
-                        _two_sum, _comp_wsum, _df_add, _hermite_tiles)
+                        _EVENT, _fblend, _iblend, _sanitize,
+                        _member_norm, _two_sum, _comp_wsum, _df_add,
+                        _hermite_tiles, _make_ev_spec, _handle_events)
 
 
 class _RS(NamedTuple):
@@ -53,11 +54,14 @@ class _RS(NamedTuple):
     nstep: Any
     nfev: Any
     qrows: Any  # (nq) of (u, v) snapshot pairs
+    ev: Any     # (gprev, fired, ev_t, ev_rows) event tuples
 
 
 def _run_rkn_loop(acc, consts, cc, compensated, max_steps, nq, tq_vals,
                   fzero, izero, mnorm, cat,
-                  t, tf_r, dir_r, rtol_r, atol_r, h_abs0, u, v, f):
+                  t, tf_r, dir_r, rtol_r, atol_r, h_abs0, u, v, f,
+                  ev_spec=None, split_part=None, join_rows=None,
+                  unsplit=None):
     """The whole adaptive RKN integration loop, LAYOUT-GENERIC.
 
     Shared by the two fused-RKN member layouts (the fused-ERK split,
@@ -73,8 +77,19 @@ def _run_rkn_loop(acc, consts, cc, compensated, max_steps, nq, tq_vals,
     the combined error norm.  ``consts`` is the static tableau tuple
     (A, Ap, B_w, Bp, C, E, Ep, s, fsal, h_min_a, tiny_err).
     Returns the final ``_RS`` carry.
+
+    ``ev_spec``: None or the static (g, terminal, direction) event
+    triples from fused_erk._make_ev_spec.  The partitioned state
+    plugs into the shared ``_handle_events`` as-is: the cubic Hermite
+    of [u, v] with derivative [v, a] IS the partitioned interpolant
+    the t_eval path uses, so event rows are y = u-rows + v-rows with
+    derivative rows v-rows + a-rows.  ``split_part`` splits one
+    partition array into hermite rows, ``join_rows`` builds the state
+    object g sees from 2m rows, ``unsplit`` inverts it into
+    (u_arr, v_arr) for the terminal-truncation blend.
     """
     A, Ap, B_w, Bp, C, E, Ep, s, fsal, h_min_a, tiny_err = consts
+    n_ev = 0 if ev_spec is None else len(ev_spec)
 
     def _wsum(rows, w):
         acc_ = None
@@ -241,16 +256,46 @@ def _run_rkn_loop(acc, consts, cc, compensated, max_steps, nq, tq_vals,
                      _fblend(crm, qv, st.qrows[q][1])))
             qrows_new = tuple(qrows_new)
 
+        # events: the shared handler on the PARTITIONED rows — the
+        # cubic Hermite of [u, v] with derivative [v, a] is exactly
+        # the partitioned interpolant above
+        ev_new = st.ev
+        trunc = izero != izero
+        te = fzero
+        y_te_rows = None
+        if n_ev:
+            h_safe_e = _fblend(h == 0.0, fzero + 1.0, h)
+            y_old_rows = split_part(st.u) + split_part(st.v)
+            f_old_rows = split_part(st.v) + split_part(st.f)
+            y_new_rows = split_part(u_new) + split_part(v_new)
+            f_new_rows = split_part(v_new) + split_part(f_new)
+            ev_new, trunc, te, y_te_rows = _handle_events(
+                ev_spec, st.ev, upd, direction, st.t, t_new, h,
+                h_safe_e, y_old_rows, f_old_rows, y_new_rows,
+                f_new_rows, fzero, izero, join_rows)
+            status = _iblend(trunc, izero + _EVENT, status)
+
         updm = jnp.broadcast_to(upd, st.u.shape)
+        t_out = _fblend(upd, t_new, st.t)
+        t_lo_out = _fblend(upd, t_lo_new, st.t_lo)
+        u_out = _fblend(updm, u_new, st.u)
+        v_out = _fblend(updm, v_new, st.v)
+        if n_ev and y_te_rows is not None:
+            u_te, v_te = unsplit(y_te_rows)
+            truncm = jnp.broadcast_to(trunc, st.u.shape)
+            u_out = _fblend(truncm, u_te, u_out)
+            v_out = _fblend(truncm, v_te, v_out)
+            t_out = _fblend(trunc, te, t_out)
+            t_lo_out = _fblend(trunc, fzero, t_lo_out)
         return _RS(
             it=st.it + 1,
             tf=st.tf, direction=st.direction,
             rtol=st.rtol, atol=st.atol,
-            t=_fblend(upd, t_new, st.t),
-            t_lo=_fblend(upd, t_lo_new, st.t_lo),
-            u=_fblend(updm, u_new, st.u),
+            t=t_out,
+            t_lo=t_lo_out,
+            u=u_out,
             u_lo=_fblend(updm, u_lo_new, st.u_lo),
-            v=_fblend(updm, v_new, st.v),
+            v=v_out,
             v_lo=_fblend(updm, v_lo_new, st.v_lo),
             f=_fblend(updm, f_new, st.f),
             h_abs=_fblend(running, h_abs_next, st.h_abs),
@@ -269,10 +314,20 @@ def _run_rkn_loop(acc, consts, cc, compensated, max_steps, nq, tq_vals,
             nstep=st.nstep + _iblend(upd, izero + 1, izero),
             nfev=st.nfev + dfev,
             qrows=qrows_new,
+            ev=ev_new,
         )
 
     # snapshot rows start at (u0, v0): covers points at/before t0
     qrows0 = tuple((u, v) for _ in range(nq))
+    if n_ev:
+        rows0 = tuple(split_part(u) + split_part(v))
+        ev0 = (tuple(ge(t, join_rows(list(rows0)))
+                     for ge, _, _ in ev_spec),
+               tuple(izero for _ in range(n_ev)),
+               tuple(fzero for _ in range(n_ev)),
+               tuple(rows0 for _ in range(n_ev)))
+    else:
+        ev0 = ()
     st0 = _RS(
         it=jnp.zeros((), jnp.int32),
         tf=tf_r, direction=dir_r, rtol=rtol_r, atol=atol_r,
@@ -281,13 +336,13 @@ def _run_rkn_loop(acc, consts, cc, compensated, max_steps, nq, tq_vals,
         status=izero, std_sc=izero + 1, err_old=fzero + 1.0,
         h_prev=fzero, max_fac=fzero + 10.0, fresh=izero + 1,
         rejected=izero, min_step=fzero, nstep=izero,
-        nfev=izero + 1, qrows=qrows0)
+        nfev=izero + 1, qrows=qrows0, ev=ev0)
     return jax.lax.while_loop(cond, body, st0)
 
 def solve_fused_rkn(acc, t_span, y0_batch, method=None, rtol=1e-4,
                     atol=1e-6, first_step=None, max_steps=100_000,
                     block_members=1024, interpret=False,
-                    compensated=False, t_eval=None):
+                    compensated=False, t_eval=None, events=None):
     """Integrate an ensemble of small 2nd-order systems in one kernel.
 
     y0_batch: (B, 2m) float32 — [u, v] per member.  Returns
@@ -298,6 +353,14 @@ def solve_fused_rkn(acc, t_span, y0_batch, method=None, rtol=1e-4,
     (common.py:766-790 evaluation form, partitioned: u rows take
     cubic Hermite with derivative v, v rows with the carried
     acceleration).  Appends ``y_eval`` (len(t_eval), B, 2m).
+
+    ``events``: optional callable(s) ``g(t, y)`` over the row-stacked
+    full state (y[j] for j < m displacements, j >= m velocities) with
+    the reference's ``terminal``/``direction`` attributes.  In-kernel
+    Hermite bisection on the PARTITIONED interpolant (u from (u, v),
+    v from (v, a)); appends (t_events (n_ev, B), y_events
+    (n_ev, B, 2m), n_events (n_ev, B)) like ``solve_fused_erk``;
+    terminal events truncate with status 8.
     """
     if method is None:
         from ..methods import Fi5N as method
@@ -349,9 +412,15 @@ def solve_fused_rkn(acc, t_span, y0_batch, method=None, rtol=1e-4,
     tq_vals = (None if t_eval is None
                else [float(v) for v in np.asarray(t_eval)])
 
+    ev_spec = _make_ev_spec(events)
+    n_ev = 0 if ev_spec is None else len(ev_spec)
+
     def kernel(sc_ref, y0_ref, yout_ref, stat_ref, nstep_ref, nfev_ref,
-               *maybe_yq):
-        yq_ref = maybe_yq[0] if nq else None
+               *rest):
+        rest = list(rest)
+        yq_ref = rest.pop(0) if nq else None
+        if n_ev:
+            tev_ref, yev_ref, fev_ref = rest[:3]
         yin = y0_ref[:].T.reshape(n, sub, 128)
         u = yin[:m]
         v = yin[m:]
@@ -370,7 +439,12 @@ def solve_fused_rkn(acc, t_span, y0_batch, method=None, rtol=1e-4,
                   tiny_err), cc, compensated, max_steps, nq, tq_vals,
             fzero, izero, _member_norm,
             lambda a, b: jnp.concatenate([a, b]),
-            t, tf_r, dir_r, rtol_r, atol_r, h_abs0, u, v, f)
+            t, tf_r, dir_r, rtol_r, atol_r, h_abs0, u, v, f,
+            ev_spec=ev_spec,
+            split_part=lambda arr: [arr[j] for j in range(m)],
+            join_rows=jnp.stack,
+            unsplit=lambda rows: (jnp.stack(rows[:m]),
+                                  jnp.stack(rows[m:])))
 
         yout_ref[:] = jnp.concatenate([st.u, st.v]).reshape(n, bm).T
         stat_ref[:] = st.status.reshape(1, bm)
@@ -384,6 +458,12 @@ def solve_fused_rkn(acc, t_span, y0_batch, method=None, rtol=1e-4,
                 qu = _fblend(unreached, st.u, st.qrows[q][0])
                 qv = _fblend(unreached, st.v, st.qrows[q][1])
                 yq_ref[q] = jnp.concatenate([qu, qv]).reshape(n, bm).T
+        if n_ev:
+            _, evf, ev_t, ev_rows = st.ev
+            for i in range(n_ev):
+                tev_ref[i] = ev_t[i].reshape(1, bm)
+                yev_ref[i] = jnp.stack(ev_rows[i]).reshape(n, bm).T
+                fev_ref[i] = evf[i].reshape(1, bm)
 
     n_padded = y0_batch.shape[0]
     out_shapes = [
@@ -408,6 +488,20 @@ def solve_fused_rkn(acc, t_span, y0_batch, method=None, rtol=1e-4,
         out_specs.append(
             pl.BlockSpec((nq, bm, n), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM))
+    if n_ev:
+        out_shapes += [
+            jax.ShapeDtypeStruct((n_ev, 1, n_padded), jnp.float32),
+            jax.ShapeDtypeStruct((n_ev, n_padded, n), jnp.float32),
+            jax.ShapeDtypeStruct((n_ev, 1, n_padded), jnp.int32),
+        ]
+        out_specs += [
+            pl.BlockSpec((n_ev, 1, bm), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_ev, bm, n), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_ev, 1, bm), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+        ]
     with jax.enable_x64(False):
         outs = pl.pallas_call(
             kernel,
@@ -426,6 +520,16 @@ def solve_fused_rkn(acc, t_span, y0_batch, method=None, rtol=1e-4,
     y_out = y_out[:n_total]
     ret = (y_out, status[0, :n_total], nsteps[0, :n_total],
            nfev[0, :n_total])
+    k = 4
     if nq:
-        ret = ret + (outs[4][:, :n_total],)
+        ret = ret + (outs[k][:, :n_total],)
+        k += 1
+    if n_ev:
+        tev, yev, fev = outs[k], outs[k + 1], outs[k + 2]
+        fired = fev[:, 0, :n_total]
+        nanv = jnp.float32(np.nan)
+        t_events = jnp.where(fired != 0, tev[:, 0, :n_total], nanv)
+        y_events = jnp.where((fired != 0)[:, :, None],
+                             yev[:, :n_total], nanv)
+        ret = ret + (t_events, y_events, fired)
     return ret

@@ -16,9 +16,7 @@ axis).  The RHS convention: ``acc(t, u, v)`` receives t (bm, 1) and
 u, v (bm, n), returns (bm, n); stencils via ``jnp.roll(..., -1)``.
 
 f32 (+ the compensated double-single mode); the XLA f64 path remains
-the conformance solver.  For in-kernel events use the first-order grid
-kernels or the XLA driver (the partitioned state needs a different
-event-function signature).
+the conformance solver.
 """
 import jax
 import jax.numpy as jnp
@@ -27,14 +25,14 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..core.controller import resolve_controller
-from .fused_erk import _fblend
+from .fused_erk import _fblend, _make_ev_spec
 from .fused_rkn import _run_rkn_loop
 
 
 def solve_fused_rkn_grid(acc, t_span, y0_batch, method=None, rtol=1e-4,
                          atol=1e-6, first_step=None, max_steps=100_000,
                          block_members=32, interpret=False,
-                         compensated=False, t_eval=None):
+                         compensated=False, t_eval=None, events=None):
     """Integrate a mid-size second-order ensemble with an RKN pair in
     one Pallas kernel.
 
@@ -46,6 +44,13 @@ def solve_fused_rkn_grid(acc, t_span, y0_batch, method=None, rtol=1e-4,
     (partitioned cubic Hermite, common.py:766-790 form).
     ``compensated=True`` enables the double-single mixed-precision
     mode exactly as in ``solve_fused_rkn``.
+
+    ``events``: optional callable(s) ``g(t, y)`` with y (bm, 2n) — u
+    then v on the lane axis — returning a (bm, 1) member tile;
+    reference ``terminal``/``direction`` protocol.  Bisection runs on
+    the partitioned Hermite interpolant; appends (t_events (n_ev, B),
+    y_events (n_ev, B, 2n), n_events (n_ev, B)); terminal events
+    truncate with status 8.
     """
     if method is None:
         from ..methods import Fi5N as method
@@ -102,9 +107,15 @@ def solve_fused_rkn_grid(acc, t_span, y0_batch, method=None, rtol=1e-4,
     tq_vals = (None if t_eval is None
                else [float(v) for v in np.asarray(t_eval)])
 
+    ev_spec = _make_ev_spec(events)
+    n_ev = 0 if ev_spec is None else len(ev_spec)
+
     def kernel(sc_ref, y0_ref, yout_ref, stat_ref, nstep_ref, nfev_ref,
-               *maybe_yq):
-        yq_ref = maybe_yq[0] if nq else None
+               *rest):
+        rest = list(rest)
+        yq_ref = rest.pop(0) if nq else None
+        if n_ev:
+            tev_ref, yev_ref, fev_ref = rest[:3]
         yin = y0_ref[:]
         u = yin[:, :n]
         v = yin[:, n:]
@@ -127,7 +138,11 @@ def solve_fused_rkn_grid(acc, t_span, y0_batch, method=None, rtol=1e-4,
                   tiny_err), cc, compensated, max_steps, nq, tq_vals,
             fzero, izero, mnorm,
             lambda a, b: jnp.concatenate([a, b], axis=-1),
-            t, tf_r, dir_r, rtol_r, atol_r, h_abs0, u, v, f)
+            t, tf_r, dir_r, rtol_r, atol_r, h_abs0, u, v, f,
+            ev_spec=ev_spec,
+            split_part=lambda arr: [arr],
+            join_rows=lambda rows: jnp.concatenate(rows, axis=-1),
+            unsplit=lambda rows: (rows[0], rows[1]))
 
         yout_ref[:] = jnp.concatenate([st.u, st.v], axis=-1)
         stat_ref[:] = st.status
@@ -140,6 +155,13 @@ def solve_fused_rkn_grid(acc, t_span, y0_batch, method=None, rtol=1e-4,
                 qu = _fblend(unreached, st.u, st.qrows[q][0])
                 qv = _fblend(unreached, st.v, st.qrows[q][1])
                 yq_ref[q] = jnp.concatenate([qu, qv], axis=-1)
+        if n_ev:
+            _, evf, ev_t, ev_rows = st.ev
+            for i in range(n_ev):
+                tev_ref[i] = ev_t[i]
+                yev_ref[i] = jnp.concatenate(list(ev_rows[i]),
+                                             axis=-1)
+                fev_ref[i] = evf[i]
 
     out_shapes = [
         jax.ShapeDtypeStruct((B, n2), jnp.float32),
@@ -163,6 +185,20 @@ def solve_fused_rkn_grid(acc, t_span, y0_batch, method=None, rtol=1e-4,
         out_specs.append(
             pl.BlockSpec((nq, bm, n2), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM))
+    if n_ev:
+        out_shapes += [
+            jax.ShapeDtypeStruct((n_ev, B, 1), jnp.float32),
+            jax.ShapeDtypeStruct((n_ev, B, n2), jnp.float32),
+            jax.ShapeDtypeStruct((n_ev, B, 1), jnp.int32),
+        ]
+        out_specs += [
+            pl.BlockSpec((n_ev, bm, 1), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_ev, bm, n2), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_ev, bm, 1), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+        ]
     # trace with x64 OFF (TPU Pallas has no 64-bit types)
     with jax.enable_x64(False):
         outs = pl.pallas_call(
@@ -181,6 +217,16 @@ def solve_fused_rkn_grid(acc, t_span, y0_batch, method=None, rtol=1e-4,
     y_out, status, nsteps, nfev = outs[:4]
     ret = (y_out[:n_total], status[:n_total, 0],
            nsteps[:n_total, 0], nfev[:n_total, 0])
+    k = 4
     if nq:
-        ret = ret + (outs[4][:, :n_total],)
+        ret = ret + (outs[k][:, :n_total],)
+        k += 1
+    if n_ev:
+        tev, yev, fev = outs[k], outs[k + 1], outs[k + 2]
+        fired = fev[:, :n_total, 0]
+        nanv = jnp.float32(np.nan)
+        t_events = jnp.where(fired != 0, tev[:, :n_total, 0], nanv)
+        y_events = jnp.where((fired != 0)[:, :, None],
+                             yev[:, :n_total], nanv)
+        ret = ret + (t_events, y_events, fired)
     return ret

@@ -1431,3 +1431,248 @@ def test_fused_esdirk_grid_n256():
                          jnp.asarray(Y0, jnp.float64), method=Kv3I,
                          rtol=1e-4, atol=1e-6)
     assert np.max(np.abs(np.asarray(y) - np.asarray(out.y))) < 1e-3
+
+
+def _brusselator_grid(ny=8, nx=128, alpha=0.02):
+    """Shared 2-D periodic Brusselator for the fused-RKC event /
+    power-iteration tests."""
+    from extensisq_tpu.ops.fused_rkc import roll
+    dx = 1.0 / nx
+
+    def fun_grid(t, uv, B=3.0):
+        lap = (roll(uv, 1, 1) + roll(uv, -1, 1)
+               + roll(uv, 1, 2) + roll(uv, -1, 2) - 4.0 * uv) / dx ** 2
+        u, v = uv[0], uv[1]
+        uv2 = u * u * v
+        return jnp.stack([1.0 + uv2 - (B + 1.0) * u + alpha * lap[0],
+                          B * u - uv2 + alpha * lap[1]])
+
+    rho = 8.0 * alpha / dx ** 2 + 2.0 + 3.5
+    xg = np.linspace(0, 1, nx, endpoint=False)
+    Y0 = np.zeros((2, ny, nx), np.float32)
+    Y0[0] = 1.0 + 0.3 * np.sin(2 * np.pi * xg)[None, :]
+    Y0[1] = 3.0
+    return fun_grid, rho, Y0
+
+
+def test_fused_rkc_power_iteration():
+    """rho=None runs the nonlinear power iteration INSIDE the kernel
+    (sommeijer.py:331-398): the solve must track the XLA stepper's
+    power-iteration path (which runs the identical algorithm in f64)
+    in steps/endpoint, and report the nfesig counter."""
+    from extensisq_tpu.ops.fused_rkc import solve_fused_rkc
+    from extensisq_tpu import solve, SSV2stab
+
+    fun_grid, _, Y0 = _brusselator_grid()
+    ny, nx = Y0.shape[1:]
+
+    y2, s2, n2, f2, nsig = solve_fused_rkc(
+        fun_grid, (0.0, 1.0), Y0, None, rtol=1e-4, atol=1e-7,
+        interpret=True)
+    assert int(s2) == 1
+    assert int(nsig) > 0          # evals spent on rho, counted apart
+    # nfev must NOT include the power-iteration evals
+    assert int(f2) < int(f2) + int(nsig)
+
+    def fun_flat(t, y):
+        return fun_grid(t, y.reshape(2, ny, nx)).reshape(-1)
+
+    sol = solve(fun_flat, (0.0, 1.0),
+                jnp.asarray(Y0.reshape(-1), jnp.float64),
+                method=SSV2stab, rtol=1e-4, atol=1e-7)
+    assert int(sol.status) == 1
+    # same algorithm, f32 vs f64 radius estimates: small drift allowed
+    assert abs(int(n2) - int(sol.nsteps)) <= 2
+    assert np.max(np.abs(np.asarray(y2).reshape(-1)
+                         - np.asarray(sol.y))) < 1e-3
+
+
+def test_fused_rkc_events():
+    """In-kernel events for the fused RKC kernel: terminal root agrees
+    with the device driver's event handler at tolerance scale, status
+    is the driver's TERMINAL_EVENT code."""
+    from extensisq_tpu.ops.fused_rkc import solve_fused_rkc
+    from extensisq_tpu import solve, SSV2stab
+
+    fun_grid, rho, Y0 = _brusselator_grid()
+    ny, nx = Y0.shape[1:]
+
+    def gmean(t, y):
+        return jnp.mean(y[0]) - 1.02
+    gmean.terminal = True
+
+    out = solve_fused_rkc(fun_grid, (0.0, 1.0), Y0, rho, rtol=1e-4,
+                          atol=1e-7, interpret=True, events=gmean)
+    y3, s3, n3, f3, tev, yev, nev = out
+    assert int(s3) == 8
+    assert int(nev[0]) == 1
+    assert np.isfinite(float(tev[0]))
+
+    def fun_flat(t, y):
+        return fun_grid(t, y.reshape(2, ny, nx)).reshape(-1)
+
+    def gflat(t, y):
+        return jnp.mean(y.reshape(2, ny, nx)[0]) - 1.02
+    gflat.terminal = True
+
+    sol = solve(fun_flat, (0.0, 1.0),
+                jnp.asarray(Y0.reshape(-1), jnp.float64),
+                method=SSV2stab, rtol=1e-4, atol=1e-7,
+                rho_jac=lambda t, y: rho, events=gflat)
+    assert int(sol.status) == 8
+    # different step sequences (f32 vs f64 controller) -> the root is
+    # found on slightly different Hermite segments; tolerance-scale
+    assert abs(float(tev[0]) - float(sol.t_events[0][0])) < 5e-4
+    assert np.max(np.abs(np.asarray(yev[0]).reshape(-1)
+                         - np.asarray(sol.y_events[0][0]))) < 1e-3
+    # terminal truncation: the carried endpoint IS the event state
+    assert np.array_equal(np.asarray(y3), np.asarray(yev[0]))
+
+
+def test_fused_rkc_ensemble_power_events_teval():
+    """Ensemble layout: per-member power iteration, events and t_eval
+    all from inside one pallas_call; member rows bit-identical to the
+    single-grid kernel run alone."""
+    from extensisq_tpu.ops.fused_rkc import (solve_fused_rkc,
+                                             solve_fused_rkc_ensemble)
+
+    fun_grid, _, Y0 = _brusselator_grid()
+    M = 3
+    Bs = np.linspace(2.8, 3.4, M).astype(np.float32)
+    Y0e = np.broadcast_to(Y0, (M,) + Y0.shape).copy()
+
+    def fun_p(t, y, p):
+        return fun_grid(t, y, p[0])
+
+    def gev(t, y, p):
+        return jnp.mean(y[0]) - 1.02
+    gev.terminal = False
+
+    tq = np.array([0.25, 0.5, 0.75], np.float32)
+    out = solve_fused_rkc_ensemble(
+        fun_p, (0.0, 1.0), Y0e, None, params=Bs[:, None], rtol=1e-4,
+        atol=1e-7, interpret=True, t_eval=tq, events=gev)
+    yf, st, ns, nf, nsig_e, yq, tev, yev, nev = out
+    assert np.all(np.asarray(st) == 1)     # non-terminal: runs to tf
+    assert yq.shape == (M, 3) + Y0.shape
+    assert yev.shape == (1, M) + Y0.shape
+
+    # member 1 must be bit-identical to the single-grid kernel
+    y1, s1, n1, f1, nsig1 = solve_fused_rkc(
+        lambda t, y: fun_grid(t, y, float(Bs[1])), (0.0, 1.0),
+        Y0e[1], None, rtol=1e-4, atol=1e-7, interpret=True)
+    assert int(n1) == int(ns[1])
+    assert int(f1) == int(nf[1])
+    assert int(nsig1) == int(nsig_e[1])
+    assert np.array_equal(np.asarray(y1), np.asarray(yf[1]))
+
+
+def test_fused_esdirk_hidden_mass_events():
+    """Events on a ROTATED (dense/hidden-M) DAE: the kernel integrates
+    in SVD-rotated coordinates but event functions see user
+    coordinates (each g is wrapped through the y = V w back-rotation),
+    and y_events is un-rotated on output.  Kaps has the analytic
+    solution y1 = exp(-t), so the terminal root of y1 - 0.8 is known
+    exactly: t* = -ln(0.8)."""
+    from extensisq_tpu.ops.fused_esdirk import solve_fused_esdirk
+    from extensisq_tpu import TRBDF2
+
+    rng = np.random.RandomState(1)
+    A = rng.rand(2, 2)
+    B = rng.rand(2, 2)
+    Binv = np.linalg.inv(B)
+    M_hidden = A @ np.array([[0.0, 0.0], [0.0, 1.0]]) @ Binv
+
+    def kaps_rows(t, z):
+        y0 = Binv[0, 0] * z[0] + Binv[0, 1] * z[1]
+        y1 = Binv[1, 0] * z[0] + Binv[1, 1] * z[1]
+        f0 = -y0 + y1 * y1
+        f1 = y0 - y1 - y1 * y1
+        return jnp.stack([A[0, 0] * f0 + A[0, 1] * f1,
+                          A[1, 0] * f0 + A[1, 1] * f1])
+
+    def g_y1(t, z):
+        # event in USER coordinates (the hidden z the caller supplies)
+        return (Binv[1, 0] * z[0] + Binv[1, 1] * z[1]) - 0.8
+    g_y1.terminal = True
+    g_y1.direction = -1.0
+
+    z0 = B @ np.array([1.0, 1.0])
+    zp0 = B @ np.array([-2.0, -1.0])
+    Z0 = np.tile(z0.astype(np.float32), (128, 1))
+    ZP0 = np.tile(zp0.astype(np.float32), (128, 1))
+
+    zf, st, ns, nf, tev, zev, nev = solve_fused_esdirk(
+        kaps_rows, (0.0, 1.0), Z0, method=TRBDF2, M=M_hidden,
+        yp0_batch=ZP0, rtol=1e-4, atol=1e-6, interpret=True,
+        block_members=128, events=g_y1)
+    assert np.all(np.asarray(st) == 8)
+    assert np.all(np.asarray(nev[0]) == 1)
+    t_star = -np.log(0.8)
+    assert abs(float(tev[0][0]) - t_star) < 2e-4
+    # y_events is un-rotated: recover y at the root, check y1 == 0.8
+    y_ev = Binv @ np.asarray(zev[0][0])
+    assert abs(y_ev[1] - 0.8) < 2e-4
+    assert abs(y_ev[0] - 0.8 ** 2) < 3e-4
+    # terminal truncation: carried endpoint equals the event state
+    assert np.allclose(np.asarray(zf[0]), np.asarray(zev[0][0]),
+                       atol=1e-6)
+
+
+def test_fused_rkn_events():
+    """In-kernel events for the fused RKN kernel (flat layout): the
+    partitioned Hermite interpolant (u from (u, v), v from (v, a))
+    feeds the shared bisection handler; on the harmonic oscillator
+    u'' = -u the terminal root of u is analytically pi/2."""
+    from extensisq_tpu.ops import solve_fused_rkn
+
+    def acc(t, u, v):
+        return -u
+
+    B = 128
+    Y0 = np.zeros((B, 2), np.float32)
+    Y0[:, 0] = 1.0
+
+    def g_u0(t, y):
+        return y[0]
+    g_u0.terminal = True
+    g_u0.direction = -1.0
+
+    y, st, ns, nf, tev, yev, nev = solve_fused_rkn(
+        acc, (0.0, 3.0), Y0, rtol=1e-5, atol=1e-8,
+        block_members=128, interpret=True, events=g_u0)
+    assert np.all(np.asarray(st) == 8)
+    assert np.all(np.asarray(nev[0]) == 1)
+    assert abs(float(tev[0, 0]) - np.pi / 2) < 1e-4
+    # the event state: u ~ 0, v = -sin(pi/2) = -1
+    assert abs(float(yev[0, 0, 0])) < 1e-4
+    assert abs(float(yev[0, 0, 1]) + 1.0) < 1e-3
+    # terminal truncation: the carried endpoint is the event state
+    assert np.allclose(np.asarray(y[0]), np.asarray(yev[0, 0]),
+                       atol=1e-6)
+
+
+def test_fused_rkn_grid_events():
+    """Events in the mid-size states-on-lanes RKN layout: g sees
+    (bm, 2n) [u, v] and returns a (bm, 1) member tile."""
+    from extensisq_tpu.ops import solve_fused_rkn_grid
+
+    n = 128
+    B = 16
+    Y0 = np.zeros((B, 2 * n), np.float32)
+    Y0[:, :n] = 1.0
+
+    def accg(t, u, v):
+        return -u
+
+    def g_mean(t, y):
+        return jnp.mean(y[:, :n], axis=-1, keepdims=True)
+    g_mean.terminal = True
+    g_mean.direction = -1.0
+
+    y, st, ns, nf, tev, yev, nev = solve_fused_rkn_grid(
+        accg, (0.0, 3.0), Y0, rtol=1e-5, atol=1e-8,
+        block_members=16, interpret=True, events=g_mean)
+    assert np.all(np.asarray(st) == 8)
+    assert abs(float(tev[0, 0]) - np.pi / 2) < 1e-4
+    assert yev.shape == (1, B, 2 * n)

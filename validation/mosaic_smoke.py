@@ -85,6 +85,13 @@ def main():
         acc2, (0.0, 3.0), Y, method=Fi5N, block_members=256,
         t_eval=tq), Y4)
 
+    def ev_u0(t, y):
+        return y[0] - 0.5
+    ev_u0.terminal = True
+    check("fused_rkn events", lambda Y: solve_fused_rkn(
+        acc2, (0.0, 3.0), Y, method=Fi5N, block_members=256,
+        events=ev_u0), Y4)
+
     ny, nx = 16, 128
     dx = 1.0 / nx
 
@@ -103,6 +110,15 @@ def main():
     check("fused_rkc t_eval", lambda Y: solve_fused_rkc(
         bru, (0.0, 1.0), Y, rho, t_eval=tq), G)
 
+    check("fused_rkc power-rho", lambda Y: solve_fused_rkc(
+        bru, (0.0, 1.0), Y, None), G)
+
+    def ev_gmean(t, y):
+        return jnp.mean(y[0]) - 1.5
+    ev_gmean.terminal = True
+    check("fused_rkc events", lambda Y: solve_fused_rkc(
+        bru, (0.0, 1.0), Y, rho, events=ev_gmean), G)
+
     def bru_p(t, uv, p):
         return bru(t, uv) * 1.0 + 0.0 * p[0]
 
@@ -110,6 +126,14 @@ def main():
     PE = np.ones((8, 1), np.float32)
     check("fused_rkc ensemble", lambda Y, P: solve_fused_rkc_ensemble(
         bru_p, (0.0, 1.0), Y, rho, params=P), GE, PE)
+
+    def ev_gmean_p(t, y, p):
+        return jnp.mean(y[0]) - 1.5
+    ev_gmean_p.terminal = True
+    check("fused_rkc ensemble power/events/t_eval",
+          lambda Y, P: solve_fused_rkc_ensemble(
+              bru_p, (0.0, 1.0), Y, None, params=P, t_eval=tq,
+              events=ev_gmean_p), GE, PE)
 
     def rob(t, y):
         r1 = -0.04 * y[0] + 1e4 * y[1] * y[2]
@@ -154,6 +178,15 @@ def main():
           lambda Z, ZP: solve_fused_esdirk(
               kaps_rows, (0.0, 1.0), Z, method=TRBDF2, M=M_hidden,
               yp0_batch=ZP, block_members=256), Z0, ZP0)
+
+    def ev_hidden(t, z):
+        return Binv[1, 0] * z[0] + Binv[1, 1] * z[1] - 0.8
+    ev_hidden.terminal = True
+    check("fused_esdirk hidden-M events",
+          lambda Z, ZP: solve_fused_esdirk(
+              kaps_rows, (0.0, 1.0), Z, method=TRBDF2, M=M_hidden,
+              yp0_batch=ZP, block_members=256, events=ev_hidden),
+          Z0, ZP0)
 
     check("fused_adams", lambda Y: solve_fused_adams(
         vdp, (0.0, 2.0), Y, block_members=256), Y2)
@@ -240,6 +273,12 @@ def main():
     check("fused_rkn_grid compensated", lambda Y: solve_fused_rkn_grid(
         wave_g, (0.0, 1.0), Y, block_members=8, rtol=1e-6,
         atol=1e-9, compensated=True), YW)
+
+    def ev_umean(t, y):
+        return jnp.mean(y[:, :128], axis=-1, keepdims=True) - 0.1
+    ev_umean.terminal = True
+    check("fused_rkn_grid events", lambda Y: solve_fused_rkn_grid(
+        wave_g, (0.0, 1.0), Y, block_members=8, events=ev_umean), YW)
 
     # diagonal mass WITHOUT yp0: exercises the in-kernel M^-1 f0
     # initial-derivative paths (both layouts)
