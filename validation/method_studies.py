@@ -9,7 +9,8 @@ diagnostics the notebooks discuss (interpolant error for BS5, rejected
 steps for CKdisc, order slopes for Prince, order distribution for SWAG).
 
 Run: python validation/method_studies.py [study ...]
-where study in {bs5, ckdisc, prince, swag}; default all.
+where study in {bs5, ckdisc, prince, swag, rkc, esdirk, nystrom};
+default all.
 The tables printed here are pasted into docs/methods/*.md.
 """
 import os
@@ -171,8 +172,151 @@ def study_swag():
           f"methods above pay 6-12)")
 
 
+# ---------------------------------------------------------------- RKC
+def study_rkc():
+    """1-D reaction-diffusion ladder over the diffusion coefficient:
+    SSV2stab's stage count m grows like sqrt(h rho) so its STEP count
+    stays flat as the problem stiffens, while an explicit RK pair's
+    step count grows linearly with rho (stability-bound, not
+    accuracy-bound).  The Demo_SSV2stab.ipynb argument, measured."""
+    from extensisq_tpu import SSV2stab
+
+    n = 64
+    dx = 1.0 / n
+    xg = np.linspace(0, 1, n, endpoint=False)
+    y0 = jnp.asarray(0.5 + 0.4 * np.sin(2 * np.pi * xg))
+
+    print("\n== RKC study: u_t = d u_xx + u^2(1-u), t in [0, 0.5], "
+          "n=64, rtol=1e-4 ==")
+    print(f"{'d':>8}  {'rho':>9}  {'RKC steps':>9}  {'RKC nfev':>8}  "
+          f"{'max m':>6}  {'BS5 steps':>9}  {'BS5 nfev':>8}")
+    for dcoef in (0.01, 0.1, 1.0, 10.0):
+        def rhs(t, y, d=dcoef):
+            lap = (jnp.roll(y, 1) + jnp.roll(y, -1) - 2.0 * y) / dx ** 2
+            return d * lap + y * y * (1.0 - y)
+
+        rho = 4.0 * dcoef / dx ** 2 + 1.0
+        r = solve_ivp(rhs, (0.0, 0.5), y0, method=SSV2stab, rtol=1e-4,
+                      atol=1e-7, rho_jac=lambda t, y, rho=rho: rho)
+        rb = solve_ivp(rhs, (0.0, 0.5), y0, method=BS5, rtol=1e-4,
+                       atol=1e-7)
+        print(f"{dcoef:8.2f}  {rho:9.0f}  {r.t.size - 1:>9}  "
+              f"{r.nfev:>8}  {int(r.maxm):>6}  {rb.t.size - 1:>9}  "
+              f"{rb.nfev:>8}")
+
+    # power iteration vs analytic bound: same steps, nfesig extra
+    def rhs1(t, y):
+        lap = (jnp.roll(y, 1) + jnp.roll(y, -1) - 2.0 * y) / dx ** 2
+        return 1.0 * lap + y * y * (1.0 - y)
+
+    rho1 = 4.0 / dx ** 2 + 1.0
+    ra = solve_ivp(rhs1, (0.0, 0.5), y0, method=SSV2stab, rtol=1e-4,
+                   atol=1e-7, rho_jac=lambda t, y: rho1)
+    rp = solve_ivp(rhs1, (0.0, 0.5), y0, method=SSV2stab, rtol=1e-4,
+                   atol=1e-7)
+    print(f"\nspectral radius: analytic bound steps={ra.t.size - 1} "
+          f"nfev={ra.nfev}; power iteration steps={rp.t.size - 1} "
+          f"nfev={rp.nfev} + nfesig={int(rp.nfesig)}")
+
+
+# ------------------------------------------------------------- ESDIRK
+def study_esdirk():
+    """Robertson over a tolerance ladder: the implicit family's
+    work profile (nfev/njev/nlu) and the L- vs A-stable distinction
+    the TR-BDF2 paper discusses (TRX2's trapezium substeps are only
+    A-stable: on very stiff transients its error estimate forces
+    smaller steps than L-stable TRBDF2)."""
+    from extensisq_tpu import TRBDF2, TRX2, KC3I, KC4I, KC4Ia
+
+    def rob(t, y):
+        r1 = -0.04 * y[0] + 1e4 * y[1] * y[2]
+        r3 = 3e7 * y[1] * y[1]
+        return jnp.stack([r1, -r1 - r3, r3])
+
+    y0 = jnp.asarray([1.0, 0.0, 0.0])
+    t_span = (0.0, 1e4)
+    ref = solve_ivp(rob, t_span, y0, method=KC4Ia, rtol=1e-11,
+                    atol=1e-14)
+    exact = np.asarray(ref.y)[:, -1]
+
+    print("\n== ESDIRK study: Robertson to t=1e4, err vs KC4Ia@1e-11 ==")
+    print(f"{'method':<7} {'rtol':>7}  {'steps':>6} {'nfev':>6} "
+          f"{'njev':>5} {'nlu':>5}  {'err':>8}")
+    for m in (TRBDF2, TRX2, KC3I, KC4I, KC4Ia, Kv3I):
+        for rtol in (1e-4, 1e-7):
+            r = solve_ivp(rob, t_span, y0, method=m, rtol=rtol,
+                          atol=rtol * 1e-3)
+            err = float(np.max(np.abs(np.asarray(r.y)[:, -1] - exact)
+                               / np.maximum(np.abs(exact), 1e-30)))
+            print(f"{m.name:<7} {rtol:>7.0e}  {r.t.size - 1:>6} "
+                  f"{r.nfev:>6} {int(r.njev):>5} {int(r.nlu):>5}  "
+                  f"{err:8.1e}")
+
+    # L- vs A-stability: stiff relaxation y' = -1e6 (y - cos t)
+    def relax(t, y):
+        return -1e6 * (y - jnp.cos(t))
+
+    print("\nstiff relaxation y' = -1e6 (y - cos t), y0=2, t=[0,2], "
+          "rtol=1e-6:")
+    for m in (TRBDF2, TRX2, KC3I):
+        r = solve_ivp(relax, (0.0, 2.0), jnp.asarray([2.0]), method=m,
+                      rtol=1e-6, atol=1e-9)
+        err = abs(float(r.y[0, -1]) - np.cos(2.0))
+        print(f"  {m.name:<7} steps={r.t.size - 1:>5}  nfev={r.nfev:>6} "
+              f" err={err:8.1e}")
+
+
+# ------------------------------------------------------------ Nystrom
+def study_nystrom():
+    """Kepler orbit (e=0.5): direct 2nd-order integration vs the same
+    problem through a first-order pair.  Nystrom pairs integrate
+    y''=a(y) directly — fewer evals per step at the same order — and
+    MR6NN additionally drops the velocity arguments entirely."""
+    from extensisq_tpu import Fi4N, Fi5N, Mu5Nmb, MR6NN
+
+    e = 0.5
+
+    def rhs1(t, y):
+        """Reference RKN convention: y = [u, v], returns [v, a(u)]."""
+        r2 = y[0] ** 2 + y[1] ** 2
+        a = -r2 ** -1.5
+        return jnp.concatenate([y[2:], jnp.stack([a * y[0],
+                                                  a * y[1]])])
+
+    u0 = jnp.asarray([1.0 - e, 0.0])
+    v0 = jnp.asarray([0.0, np.sqrt((1 + e) / (1 - e))])
+    y0 = jnp.concatenate([u0, v0])
+    t_span = (0.0, 20.0)
+
+    ref = solve_ivp(rhs1, t_span, y0, method=Pr9, rtol=1e-13,
+                    atol=1e-16)
+    exact = np.asarray(ref.y)[:, -1]
+
+    print("\n== Nystrom study: Kepler e=0.5 to t=20, err vs "
+          "Pr9@1e-13 ==")
+    print(f"{'method':<7} {'rtol':>7}  {'steps':>6} {'nfev':>7}  "
+          f"{'err':>8}")
+    for m in (Fi4N, Fi5N, Mu5Nmb, MR6NN):
+        for rtol in (1e-6, 1e-9):
+            r = solve_ivp(rhs1, t_span, y0, method=m, rtol=rtol,
+                          atol=rtol * 1e-3)
+            err = float(np.max(np.abs(np.asarray(r.y)[:, -1] - exact)))
+            print(f"{m.name:<7} {rtol:>7.0e}  {r.t.size - 1:>6} "
+                  f"{r.nfev:>7}  {err:8.1e}")
+    for m, name in ((BS5, "BS5"), (Pr7, "Pr7")):
+        for rtol in (1e-6, 1e-9):
+            r = solve_ivp(rhs1, t_span, y0, method=m, rtol=rtol,
+                          atol=rtol * 1e-3)
+            err = float(np.max(np.abs(np.asarray(r.y)[:, -1] - exact)))
+            print(f"{name + '*':<7} {rtol:>7.0e}  {r.t.size - 1:>6} "
+                  f"{r.nfev:>7}  {err:8.1e}")
+    print("(* first-order form: each eval costs the full [v, a] stack)")
+
+
 STUDIES = {"bs5": study_bs5, "ckdisc": study_ckdisc,
-           "prince": study_prince, "swag": study_swag}
+           "prince": study_prince, "swag": study_swag,
+           "rkc": study_rkc, "esdirk": study_esdirk,
+           "nystrom": study_nystrom}
 
 if __name__ == "__main__":
     pick = [a for a in sys.argv[1:] if a in STUDIES] or list(STUDIES)
