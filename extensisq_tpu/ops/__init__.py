@@ -20,6 +20,10 @@ remain the conformance solvers).
   (n a multiple of 128, states on the lane axis, members on
   sublanes): method-of-lines PDEs and reaction networks the
   row-unrolled layout cannot express
+* :func:`solve_fused_ckdisc` — the CKdisc variable-order
+  quit/twiddle cascade for NON-SMOOTH problems: staged E1/E2/E4
+  assessments, adaptive twiddle/quit factors and reduced-order
+  fallback acceptance, all as masked member-tile arithmetic
 * :func:`solve_fused_erk_grid` — the same states-on-lanes layout for
   explicit RK pairs (mid-size nonstiff work: advection/reaction MoL,
   oscillator chains); shares fused_erk's adaptive loop verbatim
@@ -32,6 +36,7 @@ remain the conformance solvers).
   Nystrom loop in the same states-on-lanes layout
 """
 from .fused_erk import solve_fused_erk
+from .fused_ckdisc import solve_fused_ckdisc
 from .fused_erk_grid import solve_fused_erk_grid
 from .fused_rkn import solve_fused_rkn
 from .fused_rkn_grid import solve_fused_rkn_grid
@@ -42,7 +47,8 @@ from .fused_esdirk_grid import solve_fused_esdirk_grid
 from .fused_adams import solve_fused_adams
 from .fused_adams_grid import solve_fused_adams_grid
 
-__all__ = ["solve_fused_erk", "solve_fused_erk_grid",
+__all__ = ["solve_fused_erk", "solve_fused_ckdisc",
+           "solve_fused_erk_grid",
            "solve_fused_rkn", "solve_fused_rkn_grid",
            "solve_fused_rkc",
            "solve_fused_rkc_ensemble", "solve_fused_esdirk",

@@ -1676,3 +1676,56 @@ def test_fused_rkn_grid_events():
     assert np.all(np.asarray(st) == 8)
     assert abs(float(tev[0, 0]) - np.pi / 2) < 1e-4
     assert yev.shape == (1, B, 2 * n)
+
+
+def test_fused_ckdisc_nonsmooth():
+    """Fused CKdisc cascade on the sign-switching decay problem: the
+    masked quit/twiddle logic must track the XLA f64 stepper's step
+    count and land on the quadrature-exact endpoint at tolerance
+    scale; t_eval and a terminal event run in-kernel."""
+    import scipy.integrate as si
+    from extensisq_tpu.ops import solve_fused_ckdisc
+    from extensisq_tpu import solve_ivp, CKdisc
+
+    def rhs_rows(t, y):
+        sw = jnp.where(jnp.sin(3.0 * t) >= 0.0, 1.0, -1.0)
+        return jnp.stack([(-sw - 0.5) * y[0]])
+
+    B = 128
+    Y0 = np.ones((B, 1), np.float32)
+    y, st, ns, nf = solve_fused_ckdisc(
+        rhs_rows, (0.0, 5.0), Y0, rtol=1e-4, atol=1e-7,
+        block_members=128, interpret=True)
+    assert np.all(np.asarray(st) == 1)
+
+    r = solve_ivp(lambda t, yy: rhs_rows(t, yy), (0.0, 5.0),
+                  jnp.asarray([1.0]), method=CKdisc, rtol=1e-4,
+                  atol=1e-7)
+    assert r.success
+    # f32 cascade decisions track the f64 stepper's step count
+    assert abs(int(ns[0]) - (r.t.size - 1)) <= max(5,
+                                                   0.2 * (r.t.size - 1))
+    ee, _ = si.quad(lambda t: -np.sign(np.sin(3 * t)) - 0.5, 0, 5,
+                    limit=200)
+    exact = float(np.exp(ee))
+    assert abs(float(y[0, 0]) - exact) < 5e-4
+
+    # t_eval + terminal event (y decays through 0.5 exactly once)
+    def g_half(t, yy):
+        return yy[0] - 0.5
+    g_half.terminal = True
+    g_half.direction = -1.0
+
+    tq = np.array([0.5, 2.0, 4.0], np.float32)
+    out = solve_fused_ckdisc(
+        rhs_rows, (0.0, 5.0), Y0, rtol=1e-4, atol=1e-7,
+        block_members=128, interpret=True, t_eval=tq, events=g_half)
+    y2, st2, ns2, nf2, yq, tev, yev, nev = out
+    assert np.all(np.asarray(st2) == 8)
+    assert np.all(np.asarray(nev[0]) == 1)
+    # root check vs the host driver's event handling
+    rh = solve_ivp(lambda t, yy: rhs_rows(t, yy), (0.0, 5.0),
+                   jnp.asarray([1.0]), method=CKdisc, rtol=1e-4,
+                   atol=1e-7, events=g_half)
+    assert abs(float(tev[0, 0]) - float(rh.t_events[0][0])) < 5e-4
+    assert abs(float(yev[0, 0, 0]) - 0.5) < 1e-4

@@ -586,10 +586,33 @@ def config5():
           f"t=0..{TFE}) fused: {dte*1e3:7.1f} ms vs XLA {dtx*1e3:7.1f}"
           f" ms ({dtx/dte:4.1f}x); all ok {okE}, step max|d| {dstep}, "
           f"endpoint |d| {errE:.1e}")
+
+    # 5e: the same fused ensemble with NO spectral-radius bound — the
+    # in-kernel nonlinear power iteration (sommeijer.py:331-398)
+    # estimates rho per member; machine-checked against 5d's bounded
+    # run (the estimate must not change the integration materially)
+    runE5 = jax.jit(lambda Y, P: solve_fused_rkc_ensemble(
+        fun_gridE, (0.0, TFE), Y, None, params=P,
+        rtol=1e-4, atol=1e-7))
+    dtp, outp = time_tpu(runE5, Y0Ej, parE, reps=5)
+    okP = bool(np.all(np.asarray(outp[1]) == 1))
+    nsP = np.asarray(outp[2])
+    nsigP = int(np.asarray(outp[4]).max())
+    dstepP = int(np.max(np.abs(nsP - nsX)))
+    errP = float(np.max(np.abs(
+        np.asarray(outp[0]).reshape(ME, -1) - np.asarray(outx.y))))
+    assert okP, "power-iteration ensemble did not finish"
+    assert dstepP <= 8, f"power-rho step counts diverged: {dstepP}"
+    assert errP < 5e-3, f"power-rho endpoint drift: {errP}"
+    print(f"5e same ensemble, IN-KERNEL power-iteration rho: "
+          f"{dtp*1e3:7.1f} ms (max nfesig {nsigP}); step max|d| "
+          f"{dstepP}, endpoint |d| {errP:.1e}")
     return {"5a_xla_131k_ms": dt5a * 1e3, "5c_fused_131k_ms": dtf * 1e3,
             "5d_fused_ms": dte * 1e3, "5d_xla_ms": dtx * 1e3,
             "5d_speedup": dtx / dte, "5d_step_maxd": dstep,
-            "5d_endpoint_d": errE}
+            "5d_endpoint_d": errE,
+            "5e_fused_power_rho_ms": dtp * 1e3,
+            "5e_step_maxd": dstepP, "5e_max_nfesig": nsigP}
 
 
 if __name__ == "__main__":

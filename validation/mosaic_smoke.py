@@ -71,6 +71,18 @@ def main():
         vdp, (0.0, 2.0), Y, method=BS5, block_members=256,
         events=ev_row), Y2)
 
+    from extensisq_tpu.ops import solve_fused_ckdisc
+
+    def swdec(t, y):
+        sw = jnp.where(jnp.sin(3.0 * t) >= 0.0, 1.0, -1.0)
+        return jnp.stack([(-sw - 0.5) * y[0], -y[1]])
+
+    check("fused_ckdisc", lambda Y: solve_fused_ckdisc(
+        swdec, (0.0, 5.0), Y, block_members=256), Y2 + 1.0)
+    check("fused_ckdisc t_eval+events", lambda Y: solve_fused_ckdisc(
+        swdec, (0.0, 5.0), Y, block_members=256, t_eval=tq,
+        events=ev_row), Y2 + 1.0)
+
     def acc2(t, u, v):
         r2 = u[0] ** 2 + u[1] ** 2
         aa = -(r2 * jnp.sqrt(r2)) ** -1.0
