@@ -75,3 +75,22 @@ if jax.default_backend() == "tpu":
         for _ in range(5):
             np.asarray(run(Y0))
         print(f"{name}: {(time.perf_counter()-t0)/5*1e3:.1f} ms")
+
+# -- non-smooth problems: the fused CKdisc cascade --------------------
+# CKdisc's staged error assessments and reduced-order fallbacks handle
+# derivative discontinuities; the fused kernel runs the whole cascade
+# as masked member-tile arithmetic (see ops/fused_ckdisc.py docstring).
+from extensisq_tpu.ops import solve_fused_ckdisc
+
+
+def switching_decay(t, y):
+    sw = jnp.where(jnp.sin(3.0 * t) >= 0.0, 1.0, -1.0)
+    return jnp.stack([(-sw - 0.5) * y[0], (sw - 0.5) * y[1]])
+
+
+Yc = np.ones((B, 2), np.float32)
+yc, sc_, nsc, nfc = solve_fused_ckdisc(
+    switching_decay, (0.0, 5.0), Yc, rtol=1e-4, atol=1e-7,
+    interpret=interp)
+print("fused CKdisc:", yc.shape, "all ok:", bool(jnp.all(sc_ == 1)),
+      "mean steps:", float(nsc.mean()))

@@ -2,6 +2,8 @@
 kernel, one per solver family (f32 fast paths; the XLA f64 steppers
 remain the conformance solvers).
 
+* :func:`solve_fused` — ONE front door: routes by the method's
+  family and the problem size to the kernels below (see dispatch.py)
 * :func:`solve_fused_erk` — explicit RK ensembles (+ mixed-precision
   compensated mode for official tolerances)
 * :func:`solve_fused_rkn` — Runge-Kutta-Nystrom ensembles
@@ -35,6 +37,7 @@ remain the conformance solvers).
   (oscillator lattices, discretized wave equations): the partitioned
   Nystrom loop in the same states-on-lanes layout
 """
+from .dispatch import solve_fused
 from .fused_erk import solve_fused_erk
 from .fused_ckdisc import solve_fused_ckdisc
 from .fused_erk_grid import solve_fused_erk_grid
@@ -47,7 +50,8 @@ from .fused_esdirk_grid import solve_fused_esdirk_grid
 from .fused_adams import solve_fused_adams
 from .fused_adams_grid import solve_fused_adams_grid
 
-__all__ = ["solve_fused_erk", "solve_fused_ckdisc",
+__all__ = ["solve_fused",
+           "solve_fused_erk", "solve_fused_ckdisc",
            "solve_fused_erk_grid",
            "solve_fused_rkn", "solve_fused_rkn_grid",
            "solve_fused_rkc",

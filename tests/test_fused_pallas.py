@@ -1729,3 +1729,50 @@ def test_fused_ckdisc_nonsmooth():
                    atol=1e-7, events=g_half)
     assert abs(float(tev[0, 0]) - float(rh.t_events[0][0])) < 5e-4
     assert abs(float(yev[0, 0, 0]) - 0.5) < 1e-4
+
+
+def test_solve_fused_dispatcher():
+    """ops.solve_fused routes by method family and size: reference
+    users address kernels by method class, not kernel name."""
+    from extensisq_tpu.ops import solve_fused
+    from extensisq_tpu import BS5, Kv3I, SSV2stab
+    from extensisq_tpu.ops.fused_rkc import roll
+
+    def vdp_r(t, y):
+        return jnp.stack([y[1], 3.0 * (1 - y[0] ** 2) * y[1] - y[0]])
+
+    Y0 = np.zeros((128, 2), np.float32)
+    Y0[:, 0] = 2.0
+    y, st, ns, nf = solve_fused(vdp_r, (0.0, 2.0), Y0, method=BS5,
+                                block_members=128, interpret=True)
+    assert np.all(np.asarray(st) == 1)
+
+    # esdirk beyond both kernels' shapes raises with guidance
+    def rob(t, y):
+        return -y
+    import pytest
+    with pytest.raises(ValueError, match="no fused esdirk kernel"):
+        solve_fused(rob, (0.0, 1.0), np.ones((128, 9), np.float32),
+                    method=Kv3I, interpret=True)
+
+    # rkc routes by input shape: single grid vs member stack
+    dx = 1.0 / 128
+
+    def bru(t, uv):
+        lap = (roll(uv, 1, 1) + roll(uv, -1, 1) + roll(uv, 1, 2)
+               + roll(uv, -1, 2) - 4.0 * uv) / dx ** 2
+        u, v = uv[0], uv[1]
+        return jnp.stack([1.0 + u * u * v - 4.0 * u + 0.02 * lap[0],
+                          3.0 * u - u * u * v + 0.02 * lap[1]])
+
+    U0 = np.ones((2, 8, 128), np.float32)
+    U0[0] += 0.1 * np.sin(
+        2 * np.pi * np.linspace(0, 1, 128, endpoint=False))
+    U0[1] = 3.0
+    rho = 8 * 0.02 / dx ** 2 + 6.0
+    out = solve_fused(bru, (0.0, 0.2), U0, method=SSV2stab, rho=rho,
+                      interpret=True)
+    assert int(out[1]) == 1
+    out = solve_fused(bru, (0.0, 0.2), U0[None], method=SSV2stab,
+                      rho=rho, interpret=True)      # 4-D => ensemble
+    assert out[1].shape == (1,)

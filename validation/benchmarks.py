@@ -101,10 +101,47 @@ def config1():
     print(f"1b advec-MoL n={ngr} BS5 x{Bg}: fused-grid {dtg*1e3:7.1f}"
           f" ms vs XLA device path {dtx*1e3:7.1f} ms "
           f"({dtx/dtg:4.1f}x); endpoint |d| {dgr:.1e}")
+
+    # 1c: NON-SMOOTH ensemble through the fused CKdisc cascade vs the
+    # XLA device path (sign-switching decay, step counts must track)
+    from extensisq_tpu.ops import solve_fused_ckdisc
+    from extensisq_tpu import CKdisc
+
+    def swdec_rows(t, y):
+        sw = jnp.where(jnp.sin(3.0 * t) >= 0.0, 1.0, -1.0)
+        return jnp.stack([(-sw - 0.5) * y[0],
+                          (sw - 0.5) * y[1]])
+
+    Bc = 1024
+    Y0c = (1.0 + 0.5 * np.random.RandomState(1)
+           .rand(Bc, 2)).astype(np.float32)
+    runc = jax.jit(lambda Y: solve_fused_ckdisc(
+        swdec_rows, (0.0, 5.0), Y, rtol=1e-4, atol=1e-7,
+        block_members=1024))
+    dtc, outc = time_tpu(runc, Y0c, reps=3)
+    assert np.all(np.asarray(outc[1]) == 1)
+    runcx = jax.jit(lambda Y: solve_ensemble(
+        swdec_rows, (0.0, 5.0), Y, method=CKdisc, rtol=1e-4,
+        atol=1e-7))
+    dtcx, outcx = time_tpu(runcx, jnp.asarray(Y0c, jnp.float64),
+                           reps=3)
+    assert bool(np.all(np.asarray(outcx.status) == 1))
+    dsc = int(np.max(np.abs(np.asarray(outc[2])
+                            - np.asarray(outcx.nsteps))))
+    dyc = float(np.max(np.abs(np.asarray(outc[0])
+                              - np.asarray(outcx.y))))
+    assert dyc < 2e-3, f"fused CKdisc endpoint drift: {dyc}"
+    print(f"1c non-smooth CKdisc x{Bc}: fused {dtc*1e3:7.1f} ms vs "
+          f"XLA device path {dtcx*1e3:7.1f} ms ({dtcx/dtc:4.1f}x); "
+          f"step max|d| {dsc}, endpoint |d| {dyc:.1e}")
     return {"1_tpu_ms": dt * 1e3, "1_speedup_vs_scipy": sc / dt,
             "1b_grid_erk_fused_ms": dtg * 1e3,
             "1b_grid_erk_xla_ms": dtx * 1e3,
-            "1b_grid_erk_speedup": dtx / dtg}
+            "1b_grid_erk_speedup": dtx / dtg,
+            "1c_ckdisc_fused_ms": dtc * 1e3,
+            "1c_ckdisc_xla_ms": dtcx * 1e3,
+            "1c_ckdisc_speedup": dtcx / dtc,
+            "1c_step_maxd": dsc}
 
 
 def config2():

@@ -25,11 +25,13 @@ FAILED = []
 
 def check(name, fn, *args):
     t0 = perf_counter()
+    print(f"....  {name}", flush=True)       # visible BEFORE a hang
     try:
         jax.jit(fn).lower(*args).compile()
-        print(f"PASS  {name}  ({perf_counter() - t0:.1f}s)")
+        print(f"PASS  {name}  ({perf_counter() - t0:.1f}s)",
+              flush=True)
     except Exception as e:  # noqa: BLE001 — report and keep going
-        print(f"FAIL  {name}: {type(e).__name__}: {e}")
+        print(f"FAIL  {name}: {type(e).__name__}: {e}", flush=True)
         FAILED.append(name)
 
 
