@@ -85,7 +85,8 @@ class _K(NamedTuple):
 def solve_fused_adams(fun, t_span, y0_batch, rtol=1e-4, atol=1e-6,
                       first_step=None, k_max=12, max_steps=200_000,
                       block_members=1024, interpret=False,
-                      compensated=False, t_eval=None, events=None):
+                      compensated=False, t_eval=None, events=None,
+                      max_step=None):
     """Integrate an ensemble with SWAG entirely in one TPU kernel.
 
     y0_batch: (B, n) float32, n <= 8.  Returns (y_final (B, n),
@@ -121,6 +122,10 @@ def solve_fused_adams(fun, t_span, y0_batch, rtol=1e-4, atol=1e-6,
     Crossings inside the final near-end LINEAR-extrapolation interval
     (below min-step scale) are not detected — use the XLA driver if
     that matters.
+
+    ``max_step``: optional static float cap on |h|, applied on the
+    host init and per fresh step (steppers/adams.py:784-786 ==
+    shampine.py's hmax clamp).
     """
     y0_batch = jnp.asarray(y0_batch, jnp.float32)
     n_total, n = y0_batch.shape
@@ -169,7 +174,9 @@ def solve_fused_adams(fun, t_span, y0_batch, rtol=1e-4, atol=1e-6,
             direction=jnp.asarray(direction, jnp.float32),
             rtol=jnp.asarray(rtol, jnp.float32),
             atol=jnp.asarray(atol, jnp.float32),
-            max_step=jnp.asarray(np.finfo(np.float32).max, jnp.float32))
+            max_step=jnp.asarray(np.finfo(np.float32).max
+                                 if max_step is None else max_step,
+                                 jnp.float32))
         states0 = jax.vmap(
             lambda y: stepper.init(t0, y, params,
                                    first_step=first_step))(y0_batch)
@@ -344,6 +351,10 @@ def solve_fused_adams(fun, t_span, y0_batch, rtol=1e-4, atol=1e-6,
             fresh_b = st.fresh != 0
             # clamp h toward the boundary on fresh steps
             h_cl = fb(dirs * (st.h - d) > 0, d, st.h)
+            if max_step is not None:
+                # per fresh step, like steppers/adams.py:784-786
+                h_cl = jnp.sign(h_cl) * jnp.minimum(
+                    jnp.abs(h_cl), float(max_step))
             h_in = fb(fresh_b, h_cl, st.h)
             ifail = ib(fresh_b, izero, st.ifail)
 

@@ -85,7 +85,8 @@ class _G(NamedTuple):
 def solve_fused_adams_grid(fun, t_span, y0_batch, rtol=1e-4, atol=1e-6,
                            first_step=None, k_max=12,
                            max_steps=200_000, block_members=32,
-                           interpret=False, t_eval=None, events=None):
+                           interpret=False, t_eval=None, events=None,
+                           max_step=None):
     """Integrate a mid-size-system ensemble with SWAG in one kernel.
 
     y0_batch: (B, n) float32 with n a MULTIPLE OF 128 (the state
@@ -99,7 +100,8 @@ def solve_fused_adams_grid(fun, t_span, y0_batch, rtol=1e-4, atol=1e-6,
     point (common.py:766-790 evaluation form).  ``events``:
     callable(s) g(t, y) -> (bm, 1) member column with the reference's
     ``terminal`` / ``direction`` attributes; appends (t_events,
-    y_events, n_events) like the other fused kernels.
+    y_events, n_events) like the other fused kernels.  ``max_step``:
+    optional static float cap on |h| (steppers/adams.py:784-786).
     """
     y0_batch = jnp.asarray(y0_batch, jnp.float32)
     n_total, n = y0_batch.shape
@@ -147,7 +149,9 @@ def solve_fused_adams_grid(fun, t_span, y0_batch, rtol=1e-4, atol=1e-6,
             direction=jnp.asarray(direction, jnp.float32),
             rtol=jnp.asarray(rtol, jnp.float32),
             atol=jnp.asarray(atol, jnp.float32),
-            max_step=jnp.asarray(np.finfo(np.float32).max, jnp.float32))
+            max_step=jnp.asarray(np.finfo(np.float32).max
+                                 if max_step is None else max_step,
+                                 jnp.float32))
         states0 = jax.vmap(
             lambda y: stepper.init(t0, y, params,
                                    first_step=first_step))(y0_batch)
@@ -339,6 +343,10 @@ def solve_fused_adams_grid(fun, t_span, y0_batch, rtol=1e-4, atol=1e-6,
 
             fresh_b = st.fresh != 0
             h_cl = fb(dirs * (st.h - d) > 0, d, st.h)
+            if max_step is not None:
+                # per fresh step, like steppers/adams.py:784-786
+                h_cl = jnp.sign(h_cl) * jnp.minimum(
+                    jnp.abs(h_cl), float(max_step))
             h_in = fb(fresh_b, h_cl, st.h)
             ifail = ib(fresh_b, izero, st.ifail)
 

@@ -75,7 +75,7 @@ def _p5rt(x):
 def solve_fused_ckdisc(fun, t_span, y0_batch, rtol=1e-4, atol=1e-6,
                        first_step=None, max_steps=100_000,
                        block_members=1024, interpret=False,
-                       t_eval=None, events=None):
+                       t_eval=None, events=None, max_step=None):
     """Integrate an ensemble of non-smooth small systems in one Pallas
     kernel with the CKdisc variable-order cascade.
 
@@ -129,8 +129,7 @@ def solve_fused_ckdisc(fun, t_span, y0_batch, rtol=1e-4, atol=1e-6,
     if first_step is not None:
         h0 = jnp.asarray(first_step, jnp.float32)
     else:
-        h0 = 0.01 * jnp.abs(jnp.asarray(tf, jnp.float32)
-                            - jnp.asarray(t0, jnp.float32))
+        h0 = jnp.float32(-1.0)       # sentinel: in-kernel h_start
     t0 = jnp.asarray(t0, jnp.float32)
     tf = jnp.asarray(tf, jnp.float32)
     direction = jnp.sign(tf - t0)
@@ -170,6 +169,21 @@ def solve_fused_ckdisc(fun, t_span, y0_batch, rtol=1e-4, atol=1e-6,
         h_abs0 = sc_ref[5] + fzero
         f = fun(t, y)
 
+        nfev_init = izero + 1
+        if first_step is None:
+            # in-kernel Watts h_start (steppers/ckdisc.py:96 semantics)
+            from ._hstart_tile import hstart_tile
+            bq = t + dir_r * jnp.minimum(
+                jnp.abs(tf_r - t),
+                jnp.zeros_like(t) + (np.inf if max_step is None
+                                     else float(max_step)))
+            h_abs0 = jnp.abs(hstart_tile(
+                fun, t, bq, y, f, tab.order_secondary, rtol_r, atol_r,
+                mnorm=_member_norm,
+                msum=lambda x: jnp.sum(x, axis=0),
+                mmin=lambda x: jnp.min(x, axis=0), n=n))
+            nfev_init = izero + 2 + min(n + 1, 3)
+
         split_rows = lambda yy: [yy[j] for j in range(n)]  # noqa: E731
 
         def cond(st):
@@ -188,6 +202,8 @@ def solve_fused_ckdisc(fun, t_span, y0_batch, rtol=1e-4, atol=1e-6,
             ms = jnp.maximum(h_min_a * (jnp.abs(st.t) + st.h_abs),
                              tiny_err)
             h_pre = jnp.maximum(st.h_abs, ms)
+            if max_step is not None:
+                h_pre = jnp.minimum(h_pre, float(max_step))
             d = jnp.abs(st.tf - st.t)
             split = (d < 2.0 * h_pre) & (d > h_pre)
             h_f = _fblend(split, jnp.maximum(0.5 * d, ms),
@@ -400,7 +416,7 @@ def solve_fused_ckdisc(fun, t_span, y0_batch, rtol=1e-4, atol=1e-6,
             tw0=fzero + 1.5, tw1=fzero + 1.1,
             q0=fzero + 100.0, q1=fzero + 100.0,
             rejected=izero, fresh=izero + 1, min_step=fzero,
-            nstep=izero, nfev=izero + 1, qrows=qrows0, ev=ev0)
+            nstep=izero, nfev=nfev_init, qrows=qrows0, ev=ev0)
         st = jax.lax.while_loop(cond, body, st0)
 
         yout_ref[:] = st.y.reshape(n, bm).T

@@ -41,7 +41,8 @@ from .fused_erk import _fblend, _make_ev_spec, _run_erk_loop
 def solve_fused_erk_grid(fun, t_span, y0_batch, method=None, rtol=1e-4,
                          atol=1e-6, first_step=None, max_steps=100_000,
                          block_members=32, interpret=False,
-                         compensated=False, t_eval=None, events=None):
+                         compensated=False, t_eval=None, events=None,
+                         max_step=None):
     """Integrate a mid-size-system ensemble with an ERK pair in one
     Pallas kernel.
 
@@ -98,8 +99,7 @@ def solve_fused_erk_grid(fun, t_span, y0_batch, method=None, rtol=1e-4,
     if first_step is not None:
         h0 = jnp.asarray(first_step, jnp.float32)
     else:
-        h0 = 0.01 * jnp.abs(jnp.asarray(tf, jnp.float32)
-                            - jnp.asarray(t0, jnp.float32))
+        h0 = jnp.float32(-1.0)       # sentinel: in-kernel h_start
     t0 = jnp.asarray(t0, jnp.float32)
     tf = jnp.asarray(tf, jnp.float32)
     direction = jnp.sign(tf - t0)
@@ -136,12 +136,29 @@ def solve_fused_erk_grid(fun, t_span, y0_batch, method=None, rtol=1e-4,
             """RMS over the lane (state) axis -> (bm, 1)."""
             return jnp.sqrt(jnp.mean(x * x, axis=-1, keepdims=True))
 
+        nfev0 = None
+        if first_step is None:
+            # in-kernel Watts h_start (steppers/erk.py:129 semantics)
+            from ._hstart_tile import hstart_tile
+            bq = t + dir_r * jnp.minimum(
+                jnp.abs(tf_r - t),
+                jnp.zeros_like(t) + (np.inf if max_step is None
+                                     else float(max_step)))
+            h_abs0 = jnp.abs(hstart_tile(
+                fun, t, bq, y, f, tab.order_secondary, rtol_r, atol_r,
+                mnorm=mnorm,
+                msum=lambda x: jnp.sum(x, axis=-1, keepdims=True),
+                mmin=lambda x: jnp.min(x, axis=-1, keepdims=True),
+                n=n))
+            nfev0 = izero + 2 + min(n + 1, 3)
+
         st = _run_erk_loop(
             fun, (A, B_w, C, E, s, fsal, h_min_a, tiny_err), cc,
             compensated, max_steps, nq, tq_vals, fzero, izero,
             mnorm, lambda yy: [yy],
             t, tf_r, dir_r, rtol_r, atol_r, h_abs0, y, f,
-            ev_spec=ev_spec, join_rows=lambda rows: rows[0])
+            ev_spec=ev_spec, join_rows=lambda rows: rows[0],
+            nfev0=nfev0, max_step=max_step)
 
         yout_ref[:] = st.y
         stat_ref[:] = st.status

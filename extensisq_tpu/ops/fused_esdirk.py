@@ -70,7 +70,8 @@ def solve_fused_esdirk(fun, t_span, y0_batch, method=None, M=None,
                        yp0_batch=None, rtol=1e-4, atol=1e-6,
                        first_step=None, max_steps=100_000,
                        block_members=1024, interpret=False,
-                       compensated=False, t_eval=None, events=None):
+                       compensated=False, t_eval=None, events=None,
+                       max_step=None):
     """Integrate an ensemble of small stiff systems / index-1 DAEs in
     one TPU kernel.
 
@@ -115,6 +116,11 @@ def solve_fused_esdirk(fun, t_span, y0_batch, method=None, M=None,
     kernel integrates in rotated coordinates; event functions still
     see USER coordinates (each g is wrapped through the y = V w
     back-rotation) and y_events is un-rotated on output.
+
+    ``max_step``: optional static float cap on |h|, the stepper's
+    reassess-stepsize semantics (steppers/esdirk.py:465-466 ==
+    common.py:2168-2181): exceeding it clamps h and forces the
+    standard controller for that step.
     """
     if method is None:
         from ..methods import Kv3I as method
@@ -364,6 +370,22 @@ def solve_fused_esdirk(fun, t_span, y0_batch, method=None, M=None,
                 yp = jnp.stack([yp[i] * (1.0 / float(m_diag[i]))
                                 for i in range(n)])
 
+        if first_step is None and m_diag is None and rot is None:
+            # in-kernel Watts h_start, plain-ODE case only
+            # (steppers/esdirk.py:354-361; evals uncounted — the
+            # reference's fun_single convention)
+            from ._hstart_tile import hstart_tile
+            bq = t + dir_r * jnp.minimum(
+                jnp.abs(tf_r - t),
+                jnp.zeros_like(t) + (np.inf if max_step is None
+                                     else float(max_step)))
+            h_abs0 = jnp.abs(hstart_tile(
+                fun, t, bq, y, yp,
+                min(tab.order_secondary, tab.order), rtol_r, atol_r,
+                mnorm=_member_norm,
+                msum=lambda x: jnp.sum(x, axis=0),
+                mmin=lambda x: jnp.min(x, axis=0), n=n))
+
         class S(NamedTuple):
             it: Any
             tf: Any
@@ -491,6 +513,9 @@ def solve_fused_esdirk(fun, t_span, y0_batch, method=None, M=None,
                                    h_min_b)
             out_rng = (st.h_abs < min_step)
             h_abs = jnp.maximum(min_step, st.h_abs)
+            if max_step is not None:
+                out_rng = out_rng | (st.h_abs > float(max_step))
+                h_abs = jnp.minimum(h_abs, float(max_step))
             std_b = std_b | out_rng
             # remaining interval in DS: tf - t is exact in f32 for
             # nearby values (Sterbenz), then subtract the low word

@@ -124,7 +124,7 @@ def solve_fused_esdirk_grid(fun, t_span, y0_batch, method=None, M=None,
                             first_step=None, max_steps=100_000,
                             block_members=8, interpret=False,
                             compensated=False, t_eval=None,
-                            events=None):
+                            events=None, max_step=None):
     """Integrate a mid-size stiff-system / index-1-DAE ensemble with
     an ESDIRK method in one TPU kernel.
 
@@ -141,6 +141,8 @@ def solve_fused_esdirk_grid(fun, t_span, y0_batch, method=None, M=None,
     ``events``: callable(s) g(t, y) -> (bm, 1) member column with the
     reference's ``terminal`` / ``direction`` attributes; appends
     (t_events, y_events, n_events) like the other fused kernels.
+    ``max_step``: optional static float cap on |h| (reassess-stepsize
+    semantics, steppers/esdirk.py:465-466).
     """
     if method is None:
         from ..methods import Kv3I as method
@@ -265,6 +267,24 @@ def solve_fused_esdirk_grid(fun, t_span, y0_batch, method=None, M=None,
                 # require an explicit yp0 and never reach here)
                 yp = yp / m_lane
 
+        if first_step is None and not have_m:
+            # in-kernel Watts h_start, plain-ODE case only
+            # (steppers/esdirk.py:354-361; evals uncounted — the
+            # reference's fun_single convention)
+            from ._hstart_tile import hstart_tile
+            bq = t + dir_r * jnp.minimum(
+                jnp.abs(tf_r - t),
+                jnp.zeros_like(t) + (np.inf if max_step is None
+                                     else float(max_step)))
+            h_abs0 = jnp.abs(hstart_tile(
+                fun, t, bq, y, yp,
+                min(tab.order_secondary, tab.order), rtol_r, atol_r,
+                mnorm=lambda x: jnp.sqrt(jnp.mean(
+                    x * x, axis=-1, keepdims=True)),
+                msum=lambda x: jnp.sum(x, axis=-1, keepdims=True),
+                mmin=lambda x: jnp.min(x, axis=-1, keepdims=True),
+                n=n))
+
         # lane residue one-hots for the mod-4 striped Jacobian seeds
         lane = jax.lax.broadcasted_iota(jnp.int32, (bm, n), 1)
         res4 = [(lane % 4 == c).astype(jnp.float32) for c in range(4)]
@@ -383,6 +403,9 @@ def solve_fused_esdirk_grid(fun, t_span, y0_batch, method=None, M=None,
                                    h_min_b)
             out_rng = st.h_abs < min_step
             h_abs = jnp.maximum(min_step, st.h_abs)
+            if max_step is not None:
+                out_rng = out_rng | (st.h_abs > float(max_step))
+                h_abs = jnp.minimum(h_abs, float(max_step))
             std_b = std_b | out_rng
             d = jnp.abs((tf_r - st.t) - st.t_lo)
             take_d = (jnp.abs(d / h_abs - 1.0) < 1e-2) | (d < h_abs)

@@ -191,7 +191,8 @@ def _linear_index_grid(shape):
 
 
 def _integrate(fun, sprad_at, sc, y_init, *, mmax, max_steps, uround,
-               sqrtmin, snap=None, events=None, const_jac=False):
+               sqrtmin, snap=None, events=None, const_jac=False,
+               max_step=None):
     """Whole adaptive RKC integration of one grid, shared by the
     single-grid and member-ensemble kernels.  ``fun(t, y) -> dy`` on
     the grid-shaped y; ``sprad_at(t, y) -> scalar`` or None to run the
@@ -217,7 +218,10 @@ def _integrate(fun, sprad_at, sc, y_init, *, mmax, max_steps, uround,
     solve.py:_make_event_handler)."""
     t0s, tfs, rtol_s, atol_s, dir_s, h0s = sc
     f_init = fun(t0s, y_init)
+    # steppers/rkc.py:141-143 == sommeijer.py hmax semantics
     max_step_eff = jnp.abs(tfs - t0s)
+    if max_step is not None:
+        max_step_eff = jnp.minimum(max_step_eff, float(max_step))
 
     power_rho = sprad_at is None
     if power_rho:
@@ -630,7 +634,7 @@ def _mmax_for(rtol, m_max):
 def solve_fused_rkc(fun, t_span, y0, rho=None, rtol=1e-4, atol=1e-6,
                     first_step=None, max_steps=100_000,
                     interpret=False, m_max=None, t_eval=None,
-                    events=None, const_jac=False):
+                    events=None, const_jac=False, max_step=None):
     """Integrate one stiff semi-discretized system in one TPU kernel.
 
     y0: float32 array of any VMEM-tileable shape (e.g. ``(2, ny, nx)``)
@@ -673,6 +677,10 @@ def solve_fused_rkc(fun, t_span, y0, rho=None, rtol=1e-4, atol=1e-6,
 
     Return order: ``(y, status, nsteps, nfev[, nfesig][, y_eval]
     [, t_events, y_events, n_events])``.
+
+    ``max_step``: optional static float cap on |h| — folded into the
+    effective hmax exactly like the stepper (steppers/rkc.py:141-143,
+    rkc.f's hmax).
     """
     y0 = jnp.asarray(y0, jnp.float32)
     shape = y0.shape
@@ -744,7 +752,7 @@ def solve_fused_rkc(fun, t_span, y0, rho=None, rtol=1e-4, atol=1e-6,
         st = _integrate(fun, sprad_at, sc, y0_ref[:], mmax=mmax,
                         max_steps=max_steps, uround=uround,
                         sqrtmin=sqrtmin, snap=snap, events=events_k,
-                        const_jac=const_jac)
+                        const_jac=const_jac, max_step=max_step)
 
         yout_ref[:] = st.y
         stat_ref[0] = st.status
@@ -823,7 +831,7 @@ def solve_fused_rkc_ensemble(fun, t_span, y0, rho=None, params=None,
                              rtol=1e-4, atol=1e-6, first_step=None,
                              max_steps=100_000, interpret=False,
                              m_max=None, t_eval=None, events=None,
-                             const_jac=False):
+                             const_jac=False, max_step=None):
     """Integrate an ENSEMBLE of stiff PDE grids in one TPU kernel.
 
     The flagship SSV2stab workload (BASELINE config 5, reference
@@ -860,7 +868,8 @@ def solve_fused_rkc_ensemble(fun, t_span, y0, rho=None, params=None,
     [, t_events, y_events, n_events]): per-member arrays.  Per-member
     semantics (step sequence, controller, counters) are IDENTICAL to
     :func:`solve_fused_rkc` on that member alone — the same
-    ``_integrate`` body runs per program instance.
+    ``_integrate`` body runs per program instance.  ``max_step``:
+    optional static float cap on |h| (steppers/rkc.py:141-143).
     """
     y0 = jnp.asarray(y0, jnp.float32)
     n_members = y0.shape[0]
@@ -957,7 +966,7 @@ def solve_fused_rkc_ensemble(fun, t_span, y0, rho=None, params=None,
         st = _integrate(fun1, sprad_at, sc, y0_ref[0], mmax=mmax,
                         max_steps=max_steps, uround=uround,
                         sqrtmin=sqrtmin, snap=snap, events=events_k,
-                        const_jac=const_jac)
+                        const_jac=const_jac, max_step=max_step)
 
         yout_ref[0] = st.y
         # the int outputs are whole-(n_members,) SMEM blocks (Mosaic

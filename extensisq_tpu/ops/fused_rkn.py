@@ -61,7 +61,7 @@ def _run_rkn_loop(acc, consts, cc, compensated, max_steps, nq, tq_vals,
                   fzero, izero, mnorm, cat,
                   t, tf_r, dir_r, rtol_r, atol_r, h_abs0, u, v, f,
                   ev_spec=None, split_part=None, join_rows=None,
-                  unsplit=None):
+                  unsplit=None, nfev0=None, max_step=None):
     """The whole adaptive RKN integration loop, LAYOUT-GENERIC.
 
     Shared by the two fused-RKN member layouts (the fused-ERK split,
@@ -124,6 +124,8 @@ def _run_rkn_loop(acc, consts, cc, compensated, max_steps, nq, tq_vals,
         ms = jnp.maximum(h_min_a * (jnp.abs(st.t) + st.h_abs),
                          tiny_err)
         h_pre = jnp.maximum(st.h_abs, ms)
+        if max_step is not None:
+            h_pre = jnp.minimum(h_pre, float(max_step))
         d = jnp.abs(tf - st.t)
         split = (d < 2.0 * h_pre) & (d > h_pre)
         h_f = _fblend(split, jnp.maximum(0.5 * d, ms),
@@ -336,13 +338,15 @@ def _run_rkn_loop(acc, consts, cc, compensated, max_steps, nq, tq_vals,
         status=izero, std_sc=izero + 1, err_old=fzero + 1.0,
         h_prev=fzero, max_fac=fzero + 10.0, fresh=izero + 1,
         rejected=izero, min_step=fzero, nstep=izero,
-        nfev=izero + 1, qrows=qrows0, ev=ev0)
+        nfev=izero + 1 if nfev0 is None else nfev0,
+        qrows=qrows0, ev=ev0)
     return jax.lax.while_loop(cond, body, st0)
 
 def solve_fused_rkn(acc, t_span, y0_batch, method=None, rtol=1e-4,
                     atol=1e-6, first_step=None, max_steps=100_000,
                     block_members=1024, interpret=False,
-                    compensated=False, t_eval=None, events=None):
+                    compensated=False, t_eval=None, events=None,
+                    max_step=None):
     """Integrate an ensemble of small 2nd-order systems in one kernel.
 
     y0_batch: (B, 2m) float32 — [u, v] per member.  Returns
@@ -400,8 +404,7 @@ def solve_fused_rkn(acc, t_span, y0_batch, method=None, rtol=1e-4,
     if first_step is not None:
         h0 = jnp.asarray(first_step, jnp.float32)
     else:
-        h0 = 0.01 * jnp.abs(jnp.asarray(tf, jnp.float32)
-                            - jnp.asarray(t0, jnp.float32))
+        h0 = jnp.float32(-1.0)       # sentinel: in-kernel h_start
     t0 = jnp.asarray(t0, jnp.float32)
     tf = jnp.asarray(tf, jnp.float32)
     direction = jnp.sign(tf - t0)
@@ -434,6 +437,28 @@ def solve_fused_rkn(acc, t_span, y0_batch, method=None, rtol=1e-4,
         h_abs0 = sc_ref[5] + fzero
         f = acc(t, u, v)
 
+        nfev0 = None
+        if first_step is None:
+            # in-kernel Watts h_start on the first-order form
+            # (steppers/rkn.py:81 semantics)
+            from ._hstart_tile import hstart_tile
+
+            def df_full(tt, Y):
+                return jnp.concatenate([Y[m:], acc(tt, Y[:m], Y[m:])])
+
+            bq = t + dir_r * jnp.minimum(
+                jnp.abs(tf_r - t),
+                jnp.zeros_like(t) + (np.inf if max_step is None
+                                     else float(max_step)))
+            yfull = jnp.concatenate([u, v])
+            ffull = jnp.concatenate([v, f])
+            h_abs0 = jnp.abs(hstart_tile(
+                df_full, t, bq, yfull, ffull, tab.order_secondary,
+                rtol_r, atol_r, mnorm=_member_norm,
+                msum=lambda x: jnp.sum(x, axis=0),
+                mmin=lambda x: jnp.min(x, axis=0), n=n))
+            nfev0 = izero + 2 + min(n + 1, 3)
+
         st = _run_rkn_loop(
             acc, (A, Ap, B_w, Bp, C, E, Ep, s, fsal, h_min_a,
                   tiny_err), cc, compensated, max_steps, nq, tq_vals,
@@ -444,7 +469,8 @@ def solve_fused_rkn(acc, t_span, y0_batch, method=None, rtol=1e-4,
             split_part=lambda arr: [arr[j] for j in range(m)],
             join_rows=jnp.stack,
             unsplit=lambda rows: (jnp.stack(rows[:m]),
-                                  jnp.stack(rows[m:])))
+                                  jnp.stack(rows[m:])),
+            nfev0=nfev0, max_step=max_step)
 
         yout_ref[:] = jnp.concatenate([st.u, st.v]).reshape(n, bm).T
         stat_ref[:] = st.status.reshape(1, bm)

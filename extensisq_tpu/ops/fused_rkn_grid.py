@@ -32,7 +32,8 @@ from .fused_rkn import _run_rkn_loop
 def solve_fused_rkn_grid(acc, t_span, y0_batch, method=None, rtol=1e-4,
                          atol=1e-6, first_step=None, max_steps=100_000,
                          block_members=32, interpret=False,
-                         compensated=False, t_eval=None, events=None):
+                         compensated=False, t_eval=None, events=None,
+                         max_step=None):
     """Integrate a mid-size second-order ensemble with an RKN pair in
     one Pallas kernel.
 
@@ -95,8 +96,7 @@ def solve_fused_rkn_grid(acc, t_span, y0_batch, method=None, rtol=1e-4,
     if first_step is not None:
         h0 = jnp.asarray(first_step, jnp.float32)
     else:
-        h0 = 0.01 * jnp.abs(jnp.asarray(tf, jnp.float32)
-                            - jnp.asarray(t0, jnp.float32))
+        h0 = jnp.float32(-1.0)       # sentinel: in-kernel h_start
     t0 = jnp.asarray(t0, jnp.float32)
     tf = jnp.asarray(tf, jnp.float32)
     direction = jnp.sign(tf - t0)
@@ -133,6 +133,29 @@ def solve_fused_rkn_grid(acc, t_span, y0_batch, method=None, rtol=1e-4,
             """RMS over the lane (state) axis -> (bm, 1)."""
             return jnp.sqrt(jnp.mean(x * x, axis=-1, keepdims=True))
 
+        nfev0 = None
+        if first_step is None:
+            # in-kernel Watts h_start on the first-order form
+            from ._hstart_tile import hstart_tile
+
+            def df_full(tt, Y):
+                return jnp.concatenate(
+                    [Y[:, n:], acc(tt, Y[:, :n], Y[:, n:])], axis=-1)
+
+            bq = t + dir_r * jnp.minimum(
+                jnp.abs(tf_r - t),
+                jnp.zeros_like(t) + (np.inf if max_step is None
+                                     else float(max_step)))
+            yfull = jnp.concatenate([u, v], axis=-1)
+            ffull = jnp.concatenate([v, f], axis=-1)
+            h_abs0 = jnp.abs(hstart_tile(
+                df_full, t, bq, yfull, ffull, tab.order_secondary,
+                rtol_r, atol_r, mnorm=mnorm,
+                msum=lambda x: jnp.sum(x, axis=-1, keepdims=True),
+                mmin=lambda x: jnp.min(x, axis=-1, keepdims=True),
+                n=n2))
+            nfev0 = izero + 2 + min(n2 + 1, 3)
+
         st = _run_rkn_loop(
             acc, (A, Ap, B_w, Bp, C, E, Ep, s, fsal, h_min_a,
                   tiny_err), cc, compensated, max_steps, nq, tq_vals,
@@ -142,7 +165,8 @@ def solve_fused_rkn_grid(acc, t_span, y0_batch, method=None, rtol=1e-4,
             ev_spec=ev_spec,
             split_part=lambda arr: [arr],
             join_rows=lambda rows: jnp.concatenate(rows, axis=-1),
-            unsplit=lambda rows: (rows[0], rows[1]))
+            unsplit=lambda rows: (rows[0], rows[1]),
+            nfev0=nfev0, max_step=max_step)
 
         yout_ref[:] = jnp.concatenate([st.u, st.v], axis=-1)
         stat_ref[:] = st.status
