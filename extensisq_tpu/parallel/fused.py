@@ -1,0 +1,121 @@
+"""Pod-scale fused ensembles: shard_map over the member axis around a
+whole-integration Pallas kernel.
+
+The fused kernels (ops/fused_*.py) already put an entire adaptive
+integration inside ONE ``pallas_call`` on one chip.  Ensemble members
+never exchange state — each carries its own error norm, controller and
+counters — so scaling members across chips needs NO collectives at
+all: shard the member axis over the mesh, run one kernel per device,
+gather nothing until the results are fetched.  This is the fused twin
+of the hierarchy.py placement rule ("ensemble members -> the outer
+axis; the slow links see zero solver bytes") and the TPU-native
+replacement for the reference's one-process-per-rank ensemble scaling
+of the Demo_SSV2stab.ipynb workload (SURVEY.md section 5.8).
+
+``solve_fused_sharded`` wraps :func:`extensisq_tpu.ops.solve_fused`
+(the family/size dispatcher) in a ``shard_map`` whose in/out specs
+shard ONLY the member axis; every kwarg of the underlying kernels
+(rtol/atol/first_step/max_step/t_eval/events/compensated/rho/M/...)
+passes through unchanged.  Requires B % mesh.size == 0 (shard_map
+blocks must tile the member axis) — pad the ensemble like you would
+for block_members.
+"""
+import numpy as np
+
+import jax
+from jax.sharding import PartitionSpec as P
+
+try:                                       # newer jax exports it
+    from jax import shard_map
+except ImportError:                        # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+
+from ..ops.dispatch import solve_fused
+
+
+def solve_fused_sharded(fun, t_span, y0_batch, mesh, axis=None,
+                        method=None, **kw):
+    """Fused whole-integration solve, members sharded over ``mesh``.
+
+    Parameters
+    ----------
+    fun, t_span, y0_batch, method, **kw :
+        exactly :func:`extensisq_tpu.ops.solve_fused` (which routes to
+        the family's kernel; see its table).  ``y0_batch`` has members
+        on axis 0 — (B, n) for the flat/grid layouts, or
+        (B, *grid_shape) for the RKC ensemble (``ensemble=True`` is
+        implied here; a single-grid RKC solve has no member axis to
+        shard — run it unsharded, or shard the GRID via parallel/pde's
+        GSPMD stencils).  The RKC ensemble's per-member ``params``
+        array is sharded alongside the members.
+    mesh : ``jax.sharding.Mesh`` whose ``axis`` dimension divides B.
+    axis : mesh axis name for the member shards (default: the mesh's
+        first axis).
+
+    Returns the underlying kernel's tuple — (y, status, nsteps,
+    nfev[, nfesig][, y_eval][, t_events, y_events, n_events]) — each
+    element sharded over its member axis (axis 0 for the per-member
+    outputs and the RKC-ensemble ``y_eval``; axis 1 for the flat/grid
+    kernels' ``y_eval (nq, B, n)`` and all event arrays).  The call is
+    jitted with ``shard_map`` inside; per-device work is one
+    ``pallas_call`` covering that device's members end to end (zero
+    collectives in the solve).
+    """
+    if axis is None:
+        axis = mesh.axis_names[0]
+    ndev = mesh.shape[axis]
+    B = int(np.shape(y0_batch)[0])
+    if B % ndev:
+        raise ValueError(
+            f"member count {B} must divide over mesh axis "
+            f"{axis!r} ({ndev} devices); pad the ensemble")
+
+    is_rkc_ens = np.ndim(y0_batch) >= 3
+    if is_rkc_ens:
+        kw.setdefault("ensemble", True)    # RKC member-of-grids stack
+
+    nq = (0 if kw.get("t_eval") is None
+          else int(np.shape(kw["t_eval"])[0]))
+    ev = kw.get("events")
+    n_ev = (0 if ev is None
+            else len(ev) if isinstance(ev, (list, tuple)) else 1)
+
+    params = kw.pop("params", None)        # per-member: shard it too
+    operands = (np.asarray(y0_batch, np.float32),)
+    in_specs = (P(axis),)
+    if params is not None:
+        operands += (np.asarray(params, np.float32),)
+        in_specs += (P(axis),)
+
+    def local(y0_block, *rest):
+        kk = dict(kw)
+        if rest:
+            kk["params"] = rest[0]
+        return solve_fused(fun, t_span, y0_block, method=method, **kk)
+
+    # probe the output structure (arity differs by kernel/options)
+    out_shape = jax.eval_shape(
+        local, *(jax.ShapeDtypeStruct(np.shape(o), o.dtype)
+                 for o in operands))
+    n_out = len(out_shape)
+    n_trail = (1 if nq else 0) + (3 if n_ev else 0)
+    base = n_out - n_trail                 # y, status, counters...
+
+    def member_axis(pos):
+        if pos < base:
+            return 0
+        if nq and pos == base:
+            # y_eval: (B, nq, *grid) for the RKC ensemble,
+            # (nq, B, n) for the flat/grid kernels
+            return 0 if is_rkc_ens else 1
+        return 1                           # t/y/n_events (n_ev, B, ..)
+
+    out_specs = tuple(P(*([None] * member_axis(i) + [axis]))
+                      for i in range(n_out))
+
+    # check_vma=False: pallas_call's output ShapeDtypeStructs carry no
+    # vma annotation, and the member-sharded computation has no
+    # cross-shard traffic for the checker to validate anyway
+    run = shard_map(local, mesh=mesh, in_specs=in_specs,
+                    out_specs=out_specs, check_vma=False)
+    return jax.jit(run)(*operands)
