@@ -9,10 +9,12 @@ HBM between steps, and there is no per-iteration kernel dispatch, which
 is what bounds the XLA device path.
 
 Tradeoffs (see the module docstring of ops/fused_erk.py): float32
-arithmetic (Mosaic has no f64), a fixed initial step, and free-
-interpolant-only output.  Use it as the fast production mode at f32
-tolerances; use solve()/solve_ensemble for full float64 and feature
-coverage.
+arithmetic (Mosaic has no f64; the compensated mode reaches official
+tolerances) and t_eval-snapshot output instead of a dense-output
+object.  The initial step comes from the in-kernel Watts h_start,
+t_eval/events/max_step/params all work in-kernel.  Use it as the
+fast production mode; use solve()/solve_ensemble for full float64
+and the complete feature surface.
 
 On one TPU v5e chip the 4096-member Van der Pol ensemble below runs in
 ~29 ms vs ~45 ms for the f32 XLA path and ~59 ms for the f64 XLA path.
@@ -94,3 +96,21 @@ yc, sc_, nsc, nfc = solve_fused_ckdisc(
     interpret=interp)
 print("fused CKdisc:", yc.shape, "all ok:", bool(jnp.all(sc_ == 1)),
       "mean steps:", float(nsc.mean()))
+
+# -- parameter sweeps: per-member params on the fused path ------------
+# Every fused kernel takes params=(B, k): the RHS gains a third
+# argument p (a k-tuple of per-member tiles), so a mu-sweep runs as
+# ONE kernel — the workload the reference runs as a python loop of
+# solve_ivp calls.  Each member keeps its own adaptive step sequence.
+
+
+def vdp_p(t, y, p):
+    return jnp.stack([y[1], p[0] * (1.0 - y[0] ** 2) * y[1] - y[0]])
+
+
+mus = np.linspace(0.5, 6.0, B).astype(np.float32)[:, None]
+yp_, sp_, nsp, nfp = solve_fused_erk(
+    vdp_p, (0.0, 10.0), Y0, method=BS5, rtol=1e-4, atol=1e-6,
+    interpret=interp, params=mus)
+print("mu sweep:", yp_.shape, "all ok:", bool(jnp.all(sp_ == 1)),
+      "steps (mu=0.5 .. mu=6):", int(nsp[0]), "..", int(nsp[-1]))

@@ -86,7 +86,7 @@ def solve_fused_adams(fun, t_span, y0_batch, rtol=1e-4, atol=1e-6,
                       first_step=None, k_max=12, max_steps=200_000,
                       block_members=1024, interpret=False,
                       compensated=False, t_eval=None, events=None,
-                      max_step=None):
+                      max_step=None, params=None):
     """Integrate an ensemble with SWAG entirely in one TPU kernel.
 
     y0_batch: (B, n) float32, n <= 8.  Returns (y_final (B, n),
@@ -126,6 +126,11 @@ def solve_fused_adams(fun, t_span, y0_batch, rtol=1e-4, atol=1e-6,
     ``max_step``: optional static float cap on |h|, applied on the
     host init and per fresh step (steppers/adams.py:784-786 ==
     shampine.py's hmax clamp).
+
+    ``params``: optional (B, k) float32 per-member scalar parameters;
+    when given, ``fun`` and every event callable take a third
+    argument ``p``, a k-tuple of per-member tiles broadcastable
+    against the rows of ``y`` (host init and kernel both honour it).
     """
     y0_batch = jnp.asarray(y0_batch, jnp.float32)
     n_total, n = y0_batch.shape
@@ -142,6 +147,17 @@ def solve_fused_adams(fun, t_span, y0_batch, rtol=1e-4, atol=1e-6,
     B = y0_batch.shape[0]
     grid = B // bm
     sub = bm // 128
+
+    if params is not None:
+        params = jnp.asarray(params, jnp.float32)
+        if params.ndim != 2 or params.shape[0] != n_total:
+            raise ValueError("params must be (B, k)")
+        n_par = params.shape[1]
+        if pad:
+            params = jnp.concatenate(
+                [params, jnp.tile(params[-1:], (pad, 1))])
+    else:
+        n_par = 0
 
     t0 = float(t_span[0])
     tf = float(t_span[1])
@@ -166,10 +182,8 @@ def solve_fused_adams(fun, t_span, y0_batch, rtol=1e-4, atol=1e-6,
 
     # initial state via the XLA stepper (h_start etc.), then packed
     # into one f32 and one i32 row array
-    stepper = AdamsStepper(fun, n, np.float32,
-                           options={"k_max": km})
     with jax.enable_x64(False):
-        params = IVPParams(
+        ivp_params = IVPParams(
             t_bound=jnp.asarray(tf, jnp.float32),
             direction=jnp.asarray(direction, jnp.float32),
             rtol=jnp.asarray(rtol, jnp.float32),
@@ -177,9 +191,21 @@ def solve_fused_adams(fun, t_span, y0_batch, rtol=1e-4, atol=1e-6,
             max_step=jnp.asarray(np.finfo(np.float32).max
                                  if max_step is None else max_step,
                                  jnp.float32))
-        states0 = jax.vmap(
-            lambda y: stepper.init(t0, y, params,
-                                   first_step=first_step))(y0_batch)
+        if n_par:
+            def init_one(y, pp):
+                p = tuple(pp[j] for j in range(n_par))
+                st = AdamsStepper(lambda t, yy: fun(t, yy, p), n,
+                                  np.float32, options={"k_max": km})
+                return st.init(t0, y, ivp_params,
+                               first_step=first_step)
+            states0 = jax.vmap(init_one)(y0_batch, params)
+        else:
+            stepper = AdamsStepper(fun, n, np.float32,
+                                   options={"k_max": km})
+            states0 = jax.vmap(
+                lambda y: stepper.init(t0, y, ivp_params,
+                                       first_step=first_step))(
+                                           y0_batch)
 
     # float rows: t, h, hold, y(n), yp(n), wt(n), phi((km+2)*n),
     # psi(km), alpha(km), beta(km), sig(km+1), v(km), w(km), g(km+1),
@@ -199,8 +225,12 @@ def solve_fused_adams(fun, t_span, y0_batch, rtol=1e-4, atol=1e-6,
         with jax.enable_x64(False):
             y0_rows_host = jnp.asarray(y0_batch, jnp.float32).T
             t0_host = jnp.full((B,), t0, jnp.float32)
+            p_host = (tuple(params[:, j] for j in range(n_par))
+                      if n_par else None)
             for ge, _, _ in ev_spec:
-                g0 = jnp.asarray(ge(t0_host, y0_rows_host),
+                ge_h = ((lambda t, y, ge=ge: ge(t, y, p_host))
+                        if n_par else ge)
+                g0 = jnp.asarray(ge_h(t0_host, y0_rows_host),
                                  jnp.float32).reshape(B, 1)
                 fparts += [g0,
                            jnp.zeros((B, 1), jnp.float32),  # ev_t
@@ -225,14 +255,26 @@ def solve_fused_adams(fun, t_span, y0_batch, rtol=1e-4, atol=1e-6,
     n_iv = max(km - 2, 1)
     status_row = 6 + n_iv + 1
 
-    def kernel(F_ref, I_ref, yout_ref, stat_ref, nstep_ref, nfev_ref,
-               *rest):
+    def kernel(F_ref, I_ref, *rest):
         rest = list(rest)
+        par_ref = rest.pop(0) if n_par else None
+        yout_ref, stat_ref, nstep_ref, nfev_ref = rest[:4]
+        rest = rest[4:]
         yq_ref = rest.pop(0) if nq else None
         if n_ev:
             tev_ref, yev_ref, fev_ref = rest[:3]
         F_in = F_ref[:].reshape(f_rows, sub, 128)
         I_in = I_ref[:].reshape(i_rows, sub, 128)
+        if n_par:
+            prt = par_ref[:].reshape(n_par, sub, 128)
+            p = tuple(prt[j] for j in range(n_par))
+            fun1 = lambda t, yy: fun(t, yy, p)            # noqa: E731
+            wrap = lambda g: (lambda t, yy: g(t, yy, p))  # noqa: E731
+        else:
+            fun1 = fun
+            wrap = lambda g: g                            # noqa: E731
+        ev_spec_k = (None if ev_spec is None else
+                     [(wrap(ge), tm, dr) for ge, tm, dr in ev_spec])
         fzero = F_in[0] * 0.0
         izero = fzero.astype(jnp.int32)
 
@@ -329,7 +371,7 @@ def solve_fused_adams(fun, t_span, y0_batch, rtol=1e-4, atol=1e-6,
             return jnp.sqrt(acc * (1.0 / len(rows)))
 
         def fcall(tt, rows):
-            out = fun(tt, jnp.stack(rows))
+            out = fun1(tt, jnp.stack(rows))
             return [out[r] for r in range(n)]
 
         # ------------------------------------------------------------------
@@ -623,7 +665,7 @@ def solve_fused_adams(fun, t_span, y0_batch, rtol=1e-4, atol=1e-6,
             if n_ev:
                 h_safe_e = fb(h_in == 0.0, fzero + 1.0, h_in)
                 ev_new, trunc, te, y_te_rows = _handle_events(
-                    ev_spec, st.ev, ok, dirs, st.t, t_new, h_in,
+                    ev_spec_k, st.ev, ok, dirs, st.t, t_new, h_in,
                     h_safe_e, list(st.y), list(st.yp),
                     list(y_corr), list(yp_new), fzero, izero,
                     jnp.stack)
@@ -766,20 +808,26 @@ def solve_fused_adams(fun, t_span, y0_batch, rtol=1e-4, atol=1e-6,
             pl.BlockSpec((n_ev, 1, bm), lambda i: (0, 0, i),
                          memory_space=pltpu.VMEM),
         ]
+    in_specs = [
+        pl.BlockSpec((f_rows, bm), lambda i: (0, i),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((i_rows, bm), lambda i: (0, i),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [F0, I0]
+    if n_par:
+        in_specs.append(pl.BlockSpec((n_par, bm), lambda i: (0, i),
+                                     memory_space=pltpu.VMEM))
+        args.append(params.T)
     with jax.enable_x64(False):
         outs = pl.pallas_call(
             kernel,
             grid=(grid,),
-            in_specs=[
-                pl.BlockSpec((f_rows, bm), lambda i: (0, i),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((i_rows, bm), lambda i: (0, i),
-                             memory_space=pltpu.VMEM),
-            ],
+            in_specs=in_specs,
             out_specs=out_specs,
             out_shape=out_shapes,
             interpret=interpret,
-        )(F0, I0)
+        )(*args)
     y_out, status, nsteps, nfev = outs[:4]
 
     y_out = y_out[:n_total]

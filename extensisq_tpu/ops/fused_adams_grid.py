@@ -86,7 +86,7 @@ def solve_fused_adams_grid(fun, t_span, y0_batch, rtol=1e-4, atol=1e-6,
                            first_step=None, k_max=12,
                            max_steps=200_000, block_members=32,
                            interpret=False, t_eval=None, events=None,
-                           max_step=None):
+                           max_step=None, params=None):
     """Integrate a mid-size-system ensemble with SWAG in one kernel.
 
     y0_batch: (B, n) float32 with n a MULTIPLE OF 128 (the state
@@ -102,6 +102,10 @@ def solve_fused_adams_grid(fun, t_span, y0_batch, rtol=1e-4, atol=1e-6,
     ``terminal`` / ``direction`` attributes; appends (t_events,
     y_events, n_events) like the other fused kernels.  ``max_step``:
     optional static float cap on |h| (steppers/adams.py:784-786).
+    ``params``: optional (B, k) float32 per-member scalar parameters;
+    when given, ``fun`` and every event callable take a third
+    argument ``p``, a k-tuple of (bm, 1) member columns broadcastable
+    against (bm, n) arrays (host init and kernel both honour it).
     """
     y0_batch = jnp.asarray(y0_batch, jnp.float32)
     n_total, n = y0_batch.shape
@@ -119,6 +123,17 @@ def solve_fused_adams_grid(fun, t_span, y0_batch, rtol=1e-4, atol=1e-6,
             [y0_batch, jnp.tile(y0_batch[-1:], (pad, 1))])
     B = y0_batch.shape[0]
     grid = B // bm
+
+    if params is not None:
+        params = jnp.asarray(params, jnp.float32)
+        if params.ndim != 2 or params.shape[0] != n_total:
+            raise ValueError("params must be (B, k)")
+        n_par = params.shape[1]
+        if pad:
+            params = jnp.concatenate(
+                [params, jnp.tile(params[-1:], (pad, 1))])
+    else:
+        n_par = 0
 
     t0 = float(t_span[0])
     tf = float(t_span[1])
@@ -138,13 +153,8 @@ def solve_fused_adams_grid(fun, t_span, y0_batch, rtol=1e-4, atol=1e-6,
 
     # initial state via the XLA stepper (h_start etc.); its RHS takes
     # (n,) vectors — adapt the (bm, n) kernel convention
-    def fun_vec(t, y):
-        return fun(jnp.reshape(t, (1, 1)), y[None, :])[0]
-
-    stepper = AdamsStepper(fun_vec, n, np.float32,
-                           options={"k_max": km})
     with jax.enable_x64(False):
-        params = IVPParams(
+        ivp_params = IVPParams(
             t_bound=jnp.asarray(tf, jnp.float32),
             direction=jnp.asarray(direction, jnp.float32),
             rtol=jnp.asarray(rtol, jnp.float32),
@@ -152,9 +162,29 @@ def solve_fused_adams_grid(fun, t_span, y0_batch, rtol=1e-4, atol=1e-6,
             max_step=jnp.asarray(np.finfo(np.float32).max
                                  if max_step is None else max_step,
                                  jnp.float32))
-        states0 = jax.vmap(
-            lambda y: stepper.init(t0, y, params,
-                                   first_step=first_step))(y0_batch)
+        if n_par:
+            def init_one(y, pp):
+                p = tuple(jnp.reshape(pp[j], (1, 1))
+                          for j in range(n_par))
+
+                def fv(t, yy):
+                    return fun(jnp.reshape(t, (1, 1)), yy[None, :],
+                               p)[0]
+                st = AdamsStepper(fv, n, np.float32,
+                                  options={"k_max": km})
+                return st.init(t0, y, ivp_params,
+                               first_step=first_step)
+            states0 = jax.vmap(init_one)(y0_batch, params)
+        else:
+            def fun_vec(t, y):
+                return fun(jnp.reshape(t, (1, 1)), y[None, :])[0]
+
+            stepper = AdamsStepper(fun_vec, n, np.float32,
+                                   options={"k_max": km})
+            states0 = jax.vmap(
+                lambda y: stepper.init(t0, y, ivp_params,
+                                       first_step=first_step))(
+                                           y0_batch)
 
     # state-sized input: [y, yp, wt, phi(km+2), qrows(nq),
     # ev_rows(n_ev)] on lanes
@@ -173,8 +203,12 @@ def solve_fused_adams_grid(fun, t_span, y0_batch, rtol=1e-4, atol=1e-6,
     if n_ev:
         with jax.enable_x64(False):
             t0_col = jnp.full((B, 1), t0, jnp.float32)
+            p_host = (tuple(params[:, j:j + 1] for j in range(n_par))
+                      if n_par else None)
             for ge, _, _ in ev_spec:
-                g0 = jnp.asarray(ge(t0_col, y0_batch),
+                ge_h = ((lambda t, y, ge=ge: ge(t, y, p_host))
+                        if n_par else ge)
+                g0 = jnp.asarray(ge_h(t0_col, y0_batch),
                                  jnp.float32).reshape(B, 1)
                 cparts += [g0, jnp.zeros((B, 1), jnp.float32)]
     FC0 = jnp.concatenate([p.astype(jnp.float32) for p in cparts],
@@ -191,15 +225,27 @@ def solve_fused_adams_grid(fun, t_span, y0_batch, rtol=1e-4, atol=1e-6,
     n_fc = FC0.shape[1]
     n_ic = IC0.shape[1]
 
-    def kernel(fs_ref, fc_ref, ic_ref, yout_ref, stat_ref, nstep_ref,
-               nfev_ref, *rest):
+    def kernel(fs_ref, fc_ref, ic_ref, *rest):
         rest = list(rest)
+        par_ref = rest.pop(0) if n_par else None
+        yout_ref, stat_ref, nstep_ref, nfev_ref = rest[:4]
+        rest = rest[4:]
         yq_ref = rest.pop(0) if nq else None
         if n_ev:
             tev_ref, yev_ref, fev_ref = rest[:3]
         FS = fs_ref[:]
         FC = fc_ref[:]
         IC = ic_ref[:]
+        if n_par:
+            pv = par_ref[:]
+            ptup = tuple(pv[:, j:j + 1] for j in range(n_par))
+            fun1 = lambda t, yy: fun(t, yy, ptup)            # noqa: E731
+            wrap = lambda g: (lambda t, yy: g(t, yy, ptup))  # noqa: E731
+        else:
+            fun1 = fun
+            wrap = lambda g: g                            # noqa: E731
+        ev_spec_k = (None if ev_spec is None else
+                     [(wrap(ge), tm, dr) for ge, tm, dr in ev_spec])
         szero = jnp.zeros((bm, 1), jnp.float32)
         izero = szero.astype(jnp.int32)
         fzero = szero               # TileOps zero: per-member scalars
@@ -386,7 +432,7 @@ def solve_fused_adams_grid(fun, t_span, y0_batch, rtol=1e-4, atol=1e-6,
             phi_n = new_phi
 
             x = tc + h_in
-            yp_pred = fun(x, p)
+            yp_pred = fun1(x, p)
             attempted = running & ~near_end
             nfev2 = st.nfev + ib(attempted, izero + 1, izero)
 
@@ -445,7 +491,7 @@ def solve_fused_adams_grid(fun, t_span, y0_batch, rtol=1e-4, atol=1e-6,
             # block 4: correct, evaluate, order/step selection
             g_k = vtake(g_n, cliped(kk, 0, km))
             y_corr = h_in * g_k * temp4 + p
-            yp_new = fun(x, y_corr)
+            yp_new = fun1(x, y_corr)
             nfev2 = nfev2 + ib(success, izero + 1, izero)
 
             pkn = yp_new - phi_n[0]
@@ -539,7 +585,7 @@ def solve_fused_adams_grid(fun, t_span, y0_batch, rtol=1e-4, atol=1e-6,
             y_te_rows = None
             if n_ev:
                 ev_new, trunc, te, y_te_rows = _handle_events(
-                    ev_spec, st.ev, ok, dirs, st.t, t_new, h_in,
+                    ev_spec_k, st.ev, ok, dirs, st.t, t_new, h_in,
                     h_safe if nq else fb(h_in == 0.0, szero + 1.0,
                                          h_in),
                     [st.y], [st.yp], [y_corr], [yp_new],
@@ -668,22 +714,28 @@ def solve_fused_adams_grid(fun, t_span, y0_batch, rtol=1e-4, atol=1e-6,
             pl.BlockSpec((n_ev, bm, 1), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
         ]
+    in_specs = [
+        pl.BlockSpec((bm, n_sslot * n), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((bm, n_fc), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((bm, n_ic), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    call_args = [FS0, FC0, IC0]
+    if n_par:
+        in_specs.append(pl.BlockSpec((bm, n_par), lambda i: (i, 0),
+                                     memory_space=pltpu.VMEM))
+        call_args.append(params)
     with jax.enable_x64(False):
         outs = pl.pallas_call(
             kernel,
             grid=(grid,),
-            in_specs=[
-                pl.BlockSpec((bm, n_sslot * n), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((bm, n_fc), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((bm, n_ic), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM),
-            ],
+            in_specs=in_specs,
             out_specs=out_specs,
             out_shape=out_shapes,
             interpret=interpret,
-        )(FS0, FC0, IC0)
+        )(*call_args)
     y_out, status, nsteps, nfev = outs[:4]
 
     ret = (y_out[:n_total], status[:n_total, 0],

@@ -532,7 +532,7 @@ def solve_fused_erk(fun, t_span, y0_batch, method=None, rtol=1e-4,
                     atol=1e-6, first_step=None, max_steps=100_000,
                     block_members=1024, interpret=False,
                     compensated=False, t_eval=None, events=None,
-                    max_step=None):
+                    max_step=None, params=None):
     """Integrate an ensemble of small ODE systems in one Pallas kernel.
 
     y0_batch: (B, n) float32 initial states.  Returns
@@ -567,6 +567,14 @@ def solve_fused_erk(fun, t_span, y0_batch, method=None, rtol=1e-4,
     member at the root with status 8 (the driver's TERMINAL_EVENT).
     Appends ``(t_events (n_ev, B), y_events (n_ev, B, n),
     n_events (n_ev, B))`` to the return; non-fired slots are NaN.
+
+    ``params``: optional (B, k) float32 per-member scalar parameters
+    (the parameter-sweep ensemble axis, matching
+    ``solve_fused_rkc_ensemble``).  When given, ``fun`` — and every
+    event callable — is called as ``fun(t, y, p)`` with ``p`` a
+    k-tuple of per-member tiles broadcastable against the rows of
+    ``y`` (use ``p[j]`` like a scalar: e.g.
+    ``lambda t, y, p: jnp.stack([y[1], p[0]*(1-y[0]**2)*y[1]-y[0]])``).
     """
     if method is None:
         from ..methods import BS5 as method
@@ -595,6 +603,17 @@ def solve_fused_erk(fun, t_span, y0_batch, method=None, rtol=1e-4,
     grid = y0_batch.shape[0] // bm
     sub = bm // 128
 
+    if params is not None:
+        params = jnp.asarray(params, jnp.float32)
+        if params.ndim != 2 or params.shape[0] != n_total:
+            raise ValueError("params must be (B, k)")
+        n_par = params.shape[1]
+        if pad:
+            params = jnp.concatenate(
+                [params, jnp.tile(params[-1:], (pad, 1))])
+    else:
+        n_par = 0
+
     t0, tf = t_span
     if first_step is not None:
         h0 = jnp.asarray(first_step, jnp.float32)
@@ -613,13 +632,25 @@ def solve_fused_erk(fun, t_span, y0_batch, method=None, rtol=1e-4,
     ev_spec = _make_ev_spec(events)
     n_ev = 0 if ev_spec is None else len(ev_spec)
 
-    def kernel(sc_ref, y0_ref, yout_ref, stat_ref, nstep_ref, nfev_ref,
-               *rest):
+    def kernel(sc_ref, y0_ref, *rest):
         rest = list(rest)
+        par_ref = rest.pop(0) if n_par else None
+        yout_ref, stat_ref, nstep_ref, nfev_ref = rest[:4]
+        rest = rest[4:]
         yq_ref = rest.pop(0) if nq else None
         if n_ev:
             tev_ref, yev_ref, fev_ref = rest[:3]
         y = y0_ref[:].T.reshape(n, sub, 128)
+        if n_par:
+            pr = par_ref[:].T.reshape(n_par, sub, 128)
+            p = tuple(pr[j] for j in range(n_par))
+            fun1 = lambda t, yy: fun(t, yy, p)            # noqa: E731
+            wrap = lambda g: (lambda t, yy: g(t, yy, p))  # noqa: E731
+        else:
+            fun1 = fun
+            wrap = lambda g: g                            # noqa: E731
+        ev_spec_k = (None if ev_spec is None else
+                     [(wrap(ge), tm, dr) for ge, tm, dr in ev_spec])
         # distributed-layout zeros keep the while carry away from
         # replicated layouts (Mosaic cannot relayout back to them);
         # derived from runtime data so they cannot be constant-folded
@@ -632,7 +663,7 @@ def solve_fused_erk(fun, t_span, y0_batch, method=None, rtol=1e-4,
         atol_r = sc_ref[3] + fzero
         dir_r = sc_ref[4] + fzero
         h_abs0 = sc_ref[5] + fzero
-        f = fun(t, y)
+        f = fun1(t, y)
 
         nfev0 = None
         if first_step is None:
@@ -643,18 +674,18 @@ def solve_fused_erk(fun, t_span, y0_batch, method=None, rtol=1e-4,
                 jnp.zeros_like(t) + (np.inf if max_step is None
                                      else float(max_step)))
             h_abs0 = jnp.abs(hstart_tile(
-                fun, t, bq, y, f, tab.order_secondary, rtol_r, atol_r,
+                fun1, t, bq, y, f, tab.order_secondary, rtol_r, atol_r,
                 mnorm=_member_norm,
                 msum=lambda x: jnp.sum(x, axis=0),
                 mmin=lambda x: jnp.min(x, axis=0), n=n))
             nfev0 = izero + 2 + min(n + 1, 3)
 
         st = _run_erk_loop(
-            fun, (A, B_w, C, E, s, fsal, h_min_a, tiny_err), cc,
+            fun1, (A, B_w, C, E, s, fsal, h_min_a, tiny_err), cc,
             compensated, max_steps, nq, tq_vals, fzero, izero,
             _member_norm, lambda yy: [yy[j] for j in range(n)],
             t, tf_r, dir_r, rtol_r, atol_r, h_abs0, y, f,
-            ev_spec=ev_spec, join_rows=jnp.stack, nfev0=nfev0,
+            ev_spec=ev_spec_k, join_rows=jnp.stack, nfev0=nfev0,
             max_step=max_step)
 
         yout_ref[:] = st.y.reshape(n, bm).T
@@ -712,21 +743,27 @@ def solve_fused_erk(fun, t_span, y0_batch, method=None, rtol=1e-4,
             pl.BlockSpec((n_ev, 1, bm), lambda i: (0, 0, i),
                          memory_space=pltpu.VMEM),
         ]
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec((bm, n), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [scalars, y0_batch]
+    if n_par:
+        in_specs.append(pl.BlockSpec((bm, n_par), lambda i: (i, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(params)
     # trace with x64 OFF: TPU Pallas has no 64-bit types and the
     # library enables x64 globally (weak literals would promote)
     with jax.enable_x64(False):
         outs = pl.pallas_call(
             kernel,
             grid=(grid,),
-            in_specs=[
-                pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec((bm, n), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM),
-            ],
+            in_specs=in_specs,
             out_specs=tuple(out_specs),
             out_shape=tuple(out_shapes),
             interpret=interpret,
-        )(scalars, y0_batch)
+        )(*args)
 
     y_out, status, nsteps, nfev = outs[:4]
     y_out = y_out[:n_total]

@@ -42,7 +42,7 @@ def solve_fused_erk_grid(fun, t_span, y0_batch, method=None, rtol=1e-4,
                          atol=1e-6, first_step=None, max_steps=100_000,
                          block_members=32, interpret=False,
                          compensated=False, t_eval=None, events=None,
-                         max_step=None):
+                         max_step=None, params=None):
     """Integrate a mid-size-system ensemble with an ERK pair in one
     Pallas kernel.
 
@@ -63,6 +63,10 @@ def solve_fused_erk_grid(fun, t_span, y0_batch, method=None, rtol=1e-4,
     ``direction`` attributes honoured; appends (t_events, y_events,
     n_events) exactly like ``solve_fused_erk`` (in-kernel Hermite
     bisection, first crossing, terminal truncation -> status 8).
+    ``params``: optional (B, k) float32 per-member scalar parameters;
+    when given, ``fun`` and every event callable take a third
+    argument ``p``, a k-tuple of (bm, 1) member columns broadcastable
+    against the (bm, n) state (``p[j]`` acts like a scalar).
     """
     if method is None:
         from ..methods import BS5 as method
@@ -95,6 +99,17 @@ def solve_fused_erk_grid(fun, t_span, y0_batch, method=None, rtol=1e-4,
     B = y0_batch.shape[0]
     grid = B // bm
 
+    if params is not None:
+        params = jnp.asarray(params, jnp.float32)
+        if params.ndim != 2 or params.shape[0] != n_total:
+            raise ValueError("params must be (B, k)")
+        n_par = params.shape[1]
+        if pad:
+            params = jnp.concatenate(
+                [params, jnp.tile(params[-1:], (pad, 1))])
+    else:
+        n_par = 0
+
     t0, tf = t_span
     if first_step is not None:
         h0 = jnp.asarray(first_step, jnp.float32)
@@ -113,13 +128,25 @@ def solve_fused_erk_grid(fun, t_span, y0_batch, method=None, rtol=1e-4,
     ev_spec = _make_ev_spec(events)
     n_ev = 0 if ev_spec is None else len(ev_spec)
 
-    def kernel(sc_ref, y0_ref, yout_ref, stat_ref, nstep_ref, nfev_ref,
-               *rest):
+    def kernel(sc_ref, y0_ref, *rest):
         rest = list(rest)
+        par_ref = rest.pop(0) if n_par else None
+        yout_ref, stat_ref, nstep_ref, nfev_ref = rest[:4]
+        rest = rest[4:]
         yq_ref = rest.pop(0) if nq else None
         if n_ev:
             tev_ref, yev_ref, fev_ref = rest[:3]
         y = y0_ref[:]
+        if n_par:
+            pv = par_ref[:]
+            p = tuple(pv[:, j:j + 1] for j in range(n_par))
+            fun1 = lambda t, yy: fun(t, yy, p)            # noqa: E731
+            wrap = lambda g: (lambda t, yy: g(t, yy, p))  # noqa: E731
+        else:
+            fun1 = fun
+            wrap = lambda g: g                            # noqa: E731
+        ev_spec_k = (None if ev_spec is None else
+                     [(wrap(ge), tm, dr) for ge, tm, dr in ev_spec])
         # distributed-layout member-scalar zeros, derived from runtime
         # data so they cannot fold into replicated splats (fused_erk)
         fzero = y[:, :1] * 0.0
@@ -130,7 +157,7 @@ def solve_fused_erk_grid(fun, t_span, y0_batch, method=None, rtol=1e-4,
         atol_r = sc_ref[3] + fzero
         dir_r = sc_ref[4] + fzero
         h_abs0 = sc_ref[5] + fzero
-        f = fun(t, y)
+        f = fun1(t, y)
 
         def mnorm(x):
             """RMS over the lane (state) axis -> (bm, 1)."""
@@ -145,7 +172,7 @@ def solve_fused_erk_grid(fun, t_span, y0_batch, method=None, rtol=1e-4,
                 jnp.zeros_like(t) + (np.inf if max_step is None
                                      else float(max_step)))
             h_abs0 = jnp.abs(hstart_tile(
-                fun, t, bq, y, f, tab.order_secondary, rtol_r, atol_r,
+                fun1, t, bq, y, f, tab.order_secondary, rtol_r, atol_r,
                 mnorm=mnorm,
                 msum=lambda x: jnp.sum(x, axis=-1, keepdims=True),
                 mmin=lambda x: jnp.min(x, axis=-1, keepdims=True),
@@ -153,11 +180,11 @@ def solve_fused_erk_grid(fun, t_span, y0_batch, method=None, rtol=1e-4,
             nfev0 = izero + 2 + min(n + 1, 3)
 
         st = _run_erk_loop(
-            fun, (A, B_w, C, E, s, fsal, h_min_a, tiny_err), cc,
+            fun1, (A, B_w, C, E, s, fsal, h_min_a, tiny_err), cc,
             compensated, max_steps, nq, tq_vals, fzero, izero,
             mnorm, lambda yy: [yy],
             t, tf_r, dir_r, rtol_r, atol_r, h_abs0, y, f,
-            ev_spec=ev_spec, join_rows=lambda rows: rows[0],
+            ev_spec=ev_spec_k, join_rows=lambda rows: rows[0],
             nfev0=nfev0, max_step=max_step)
 
         yout_ref[:] = st.y
@@ -212,21 +239,27 @@ def solve_fused_erk_grid(fun, t_span, y0_batch, method=None, rtol=1e-4,
             pl.BlockSpec((n_ev, bm, 1), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
         ]
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec((bm, n), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [scalars, y0_batch]
+    if n_par:
+        in_specs.append(pl.BlockSpec((bm, n_par), lambda i: (i, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(params)
     # trace with x64 OFF: TPU Pallas has no 64-bit types and the
     # library enables x64 globally (weak literals would promote)
     with jax.enable_x64(False):
         outs = pl.pallas_call(
             kernel,
             grid=(grid,),
-            in_specs=[
-                pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec((bm, n), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM),
-            ],
+            in_specs=in_specs,
             out_specs=tuple(out_specs),
             out_shape=tuple(out_shapes),
             interpret=interpret,
-        )(scalars, y0_batch)
+        )(*args)
 
     y_out, status, nsteps, nfev = outs[:4]
     ret = (y_out[:n_total], status[:n_total, 0],

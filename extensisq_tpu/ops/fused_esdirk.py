@@ -71,7 +71,7 @@ def solve_fused_esdirk(fun, t_span, y0_batch, method=None, M=None,
                        first_step=None, max_steps=100_000,
                        block_members=1024, interpret=False,
                        compensated=False, t_eval=None, events=None,
-                       max_step=None):
+                       max_step=None, params=None):
     """Integrate an ensemble of small stiff systems / index-1 DAEs in
     one TPU kernel.
 
@@ -121,6 +121,12 @@ def solve_fused_esdirk(fun, t_span, y0_batch, method=None, M=None,
     reassess-stepsize semantics (steppers/esdirk.py:465-466 ==
     common.py:2168-2181): exceeding it clamps h and forces the
     standard controller for that step.
+
+    ``params``: optional (B, k) float32 per-member scalar parameters;
+    when given, ``fun`` and every event callable take a third
+    argument ``p``, a k-tuple of per-member tiles broadcastable
+    against the rows of ``y`` (the Newton Jacobian JVPs differentiate
+    through the parameterized RHS per member).
     """
     if method is None:
         from ..methods import Kv3I as method
@@ -195,14 +201,15 @@ def solve_fused_esdirk(fun, t_span, y0_batch, method=None, M=None,
         UTs = Urot.T / np.where(svrot > 0.0, svrot, 1.0)[:, None]
         user_fun = fun
 
-        def fun(t, w):             # noqa: F811 — rotated-system RHS
+        def fun(t, w, *pargs):     # noqa: F811 — rotated-system RHS
             # y = V w; g = diag(1/s) U^T f(t, y); unrolled matvecs
             # with python-float coefficients (n <= 8), the
-            # tableau-constant pattern
+            # tableau-constant pattern.  *pargs forwards the optional
+            # per-member params tuple to the user RHS.
             y_rows = [sum((float(Vhrot[j, i]) * w[j] for j in range(n)
                            if Vhrot[j, i] != 0.0), w[0] * 0.0)
                       for i in range(n)]
-            fr = user_fun(t, jnp.stack(y_rows))
+            fr = user_fun(t, jnp.stack(y_rows), *pargs)
             g_rows = [sum((float(UTs[i, j]) * fr[j] for j in range(n)
                            if UTs[i, j] != 0.0), fr[0] * 0.0)
                       for i in range(n)]
@@ -238,6 +245,17 @@ def solve_fused_esdirk(fun, t_span, y0_batch, method=None, M=None,
                           (pad, 1))])
     grid = y0_batch.shape[0] // bm
     sub = bm // 128
+
+    if params is not None:
+        params = jnp.asarray(params, jnp.float32)
+        if params.ndim != 2 or params.shape[0] != n_total:
+            raise ValueError("params must be (B, k)")
+        n_par = params.shape[1]
+        if pad:
+            params = jnp.concatenate(
+                [params, jnp.tile(params[-1:], (pad, 1))])
+    else:
+        n_par = 0
 
     t0, tf = t_span
     if first_step is not None:
@@ -296,15 +314,16 @@ def solve_fused_esdirk(fun, t_span, y0_batch, method=None, M=None,
         # the same back-rotation the norms use (y = V w).  y_events
         # outputs are un-rotated on the host below.
         def _wrap_ev(ge):
-            return lambda t, w: ge(t, _stack(to_user(_rows(w))))
+            return lambda t, w, *pa: ge(t, _stack(to_user(_rows(w))),
+                                        *pa)
         ev_spec = [(_wrap_ev(ge), term, edir)
                    for ge, term, edir in ev_spec]
 
-    def _jacobian(t, y):
+    def _jacobian(t, y, fn):
         """J[i][j] member tiles via n basis tangents of ONE
         linearization (jax.linearize evaluates the primal once; n
         separate jvp calls would re-trace it n times)."""
-        _, jvp_fn = jax.linearize(lambda yy: fun(t, yy), y)
+        _, jvp_fn = jax.linearize(lambda yy: fn(t, yy), y)
         cols = []
         for j in range(n):
             seed = jnp.stack([jnp.ones_like(y[0]) if i == j
@@ -343,13 +362,26 @@ def solve_fused_esdirk(fun, t_span, y0_batch, method=None, M=None,
             x[k] = acc / Am[k][k]
         return x
 
-    def kernel(sc_ref, y0_ref, yp0_ref, yout_ref, stat_ref, nstep_ref,
-               nfev_ref, *rest):
+    def kernel(sc_ref, y0_ref, yp0_ref, *rest):
         rest = list(rest)
+        par_ref = rest.pop(0) if n_par else None
+        yout_ref, stat_ref, nstep_ref, nfev_ref = rest[:4]
+        rest = rest[4:]
         yq_ref = rest.pop(0) if nq else None
         if n_ev:
             tev_ref, yev_ref, fev_ref = rest[:3]
         y = y0_ref[:].T.reshape(n, sub, 128)
+        if n_par:
+            prt = par_ref[:].T.reshape(n_par, sub, 128)
+            ptup = tuple(prt[j] for j in range(n_par))
+            fun1 = lambda t, yy: fun(t, yy, ptup)   # noqa: E731
+            wrap = lambda g: (lambda t, yy:         # noqa: E731
+                              g(t, yy, ptup))
+        else:
+            fun1 = fun
+            wrap = lambda g: g                      # noqa: E731
+        ev_spec_k = (None if ev_spec is None else
+                     [(wrap(ge), tm, dr) for ge, tm, dr in ev_spec])
         fzero = y[0] * 0.0
         izero = fzero.astype(jnp.int32)
         t = sc_ref[0] + fzero
@@ -361,7 +393,7 @@ def solve_fused_esdirk(fun, t_span, y0_batch, method=None, M=None,
         if have_yp0:
             yp = yp0_ref[:].T.reshape(n, sub, 128)
         else:
-            yp = fun(t, y)
+            yp = fun1(t, y)
             if m_diag is not None and rot is None:
                 # initial derivative solves M yp0 = f0 (the stepper's
                 # init, steppers/esdirk.py; zeros in M require an
@@ -380,7 +412,7 @@ def solve_fused_esdirk(fun, t_span, y0_batch, method=None, M=None,
                 jnp.zeros_like(t) + (np.inf if max_step is None
                                      else float(max_step)))
             h_abs0 = jnp.abs(hstart_tile(
-                fun, t, bq, y, yp,
+                fun1, t, bq, y, yp,
                 min(tab.order_secondary, tab.order), rtol_r, atol_r,
                 mnorm=_member_norm,
                 msum=lambda x: jnp.sum(x, axis=0),
@@ -427,7 +459,7 @@ def solve_fused_esdirk(fun, t_span, y0_batch, method=None, M=None,
             for it in range(NEWTON_MAXITER):
                 active = stop == 0
                 y_pred_rows = [psi[i] + dd * z[i] for i in range(n)]
-                fs = fun(t_stage, _stack(y_pred_rows))
+                fs = fun1(t_stage, _stack(y_pred_rows))
                 nfev = nfev + _iblend(active, izero + 1, izero)
                 rhs = []
                 bad = fzero > 1.0        # all-false mask
@@ -528,7 +560,7 @@ def solve_fused_esdirk(fun, t_span, y0_batch, method=None, M=None,
             y_c = _rows(st.y)
             # Jacobian + Newton matrix W = Sc (M - h d J), fresh per
             # attempt (J always current; no reuse ladder)
-            J = _jacobian(tc, st.y)
+            J = _jacobian(tc, st.y, fun1)
             W = [[None] * n for _ in range(n)]
             for i in range(n):
                 for j in range(n):
@@ -730,7 +762,7 @@ def solve_fused_esdirk(fun, t_span, y0_batch, method=None, M=None,
             if n_ev:
                 h_safe_e = _fblend(h == 0.0, fzero + 1.0, h)
                 ev_new, trunc, te, y_te_rows = _handle_events(
-                    ev_spec, st.ev, upd, direction, st.t, t_new, h,
+                    ev_spec_k, st.ev, upd, direction, st.t, t_new, h,
                     h_safe_e, _rows(st.y), _rows(st.yp),
                     _rows(y_new), _rows(yp_new), fzero, izero,
                     _stack)
@@ -778,7 +810,7 @@ def solve_fused_esdirk(fun, t_span, y0_batch, method=None, M=None,
         qrows0 = tuple(tuple(y[j] for j in range(n))
                        for _ in range(nq))
         if n_ev:
-            ev0 = (tuple(ge(t, y) for ge, _, _ in ev_spec),
+            ev0 = (tuple(ge(t, y) for ge, _, _ in ev_spec_k),
                    tuple(izero for _ in range(n_ev)),
                    tuple(fzero for _ in range(n_ev)),
                    tuple(tuple(y[j] for j in range(n))
@@ -853,21 +885,27 @@ def solve_fused_esdirk(fun, t_span, y0_batch, method=None, M=None,
             pl.BlockSpec((n_ev, 1, bm), lambda i: (0, 0, i),
                          memory_space=pltpu.VMEM),
         ]
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec((bm, n), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((bm, n), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    call_args = [scalars, y0_batch, yp0_batch]
+    if n_par:
+        in_specs.append(pl.BlockSpec((bm, n_par), lambda i: (i, 0),
+                                     memory_space=pltpu.VMEM))
+        call_args.append(params)
     with jax.enable_x64(False):
         outs = pl.pallas_call(
             kernel,
             grid=(grid,),
-            in_specs=[
-                pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec((bm, n), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((bm, n), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM),
-            ],
+            in_specs=in_specs,
             out_specs=out_specs,
             out_shape=out_shapes,
             interpret=interpret,
-        )(scalars, y0_batch, yp0_batch)
+        )(*call_args)
     y_out, status, nsteps, nfev = outs[:4]
 
     y_out = y_out[:n_total]

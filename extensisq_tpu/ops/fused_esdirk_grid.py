@@ -124,7 +124,7 @@ def solve_fused_esdirk_grid(fun, t_span, y0_batch, method=None, M=None,
                             first_step=None, max_steps=100_000,
                             block_members=8, interpret=False,
                             compensated=False, t_eval=None,
-                            events=None, max_step=None):
+                            events=None, max_step=None, params=None):
     """Integrate a mid-size stiff-system / index-1-DAE ensemble with
     an ESDIRK method in one TPU kernel.
 
@@ -143,6 +143,11 @@ def solve_fused_esdirk_grid(fun, t_span, y0_batch, method=None, M=None,
     (t_events, y_events, n_events) like the other fused kernels.
     ``max_step``: optional static float cap on |h| (reassess-stepsize
     semantics, steppers/esdirk.py:465-466).
+    ``params``: optional (B, k) float32 per-member scalar parameters;
+    when given, ``fun`` and every event callable take a third
+    argument ``p``, a k-tuple of (bm, 1) member columns broadcastable
+    against (bm, n) arrays (the tridiagonal-band JVPs differentiate
+    through the parameterized RHS per member).
     """
     if method is None:
         from ..methods import Kv3I as method
@@ -210,6 +215,17 @@ def solve_fused_esdirk_grid(fun, t_span, y0_batch, method=None, M=None,
     B = y0_batch.shape[0]
     grid = B // bm
 
+    if params is not None:
+        params = jnp.asarray(params, jnp.float32)
+        if params.ndim != 2 or params.shape[0] != n_total:
+            raise ValueError("params must be (B, k)")
+        n_par = params.shape[1]
+        if pad:
+            params = jnp.concatenate(
+                [params, jnp.tile(params[-1:], (pad, 1))])
+    else:
+        n_par = 0
+
     t0, tf = t_span
     if first_step is not None:
         h0 = jnp.asarray(first_step, jnp.float32)
@@ -236,12 +252,24 @@ def solve_fused_esdirk_grid(fun, t_span, y0_batch, method=None, M=None,
     def kernel(sc_ref, y0_ref, yp0_ref, *rest):
         rest = list(rest)
         m_ref = rest.pop(0) if have_m else None
+        par_ref = rest.pop(0) if n_par else None
         yout_ref, stat_ref, nstep_ref, nfev_ref = rest[:4]
         rest = rest[4:]
         yq_ref = rest.pop(0) if nq else None
         if n_ev:
             tev_ref, yev_ref, fev_ref = rest[:3]
         y = y0_ref[:]
+        if n_par:
+            pv = par_ref[:]
+            ptup = tuple(pv[:, j:j + 1] for j in range(n_par))
+            fun1 = lambda t, yy: fun(t, yy, ptup)   # noqa: E731
+            wrap = lambda g: (lambda t, yy:         # noqa: E731
+                              g(t, yy, ptup))
+        else:
+            fun1 = fun
+            wrap = lambda g: g                      # noqa: E731
+        ev_spec_k = (None if ev_spec is None else
+                     [(wrap(ge), tm, dr) for ge, tm, dr in ev_spec])
         fzero = y[:, :1] * 0.0            # (bm, 1) member scalars
         izero = fzero.astype(jnp.int32)
         nzero = y * 0.0                   # (bm, n) state zeros
@@ -261,7 +289,7 @@ def solve_fused_esdirk_grid(fun, t_span, y0_batch, method=None, M=None,
         if have_yp0:
             yp = yp0_ref[:]
         else:
-            yp = fun(t, y)
+            yp = fun1(t, y)
             if have_m:
                 # initial derivative solves M yp0 = f0 (zeros in M
                 # require an explicit yp0 and never reach here)
@@ -277,7 +305,7 @@ def solve_fused_esdirk_grid(fun, t_span, y0_batch, method=None, M=None,
                 jnp.zeros_like(t) + (np.inf if max_step is None
                                      else float(max_step)))
             h_abs0 = jnp.abs(hstart_tile(
-                fun, t, bq, y, yp,
+                fun1, t, bq, y, yp,
                 min(tab.order_secondary, tab.order), rtol_r, atol_r,
                 mnorm=lambda x: jnp.sqrt(jnp.mean(
                     x * x, axis=-1, keepdims=True)),
@@ -303,7 +331,7 @@ def solve_fused_esdirk_grid(fun, t_span, y0_batch, method=None, M=None,
             trip Mosaic's layout pass (measured: recursion blowup /
             ApplyVectorLayoutPass abort); iota-derived int masks
             lower fine."""
-            _, jvp_fn = jax.linearize(lambda w: fun(tt, w), yy)
+            _, jvp_fn = jax.linearize(lambda w: fun1(tt, w), yy)
             # anchor the tangent seeds on runtime data: CONSTANT
             # (iota-only) tangents at bm >= 16 send Mosaic's constant
             # handling into unbounded recursion (measured; bm = 8 is
@@ -331,7 +359,7 @@ def solve_fused_esdirk_grid(fun, t_span, y0_batch, method=None, M=None,
             for it in range(NEWTON_MAXITER):
                 active = stop == 0
                 y_pred = psi + dd * z
-                fs = fun(t_stage, y_pred)
+                fs = fun1(t_stage, y_pred)
                 nfev = nfev + _iblend(active, izero + 1, izero)
                 fs, bad_f = _sanitize(fs)
                 if any_alg:
@@ -570,7 +598,7 @@ def solve_fused_esdirk_grid(fun, t_span, y0_batch, method=None, M=None,
             if n_ev:
                 h_safe_e = _fblend(h == 0.0, fzero + 1.0, h)
                 ev_new, trunc, te, y_te_rows = _handle_events(
-                    ev_spec, st.ev, upd, dir_r, st.t, t_new, h,
+                    ev_spec_k, st.ev, upd, dir_r, st.t, t_new, h,
                     h_safe_e, [st.y], [st.yp], [y_new], [yp_new],
                     fzero, izero, lambda rows: rows[0])
                 status = _iblend(trunc, izero + _EVENT, status)
@@ -615,7 +643,7 @@ def solve_fused_esdirk_grid(fun, t_span, y0_batch, method=None, M=None,
             rejected=izero, nstep=izero,
             nfev=izero + (0 if have_yp0 else 1),
             qrows=tuple(y for _ in range(nq)),
-            ev=((tuple(ge(t, y) for ge, _, _ in ev_spec),
+            ev=((tuple(ge(t, y) for ge, _, _ in ev_spec_k),
                  tuple(izero for _ in range(n_ev)),
                  tuple(fzero for _ in range(n_ev)),
                  tuple((y,) for _ in range(n_ev)))
@@ -676,24 +704,31 @@ def solve_fused_esdirk_grid(fun, t_span, y0_batch, method=None, M=None,
         ]
     yp_in = (yp0_batch if have_yp0
              else jnp.zeros_like(y0_batch))
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec((bm, n), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((bm, n), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    call_args = [scalars, y0_batch, yp_in]
+    if have_m:
+        in_specs.append(pl.BlockSpec((1, n), lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        call_args.append(m_row)
+    if n_par:
+        in_specs.append(pl.BlockSpec((bm, n_par), lambda i: (i, 0),
+                                     memory_space=pltpu.VMEM))
+        call_args.append(params)
     with jax.enable_x64(False):
         outs = pl.pallas_call(
             kernel,
             grid=(grid,),
-            in_specs=[
-                pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec((bm, n), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((bm, n), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM),
-            ] + ([pl.BlockSpec((1, n), lambda i: (0, 0),
-                               memory_space=pltpu.VMEM)]
-                 if have_m else []),
+            in_specs=in_specs,
             out_specs=tuple(out_specs),
             out_shape=tuple(out_shapes),
             interpret=interpret,
-        )(*((scalars, y0_batch, yp_in)
-            + ((m_row,) if have_m else ())))
+        )(*call_args)
 
     y_out, status, nsteps, nfev = outs[:4]
     ret = (y_out[:n_total], status[:n_total, 0],

@@ -346,7 +346,7 @@ def solve_fused_rkn(acc, t_span, y0_batch, method=None, rtol=1e-4,
                     atol=1e-6, first_step=None, max_steps=100_000,
                     block_members=1024, interpret=False,
                     compensated=False, t_eval=None, events=None,
-                    max_step=None):
+                    max_step=None, params=None):
     """Integrate an ensemble of small 2nd-order systems in one kernel.
 
     y0_batch: (B, 2m) float32 — [u, v] per member.  Returns
@@ -365,6 +365,11 @@ def solve_fused_rkn(acc, t_span, y0_batch, method=None, rtol=1e-4,
     v from (v, a)); appends (t_events (n_ev, B), y_events
     (n_ev, B, 2m), n_events (n_ev, B)) like ``solve_fused_erk``;
     terminal events truncate with status 8.
+
+    ``params``: optional (B, k) float32 per-member scalar parameters;
+    when given, ``acc`` is called as ``acc(t, u, v, p)`` and every
+    event callable as ``g(t, y, p)`` with ``p`` a k-tuple of
+    per-member tiles broadcastable against the state rows.
     """
     if method is None:
         from ..methods import Fi5N as method
@@ -400,6 +405,17 @@ def solve_fused_rkn(acc, t_span, y0_batch, method=None, rtol=1e-4,
     grid = y0_batch.shape[0] // bm
     sub = bm // 128
 
+    if params is not None:
+        params = jnp.asarray(params, jnp.float32)
+        if params.ndim != 2 or params.shape[0] != n_total:
+            raise ValueError("params must be (B, k)")
+        n_par = params.shape[1]
+        if pad:
+            params = jnp.concatenate(
+                [params, jnp.tile(params[-1:], (pad, 1))])
+    else:
+        n_par = 0
+
     t0, tf = t_span
     if first_step is not None:
         h0 = jnp.asarray(first_step, jnp.float32)
@@ -418,15 +434,27 @@ def solve_fused_rkn(acc, t_span, y0_batch, method=None, rtol=1e-4,
     ev_spec = _make_ev_spec(events)
     n_ev = 0 if ev_spec is None else len(ev_spec)
 
-    def kernel(sc_ref, y0_ref, yout_ref, stat_ref, nstep_ref, nfev_ref,
-               *rest):
+    def kernel(sc_ref, y0_ref, *rest):
         rest = list(rest)
+        par_ref = rest.pop(0) if n_par else None
+        yout_ref, stat_ref, nstep_ref, nfev_ref = rest[:4]
+        rest = rest[4:]
         yq_ref = rest.pop(0) if nq else None
         if n_ev:
             tev_ref, yev_ref, fev_ref = rest[:3]
         yin = y0_ref[:].T.reshape(n, sub, 128)
         u = yin[:m]
         v = yin[m:]
+        if n_par:
+            prt = par_ref[:].T.reshape(n_par, sub, 128)
+            p = tuple(prt[j] for j in range(n_par))
+            acc1 = lambda t, uu, vv: acc(t, uu, vv, p)    # noqa: E731
+            wrap = lambda g: (lambda t, yy: g(t, yy, p))  # noqa: E731
+        else:
+            acc1 = acc
+            wrap = lambda g: g                            # noqa: E731
+        ev_spec_k = (None if ev_spec is None else
+                     [(wrap(ge), tm, dr) for ge, tm, dr in ev_spec])
         fzero = u[0] * 0.0
         izero = fzero.astype(jnp.int32)
         t = sc_ref[0] + fzero
@@ -435,7 +463,7 @@ def solve_fused_rkn(acc, t_span, y0_batch, method=None, rtol=1e-4,
         atol_r = sc_ref[3] + fzero
         dir_r = sc_ref[4] + fzero
         h_abs0 = sc_ref[5] + fzero
-        f = acc(t, u, v)
+        f = acc1(t, u, v)
 
         nfev0 = None
         if first_step is None:
@@ -444,7 +472,7 @@ def solve_fused_rkn(acc, t_span, y0_batch, method=None, rtol=1e-4,
             from ._hstart_tile import hstart_tile
 
             def df_full(tt, Y):
-                return jnp.concatenate([Y[m:], acc(tt, Y[:m], Y[m:])])
+                return jnp.concatenate([Y[m:], acc1(tt, Y[:m], Y[m:])])
 
             bq = t + dir_r * jnp.minimum(
                 jnp.abs(tf_r - t),
@@ -460,12 +488,12 @@ def solve_fused_rkn(acc, t_span, y0_batch, method=None, rtol=1e-4,
             nfev0 = izero + 2 + min(n + 1, 3)
 
         st = _run_rkn_loop(
-            acc, (A, Ap, B_w, Bp, C, E, Ep, s, fsal, h_min_a,
-                  tiny_err), cc, compensated, max_steps, nq, tq_vals,
+            acc1, (A, Ap, B_w, Bp, C, E, Ep, s, fsal, h_min_a,
+                   tiny_err), cc, compensated, max_steps, nq, tq_vals,
             fzero, izero, _member_norm,
             lambda a, b: jnp.concatenate([a, b]),
             t, tf_r, dir_r, rtol_r, atol_r, h_abs0, u, v, f,
-            ev_spec=ev_spec,
+            ev_spec=ev_spec_k,
             split_part=lambda arr: [arr[j] for j in range(m)],
             join_rows=jnp.stack,
             unsplit=lambda rows: (jnp.stack(rows[:m]),
@@ -528,19 +556,25 @@ def solve_fused_rkn(acc, t_span, y0_batch, method=None, rtol=1e-4,
             pl.BlockSpec((n_ev, 1, bm), lambda i: (0, 0, i),
                          memory_space=pltpu.VMEM),
         ]
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec((bm, n), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [scalars, y0_batch]
+    if n_par:
+        in_specs.append(pl.BlockSpec((bm, n_par), lambda i: (i, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(params)
     with jax.enable_x64(False):
         outs = pl.pallas_call(
             kernel,
             grid=(grid,),
-            in_specs=[
-                pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec((bm, n), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM),
-            ],
+            in_specs=in_specs,
             out_specs=out_specs,
             out_shape=out_shapes,
             interpret=interpret,
-        )(scalars, y0_batch)
+        )(*args)
     y_out, status, nsteps, nfev = outs[:4]
 
     y_out = y_out[:n_total]

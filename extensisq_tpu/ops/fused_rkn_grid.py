@@ -33,7 +33,7 @@ def solve_fused_rkn_grid(acc, t_span, y0_batch, method=None, rtol=1e-4,
                          atol=1e-6, first_step=None, max_steps=100_000,
                          block_members=32, interpret=False,
                          compensated=False, t_eval=None, events=None,
-                         max_step=None):
+                         max_step=None, params=None):
     """Integrate a mid-size second-order ensemble with an RKN pair in
     one Pallas kernel.
 
@@ -52,6 +52,10 @@ def solve_fused_rkn_grid(acc, t_span, y0_batch, method=None, rtol=1e-4,
     the partitioned Hermite interpolant; appends (t_events (n_ev, B),
     y_events (n_ev, B, 2n), n_events (n_ev, B)); terminal events
     truncate with status 8.
+    ``params``: optional (B, k) float32 per-member scalar parameters;
+    when given, ``acc`` is called as ``acc(t, u, v, p)`` and every
+    event callable as ``g(t, y, p)`` with ``p`` a k-tuple of (bm, 1)
+    member columns broadcastable against (bm, n) arrays.
     """
     if method is None:
         from ..methods import Fi5N as method
@@ -92,6 +96,17 @@ def solve_fused_rkn_grid(acc, t_span, y0_batch, method=None, rtol=1e-4,
     B = y0_batch.shape[0]
     grid = B // bm
 
+    if params is not None:
+        params = jnp.asarray(params, jnp.float32)
+        if params.ndim != 2 or params.shape[0] != n_total:
+            raise ValueError("params must be (B, k)")
+        n_par = params.shape[1]
+        if pad:
+            params = jnp.concatenate(
+                [params, jnp.tile(params[-1:], (pad, 1))])
+    else:
+        n_par = 0
+
     t0, tf = t_span
     if first_step is not None:
         h0 = jnp.asarray(first_step, jnp.float32)
@@ -110,15 +125,27 @@ def solve_fused_rkn_grid(acc, t_span, y0_batch, method=None, rtol=1e-4,
     ev_spec = _make_ev_spec(events)
     n_ev = 0 if ev_spec is None else len(ev_spec)
 
-    def kernel(sc_ref, y0_ref, yout_ref, stat_ref, nstep_ref, nfev_ref,
-               *rest):
+    def kernel(sc_ref, y0_ref, *rest):
         rest = list(rest)
+        par_ref = rest.pop(0) if n_par else None
+        yout_ref, stat_ref, nstep_ref, nfev_ref = rest[:4]
+        rest = rest[4:]
         yq_ref = rest.pop(0) if nq else None
         if n_ev:
             tev_ref, yev_ref, fev_ref = rest[:3]
         yin = y0_ref[:]
         u = yin[:, :n]
         v = yin[:, n:]
+        if n_par:
+            pv = par_ref[:]
+            p = tuple(pv[:, j:j + 1] for j in range(n_par))
+            acc1 = lambda t, uu, vv: acc(t, uu, vv, p)    # noqa: E731
+            wrap = lambda g: (lambda t, yy: g(t, yy, p))  # noqa: E731
+        else:
+            acc1 = acc
+            wrap = lambda g: g                            # noqa: E731
+        ev_spec_k = (None if ev_spec is None else
+                     [(wrap(ge), tm, dr) for ge, tm, dr in ev_spec])
         fzero = yin[:, :1] * 0.0          # (bm, 1) member scalars
         izero = fzero.astype(jnp.int32)
         t = sc_ref[0] + fzero
@@ -127,7 +154,7 @@ def solve_fused_rkn_grid(acc, t_span, y0_batch, method=None, rtol=1e-4,
         atol_r = sc_ref[3] + fzero
         dir_r = sc_ref[4] + fzero
         h_abs0 = sc_ref[5] + fzero
-        f = acc(t, u, v)
+        f = acc1(t, u, v)
 
         def mnorm(x):
             """RMS over the lane (state) axis -> (bm, 1)."""
@@ -140,7 +167,7 @@ def solve_fused_rkn_grid(acc, t_span, y0_batch, method=None, rtol=1e-4,
 
             def df_full(tt, Y):
                 return jnp.concatenate(
-                    [Y[:, n:], acc(tt, Y[:, :n], Y[:, n:])], axis=-1)
+                    [Y[:, n:], acc1(tt, Y[:, :n], Y[:, n:])], axis=-1)
 
             bq = t + dir_r * jnp.minimum(
                 jnp.abs(tf_r - t),
@@ -157,12 +184,12 @@ def solve_fused_rkn_grid(acc, t_span, y0_batch, method=None, rtol=1e-4,
             nfev0 = izero + 2 + min(n2 + 1, 3)
 
         st = _run_rkn_loop(
-            acc, (A, Ap, B_w, Bp, C, E, Ep, s, fsal, h_min_a,
-                  tiny_err), cc, compensated, max_steps, nq, tq_vals,
+            acc1, (A, Ap, B_w, Bp, C, E, Ep, s, fsal, h_min_a,
+                   tiny_err), cc, compensated, max_steps, nq, tq_vals,
             fzero, izero, mnorm,
             lambda a, b: jnp.concatenate([a, b], axis=-1),
             t, tf_r, dir_r, rtol_r, atol_r, h_abs0, u, v, f,
-            ev_spec=ev_spec,
+            ev_spec=ev_spec_k,
             split_part=lambda arr: [arr],
             join_rows=lambda rows: jnp.concatenate(rows, axis=-1),
             unsplit=lambda rows: (rows[0], rows[1]),
@@ -223,20 +250,26 @@ def solve_fused_rkn_grid(acc, t_span, y0_batch, method=None, rtol=1e-4,
             pl.BlockSpec((n_ev, bm, 1), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
         ]
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec((bm, n2), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [scalars, y0_batch]
+    if n_par:
+        in_specs.append(pl.BlockSpec((bm, n_par), lambda i: (i, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(params)
     # trace with x64 OFF (TPU Pallas has no 64-bit types)
     with jax.enable_x64(False):
         outs = pl.pallas_call(
             kernel,
             grid=(grid,),
-            in_specs=[
-                pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec((bm, n2), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM),
-            ],
+            in_specs=in_specs,
             out_specs=tuple(out_specs),
             out_shape=tuple(out_shapes),
             interpret=interpret,
-        )(scalars, y0_batch)
+        )(*args)
 
     y_out, status, nsteps, nfev = outs[:4]
     ret = (y_out[:n_total], status[:n_total, 0],

@@ -46,8 +46,8 @@ def solve_fused_sharded(fun, t_span, y0_batch, mesh, axis=None,
         (B, *grid_shape) for the RKC ensemble (``ensemble=True`` is
         implied here; a single-grid RKC solve has no member axis to
         shard — run it unsharded, or shard the GRID via parallel/pde's
-        GSPMD stencils).  The RKC ensemble's per-member ``params``
-        array is sharded alongside the members.
+        GSPMD stencils).  Every kernel's per-member ``params`` array
+        is sharded alongside the members.
     mesh : ``jax.sharding.Mesh`` whose ``axis`` dimension divides B.
     axis : mesh axis name for the member shards (default: the mesh's
         first axis).
