@@ -1,6 +1,6 @@
 """Mid-size fused kernels (states-on-lanes) and in-kernel events.
 
-Three fused Pallas kernels cover systems of n ~ 128-512 states — too
+The fused grid kernels cover systems of n ~ 128-512 states — too
 big for the row-unrolled small-system kernels, too small to shard —
 with the TRANSPOSED layout: the state rides the 128-lane axis,
 members ride sublanes, and the whole adaptive integration runs in one
@@ -11,6 +11,8 @@ kernel launch:
 * ``solve_fused_esdirk_grid`` — implicit ESDIRK with TRIDIAGONAL
   Newton matrices (bands from 4-color in-kernel JVPs, solves by
   parallel cyclic reduction over the lane axis)
+* ``solve_fused_ckdisc_grid`` — the CKdisc quit/twiddle cascade for
+  NON-SMOOTH mid-size systems (switched forcing, discontinuities)
 
 The RHS convention: ``fun(t, y)`` gets t (bm, 1) and y (bm, n),
 returns (bm, n); stencils are ``jnp.roll(y, s, -1)`` lane rolls.
@@ -101,3 +103,23 @@ print(f"grid ESDIRK x8: all ok={bool(np.all(np.asarray(st3) == 1))}, "
       f"~{int(np.asarray(ns3).mean())} implicit steps "
       f"(tridiagonal Newton via cyclic reduction, "
       f"{int(np.asarray(nf3).mean())} RHS evals)")
+
+# --- 4. non-smooth: the CKdisc cascade on a switched MoL model ------
+# sign-switching forcing makes the RHS discontinuous in t — exactly
+# the problem class CKdisc's staged assessments and reduced-order
+# fallbacks exist for (cash.py:115-165).
+from extensisq_tpu.ops import solve_fused_ckdisc_grid
+
+
+def fisher_switched(t, y):
+    sw = jnp.where(jnp.sin(4.0 * t) >= 0.0, 1.0, -1.0)
+    return fisher(t, y) + 0.3 * sw
+
+
+y4, st4, ns4, nf4 = solve_fused_ckdisc_grid(
+    fisher_switched, (0.0, 1.0), Y0, rtol=1e-4, atol=1e-6,
+    block_members=16, interpret=INTERPRET)
+print(f"grid CKdisc x{B}: all ok={bool(np.all(np.asarray(st4) == 1))},"
+      f" ~{int(np.asarray(ns4).mean())} accepted steps "
+      f"({int(np.asarray(nf4).mean())} RHS evals through the "
+      f"quit/twiddle cascade)")

@@ -26,6 +26,9 @@ remain the conformance solvers).
   quit/twiddle cascade for NON-SMOOTH problems: staged E1/E2/E4
   assessments, adaptive twiddle/quit factors and reduced-order
   fallback acceptance, all as masked member-tile arithmetic
+* :func:`solve_fused_ckdisc_grid` — the cascade for MID-SIZE
+  non-smooth systems (n a multiple of 128, states on the lane axis);
+  shares fused_ckdisc's loop verbatim
 * :func:`solve_fused_erk_grid` — the same states-on-lanes layout for
   explicit RK pairs (mid-size nonstiff work: advection/reaction MoL,
   oscillator chains); shares fused_erk's adaptive loop verbatim
@@ -36,10 +39,17 @@ remain the conformance solvers).
 * :func:`solve_fused_rkn_grid` — mid-size SECOND-ORDER systems
   (oscillator lattices, discretized wave equations): the partitioned
   Nystrom loop in the same states-on-lanes layout
+* :func:`solve_fused_sens` — fused FORWARD SENSITIVITIES: the
+  augmented variational system [y; dy/dp_j; dy/dy0_i] in one kernel,
+  tangent rows from in-kernel jax.jvp of the user RHS
+* :func:`solve_fused_final` — ``jax.grad``-able y(t_f): custom_vjp
+  whose backward pass is ONE fused augmented solve (value-and-grad of
+  a whole parameter-sweep ensemble in two kernel launches)
 """
 from .dispatch import solve_fused
 from .fused_erk import solve_fused_erk
 from .fused_ckdisc import solve_fused_ckdisc
+from .fused_ckdisc_grid import solve_fused_ckdisc_grid
 from .fused_erk_grid import solve_fused_erk_grid
 from .fused_rkn import solve_fused_rkn
 from .fused_rkn_grid import solve_fused_rkn_grid
@@ -49,12 +59,14 @@ from .fused_esdirk import solve_fused_esdirk
 from .fused_esdirk_grid import solve_fused_esdirk_grid
 from .fused_adams import solve_fused_adams
 from .fused_adams_grid import solve_fused_adams_grid
+from .fused_sens import solve_fused_sens, solve_fused_final
 
 __all__ = ["solve_fused",
            "solve_fused_erk", "solve_fused_ckdisc",
-           "solve_fused_erk_grid",
+           "solve_fused_ckdisc_grid", "solve_fused_erk_grid",
            "solve_fused_rkn", "solve_fused_rkn_grid",
            "solve_fused_rkc",
            "solve_fused_rkc_ensemble", "solve_fused_esdirk",
            "solve_fused_esdirk_grid", "solve_fused_adams",
-           "solve_fused_adams_grid"]
+           "solve_fused_adams_grid",
+           "solve_fused_sens", "solve_fused_final"]

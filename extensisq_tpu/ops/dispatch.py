@@ -7,7 +7,7 @@ kernel name.
 | family  | small systems            | mid-size (n % 128 == 0)     |
 |---------|--------------------------|-----------------------------|
 | erk     | solve_fused_erk          | solve_fused_erk_grid        |
-| ckdisc  | solve_fused_ckdisc       | —                           |
+| ckdisc  | solve_fused_ckdisc       | solve_fused_ckdisc_grid     |
 | rkn     | solve_fused_rkn          | solve_fused_rkn_grid        |
 | esdirk  | solve_fused_esdirk (n<=8)| solve_fused_esdirk_grid     |
 | adams   | solve_fused_adams (n<=8) | solve_fused_adams_grid      |
@@ -31,6 +31,7 @@ import numpy as np
 from .fused_erk import solve_fused_erk
 from .fused_erk_grid import solve_fused_erk_grid
 from .fused_ckdisc import solve_fused_ckdisc
+from .fused_ckdisc_grid import solve_fused_ckdisc_grid
 from .fused_rkn import solve_fused_rkn
 from .fused_rkn_grid import solve_fused_rkn_grid
 from .fused_rkc import solve_fused_rkc, solve_fused_rkc_ensemble
@@ -50,9 +51,12 @@ def solve_fused(fun, t_span, y0_batch, method=None, layout=None,
     Kv3I, ...) — its ``family`` picks the kernel; None = BS5 (erk).
     ``layout``: force "flat" (row-stacked member tiles) or "grid"
     (states on the lane axis); default auto-picks by size.
-    All other kwargs (rtol/atol/first_step/t_eval/events/rho/M/...)
-    pass through to the kernel; see each kernel's docstring for its
-    RHS convention and extras.
+    All other kwargs (rtol/atol/first_step/t_eval/events/rho/M/
+    params/...) pass through to the kernel; see each kernel's
+    docstring for its RHS convention and extras.  ``params=(B, k)``
+    per-member scalar parameters are supported by EVERY fused kernel
+    (the RHS and event callables gain a third argument ``p``, a
+    k-tuple of per-member tiles).
     """
     family = getattr(method, "family", "erk") if method is not None \
         else "erk"
@@ -87,10 +91,9 @@ def solve_fused(fun, t_span, y0_batch, method=None, layout=None,
             solve_fused_erk
         return f(fun, t_span, y0_batch, method=method, **kw)
     if family == "ckdisc":
-        if layout == "grid":
-            raise ValueError("fused CKdisc has no grid layout; use "
-                             "layout='flat' or the XLA driver")
-        return solve_fused_ckdisc(fun, t_span, y0_batch, **kw)
+        f = solve_fused_ckdisc_grid if layout == "grid" else \
+            solve_fused_ckdisc
+        return f(fun, t_span, y0_batch, **kw)
     if family == "rkn":
         f = solve_fused_rkn_grid if layout == "grid" else \
             solve_fused_rkn

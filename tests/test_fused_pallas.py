@@ -1985,3 +1985,128 @@ def test_fused_max_step_grid_layouts():
     assert np.all(np.asarray(f[1]) == 1)
     assert np.min(np.asarray(f[2])) >= 250         # 0.25 / 0.001
     assert np.max(np.abs(np.asarray(e[0]) - np.asarray(f[0]))) < 1e-3
+
+
+def test_fused_ckdisc_grid_nonsmooth_mol():
+    """Mid-size-system fused CKdisc (states on lanes — the last cell
+    of the family x layout matrix): a 128-state advection-reaction MoL
+    ensemble with a sign-switching forcing tracks the XLA f64 CKdisc
+    path's steps and endpoint at tolerance scale, with in-kernel
+    t_eval snapshots."""
+    from extensisq_tpu.ops import solve_fused_ckdisc_grid
+    from extensisq_tpu import CKdisc
+
+    n = 128
+    c, dx = 1.0, 1.0 / n
+
+    def kern(t, y):
+        sw = jnp.where(jnp.sin(4.0 * t) >= 0.0, 1.0, -1.0)
+        return (-c * (y - jnp.roll(y, 1, -1)) / dx + y * (1.0 - y)
+                + 0.3 * sw)
+
+    def vec(t, y):
+        sw = jnp.where(jnp.sin(4.0 * t) >= 0.0, 1.0, -1.0)
+        return (-c * (y - jnp.roll(y, 1)) / dx + y * (1.0 - y)
+                + 0.3 * sw)
+
+    B = 8
+    xg = np.linspace(0, 1, n, endpoint=False)
+    amps = np.linspace(0.2, 0.8, B)
+    Y0 = (0.5 + 0.4 * amps[:, None]
+          * np.sin(2 * np.pi * xg)[None, :]).astype(np.float32)
+    tq = np.array([0.0, 0.5, 1.2], np.float32)
+
+    y, st, ns, nf, yq = solve_fused_ckdisc_grid(
+        kern, (0.0, 1.2), Y0, rtol=1e-4, atol=1e-6,
+        block_members=8, interpret=True, t_eval=tq)
+    assert np.all(np.asarray(st) == 1)
+    out = solve_ensemble(vec, (0.0, 1.2), jnp.asarray(Y0, jnp.float64),
+                         method=CKdisc, rtol=1e-4, atol=1e-6,
+                         t_eval=jnp.asarray(tq, jnp.float64))
+    assert np.max(np.abs(np.asarray(y) - np.asarray(out.y))) < 2e-3
+    yx = np.asarray(out.y_eval).transpose(1, 0, 2)
+    assert np.max(np.abs(np.asarray(yq) - yx)) < 2e-3
+    np.testing.assert_array_equal(np.asarray(yq)[0],
+                                  np.asarray(Y0, np.float32))
+    # cascade decisions land in the f64 stepper's step regime
+    nsf = np.asarray(ns, np.float64)
+    nsx = np.asarray(out.nsteps, np.float64)
+    assert abs(nsf.mean() - nsx.mean()) < 0.2 * nsx.mean()
+
+
+def test_fused_ckdisc_grid_event_diagonal():
+    """Grid-layout CKdisc events ((bm, 1) member columns): on a
+    lane-diagonal sign-switching decay — every lane the flat test's
+    scalar problem — the terminal root matches the host driver's and
+    the step sequence matches the flat kernel's."""
+    from extensisq_tpu.ops import (solve_fused_ckdisc,
+                                   solve_fused_ckdisc_grid)
+    from extensisq_tpu import solve_ivp, CKdisc
+
+    def rhs_col(t, y):
+        sw = jnp.where(jnp.sin(3.0 * t) >= 0.0, 1.0, -1.0)
+        return (-sw - 0.5) * y
+
+    def g_half(t, y):
+        return y[:, :1] - 0.5
+    g_half.terminal = True
+    g_half.direction = -1.0
+
+    B, n = 8, 128
+    Y0 = np.ones((B, n), np.float32)
+    out = solve_fused_ckdisc_grid(
+        rhs_col, (0.0, 5.0), Y0, rtol=1e-4, atol=1e-7,
+        block_members=8, interpret=True, events=g_half)
+    y2, st2, ns2, nf2, tev, yev, nev = out
+    assert np.all(np.asarray(st2) == 8)
+    assert np.all(np.asarray(nev[0]) == 1)
+    rh = solve_ivp(lambda t, yy: jnp.stack(
+        [(-jnp.where(jnp.sin(3.0 * t) >= 0.0, 1.0, -1.0) - 0.5)
+         * yy[0]]), (0.0, 5.0), jnp.asarray([1.0]), method=CKdisc,
+        rtol=1e-4, atol=1e-7, events=lambda t, yy: yy[0] - 0.5)
+    assert abs(float(tev[0, 0]) - float(rh.t_events[0][0])) < 1.5e-3
+    assert np.max(np.abs(np.asarray(yev[0]) - 0.5)) < 1e-4
+
+    # the flat kernel on the scalar problem walks the same cascade
+    # (same terminal event, so the step counts cover the same span)
+    def rhs_rows(t, y):
+        sw = jnp.where(jnp.sin(3.0 * t) >= 0.0, 1.0, -1.0)
+        return jnp.stack([(-sw - 0.5) * y[0]])
+
+    def g_half_rows(t, y):
+        return y[0] - 0.5
+    g_half_rows.terminal = True
+    g_half_rows.direction = -1.0
+
+    yf, stf, nsf, nff, tevf, yevf, nevf = solve_fused_ckdisc(
+        rhs_rows, (0.0, 5.0), np.ones((128, 1), np.float32),
+        rtol=1e-4, atol=1e-7, block_members=128, interpret=True,
+        events=g_half_rows)
+    assert abs(int(ns2[0]) - int(nsf[0])) <= 2
+    assert abs(float(tev[0, 0]) - float(tevf[0, 0])) < 1e-3
+
+
+def test_fused_ckdisc_grid_dispatch_and_params():
+    """solve_fused routes mid-size CKdisc to the grid kernel, and
+    per-member params reach the cascade's RHS."""
+    from extensisq_tpu.ops import solve_fused
+    from extensisq_tpu import CKdisc
+
+    n = 128
+
+    def kern(t, y, p):
+        sw = jnp.where(jnp.sin(4.0 * t) >= 0.0, 1.0, -1.0)
+        return -p[0] * y + 0.3 * sw
+
+    B = 8
+    Y0 = np.ones((B, n), np.float32)
+    P = np.linspace(0.5, 2.0, B).astype(np.float32)[:, None]
+    y, st, ns, nf = solve_fused(
+        kern, (0.0, 2.0), Y0, method=CKdisc, block_members=8,
+        interpret=True, params=P)
+    assert np.all(np.asarray(st) == 1)
+    # stiffer members (larger decay rate) end lower
+    assert float(y[-1].mean()) < float(y[0].mean())
+    # and the routing really picked the grid layout: lanes of one
+    # member agree (diagonal dynamics preserve lane independence)
+    assert y.shape == (B, n)
