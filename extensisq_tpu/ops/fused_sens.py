@@ -1,0 +1,201 @@
+"""Forward sensitivities AND ``jax.grad`` at fused-kernel speed.
+
+The XLA paths already differentiate (sensitivity.py: the three
+reference APIs ``sens_forward`` / ``sens_adjoint_end`` /
+``sens_adjoint_int`` re-own scipy-style forward/adjoint sensitivity,
+reference ``/root/reference/extensisq/sensitivity.py``; plus the
+beyond-reference ``solve_final`` continuous-adjoint custom_vjp).
+This module brings the FORWARD flavour to the fused Pallas kernels:
+
+* :func:`solve_fused_sens` — integrate the augmented variational
+  system [y; dy/dp_j (; dy/dy0_i)] for a whole parameter-sweep
+  ensemble in ONE kernel.  The tangent RHS rows come from
+  ``jax.jvp`` of the user RHS traced INSIDE the kernel (the same
+  in-kernel JVP machinery fused_esdirk_grid uses for its Newton
+  bands), so the variational matrix is never materialized.  Error
+  control runs on the full augmented state — exactly the classical
+  "internal differentiation" scheme ``sens_forward`` implements
+  (staggered=False), so sensitivities are tolerance-accurate.
+* :func:`solve_fused_final` — y(t_f) as a differentiable function of
+  (t_span, y0_batch, params): a ``jax.custom_vjp`` twin of
+  ``sensitivity.solve_final`` whose backward pass runs ONE fused
+  augmented solve and contracts the cotangent against the recovered
+  S_y0/S_p blocks.  ``jax.grad``/``value_and_grad`` of a per-member
+  scalar loss therefore costs two fused kernel launches total —
+  for the whole ensemble.
+
+Flat-layout ERK kernels only (the augmented system multiplies the
+row count by 1 + k (+ n); explicit methods need no Jacobian of the
+augmented RHS).  f32 (+ the compensated mixed-precision mode);
+gradients are accurate to solver tolerance, like every
+forward-sensitivity method.
+"""
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .fused_erk import solve_fused_erk
+
+
+def _aug_fun(fun, n, k, n_sens_y0, with_params):
+    """The variational RHS over stacked rows.
+
+    Input rows: [y (n); s_1..s_k (n each); v_1..v_{n_sens_y0} (n
+    each)].  Tangent rows are jax.jvp directional derivatives of the
+    user RHS — traced in-kernel, Mosaic-safe (seeds are anchored on
+    runtime zeros: constant splat seeds miscompile at bm>=16, see
+    docs/TPU_NOTES.md).
+    """
+    def aug(t, Y, p=()):
+        y = Y[:n]
+
+        def prim(yy, pp):
+            return fun(t, yy, pp) if with_params else fun(t, yy)
+
+        blocks = [prim(y, p)]
+        # runtime-anchored constants (never constant-folded splats)
+        one = 1.0 + 0.0 * y[0]
+        zero_p = tuple(0.0 * pj for pj in p)
+        for j in range(k):
+            s = Y[n * (1 + j):n * (2 + j)]
+            seed = tuple(one if i == j else 0.0 * p[i]
+                         for i in range(len(p)))
+            _, fd = jax.jvp(prim, (y, p), (s, seed))
+            blocks.append(fd)
+        for i in range(n_sens_y0):
+            v = Y[n * (1 + k + i):n * (2 + k + i)]
+            _, fd = jax.jvp(prim, (y, p), (v, zero_p))
+            blocks.append(fd)
+        return jnp.concatenate(blocks, axis=0)
+
+    return aug
+
+
+def solve_fused_sens(fun, t_span, y0_batch, params=None, method=None,
+                     sens_y0=False, rtol=1e-4, atol=1e-6,
+                     first_step=None, max_steps=100_000,
+                     block_members=1024, interpret=False,
+                     compensated=False, max_step=None):
+    """Fused forward sensitivities for an ensemble of small systems.
+
+    ``fun(t, y, p)`` in the flat-kernel rows convention (``y[j]`` row
+    tiles, ``p`` a k-tuple of member tiles; ``fun(t, y)`` when
+    ``params is None``).  ``params``: (B, k) per-member parameters —
+    sensitivities are computed w.r.t. EACH of the k parameters.
+    ``sens_y0=True`` additionally carries the n initial-condition
+    sensitivity blocks (the full (n, n) fundamental-solution slice).
+
+    Returns ``(y_final (B, n), S_p (B, n, k), S_y0 (B, n, n) | None,
+    status (B,), nsteps (B,), nfev (B,))``.  S_p[b, m, j] =
+    d y_m(t_f) / d p_j for member b; S_y0[b, m, i] =
+    d y_m(t_f) / d y0_i.  Error is controlled on the augmented state
+    (internal differentiation — ``sens_forward``'s scheme), so the
+    step sequence adapts to the sensitivities too and nfev counts
+    augmented-system evaluations.
+    """
+    y0_batch = jnp.asarray(y0_batch, jnp.float32)
+    B, n = y0_batch.shape
+    if params is not None:
+        params = jnp.asarray(params, jnp.float32)
+        if params.ndim != 2 or params.shape[0] != B:
+            raise ValueError("params must be (B, k)")
+        k = params.shape[1]
+    else:
+        k = 0
+        if not sens_y0:
+            raise ValueError("nothing to differentiate: give params "
+                             "and/or sens_y0=True")
+    n_v = n if sens_y0 else 0
+    n_aug = n * (1 + k + n_v)
+
+    cols = [y0_batch, jnp.zeros((B, n * k), jnp.float32)]
+    if sens_y0:
+        eye = jnp.tile(jnp.eye(n, dtype=jnp.float32).reshape(1, n * n),
+                       (B, 1))
+        cols.append(eye)
+    Y0 = jnp.concatenate(cols, axis=1)
+    assert Y0.shape == (B, n_aug)
+
+    aug = _aug_fun(fun, n, k, n_v, with_params=params is not None)
+    out = solve_fused_erk(
+        aug, t_span, Y0, method=method, rtol=rtol, atol=atol,
+        first_step=first_step, max_steps=max_steps,
+        block_members=block_members, interpret=interpret,
+        compensated=compensated, max_step=max_step, params=params)
+    y_aug, status, nsteps, nfev = out
+
+    y_f = y_aug[:, :n]
+    S_p = (y_aug[:, n:n * (1 + k)].reshape(B, k, n).transpose(0, 2, 1)
+           if k else jnp.zeros((B, n, 0), jnp.float32))
+    S_y0 = (y_aug[:, n * (1 + k):].reshape(B, n, n).transpose(0, 2, 1)
+            if sens_y0 else None)
+    return y_f, S_p, S_y0, status, nsteps, nfev
+
+
+def _rows_eval(fun, t, Y, params):
+    """Evaluate the rows-convention RHS on host-side (B, n) arrays."""
+    yr = Y.T                                   # (n, B) row tiles
+    tt = jnp.broadcast_to(jnp.asarray(t, jnp.float32), yr[0].shape)
+    if params is None:
+        return fun(tt, yr).T
+    p = tuple(params[:, j] for j in range(params.shape[1]))
+    return fun(tt, yr, p).T
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 4, 5, 6, 7, 8, 9, 10))
+def solve_fused_final(fun, t_span, y0_batch, params, method=None,
+                      rtol=1e-4, atol=1e-6, max_steps=100_000,
+                      block_members=1024, interpret=False,
+                      compensated=False):
+    """y(t_f) for a fused ensemble, differentiable w.r.t.
+    (t_span, y0_batch, params).
+
+    The fused twin of ``sensitivity.solve_final``: the primal is one
+    fused ERK solve; the backward pass is ONE fused augmented solve
+    (forward sensitivities, :func:`solve_fused_sens`) contracted with
+    the cotangent — two kernel launches for value-and-grad of the
+    entire parameter-sweep ensemble.  ``params`` may be None (grads
+    w.r.t. t_span/y0 only).  Gradients are tolerance-accurate.
+    """
+    out = solve_fused_erk(fun, t_span, y0_batch, method=method,
+                          rtol=rtol, atol=atol, max_steps=max_steps,
+                          block_members=block_members,
+                          interpret=interpret, compensated=compensated,
+                          params=params)
+    return out[0]
+
+
+def _fused_final_fwd(fun, t_span, y0_batch, params, method, rtol,
+                     atol, max_steps, block_members, interpret,
+                     compensated):
+    y = solve_fused_final(fun, t_span, y0_batch, params, method, rtol,
+                          atol, max_steps, block_members, interpret,
+                          compensated)
+    return y, (t_span, y0_batch, params, y)
+
+
+def _fused_final_bwd(fun, method, rtol, atol, max_steps,
+                     block_members, interpret, compensated,
+                     residuals, ct):
+    t_span, y0_batch, params, y_f = residuals
+    _, S_p, S_y0, status, _, _ = solve_fused_sens(
+        fun, t_span, y0_batch, params=params, method=method,
+        sens_y0=True, rtol=rtol, atol=atol, max_steps=max_steps,
+        block_members=block_members, interpret=interpret,
+        compensated=compensated)
+    ct = jnp.asarray(ct, jnp.float32)
+    y0_bar = jnp.einsum("bm,bmi->bi", ct, S_y0)
+    p_bar = (jnp.einsum("bm,bmj->bj", ct, S_p)
+             if params is not None else None)
+    # t_span cotangents: dy_f/dtf = f(tf, y_f); dy_f/dt0 = -S_y0 f(t0, y0)
+    t0, tf = t_span
+    f_tf = _rows_eval(fun, tf, y_f, params)
+    f_t0 = _rows_eval(fun, t0, y0_batch, params)
+    dtf = jnp.vdot(ct, f_tf)
+    dt0 = -jnp.vdot(ct, jnp.einsum("bmi,bi->bm", S_y0, f_t0))
+    return ((dt0, dtf), y0_bar, p_bar)
+
+
+solve_fused_final.defvjp(_fused_final_fwd, _fused_final_bwd)

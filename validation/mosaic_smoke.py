@@ -48,7 +48,8 @@ def main():
                                    solve_fused_adams_grid,
                                    solve_fused_erk_grid,
                                    solve_fused_esdirk_grid,
-                                   solve_fused_rkn_grid)
+                                   solve_fused_rkn_grid,
+                                   solve_fused_ckdisc_grid)
     from extensisq_tpu.ops.fused_rkc import roll
     from extensisq_tpu import BS5, Fi5N, Kv3I, TRBDF2
 
@@ -311,6 +312,114 @@ def main():
           lambda Y: solve_fused_esdirk_grid(
               rdiff_g, (0.0, 0.1), Y, block_members=8,
               events=ev_mean), YG8)
+
+    # per-member params (the parameter-sweep ensemble axis): the RHS
+    # and event callables gain a third argument p (k-tuple of member
+    # tiles) on every kernel/layout
+    P2 = np.linspace(1.0, 5.0, 256).astype(np.float32)[:, None]
+
+    def vdp_p(t, y, p):
+        return jnp.stack([y[1], p[0] * (1 - y[0] ** 2) * y[1] - y[0]])
+
+    def ev_row_p(t, y, p):
+        return y[0] - 1.0
+    ev_row_p.terminal = True
+    check("fused_erk params+events", lambda Y, P: solve_fused_erk(
+        vdp_p, (0.0, 2.0), Y, method=BS5, block_members=256,
+        params=P, events=ev_row_p), Y2, P2)
+
+    def acc2_p(t, u, v, p):
+        return acc2(t, u, v) * p[0]
+    check("fused_rkn params", lambda Y, P: solve_fused_rkn(
+        acc2_p, (0.0, 3.0), Y, method=Fi5N, block_members=256,
+        params=P), Y4, P2)
+
+    def swdec_p(t, y, p):
+        return swdec(t, y) * p[0]
+    check("fused_ckdisc params", lambda Y, P: solve_fused_ckdisc(
+        swdec_p, (0.0, 5.0), Y, block_members=256, params=P),
+        Y2 + 1.0, P2)
+
+    def rob_p(t, y, p):
+        r1 = -0.04 * y[0] + p[0] * 1e4 * y[1] * y[2]
+        r3 = 3e7 * y[1] * y[1]
+        return jnp.stack([r1, -r1 - r3, r3])
+    check("fused_esdirk params", lambda Y, P: solve_fused_esdirk(
+        rob_p, (0.0, 1e3), Y, method=Kv3I, block_members=256,
+        params=P), Y3, P2)
+
+    def vdp_dec_p(t, y, p):
+        return jnp.stack([-p[0] * y[0], -y[1]])
+    check("fused_adams params", lambda Y, P: solve_fused_adams(
+        vdp_dec_p, (0.0, 2.0), Y, block_members=256, params=P),
+        Y2 + 1.0, P2)
+
+    PG = np.linspace(0.5, 2.0, 32).astype(np.float32)[:, None]
+
+    def heat_gp(t, y, p):
+        return p[0] * heat_g(t, y)
+    check("fused_adams_grid params",
+          lambda Y, P: solve_fused_adams_grid(
+              heat_gp, (0.0, 0.2), Y, k_max=6, block_members=32,
+              params=P), YG, PG)
+
+    def fisher_gp(t, y, p):
+        return p[0] * fisher_g(t, y)
+    check("fused_erk_grid params", lambda Y, P: solve_fused_erk_grid(
+        fisher_gp, (0.0, 0.5), Y, block_members=32, params=P),
+        YG, PG)
+
+    def rdiff_gp(t, y, p):
+        return p[0] * rdiff_g(t, y)
+    check("fused_esdirk_grid params",
+          lambda Y, P: solve_fused_esdirk_grid(
+              rdiff_gp, (0.0, 0.1), Y, block_members=8, params=P),
+          YG8, PG[:8])
+
+    def wave_gp(t, u, v, p):
+        return p[0] * wave_g(t, u, v)
+    check("fused_rkn_grid params", lambda Y, P: solve_fused_rkn_grid(
+        wave_gp, (0.0, 1.0), Y, block_members=8, params=P),
+        YW, PG[:8])
+
+    # mid-size non-smooth: the grid-layout CKdisc cascade
+    def fisher_sw(t, y):
+        sw = jnp.where(jnp.sin(4.0 * t) >= 0.0, 1.0, -1.0)
+        return fisher_g(t, y) + 0.3 * sw
+
+    check("fused_ckdisc_grid", lambda Y: solve_fused_ckdisc_grid(
+        fisher_sw, (0.0, 0.5), Y, block_members=32), YG)
+    check("fused_ckdisc_grid t_eval+events",
+          lambda Y: solve_fused_ckdisc_grid(
+              fisher_sw, (0.0, 0.5), Y, block_members=32,
+              t_eval=np.linspace(0.0, 0.5, 3).astype(np.float32),
+              events=ev_lane), YG)
+
+    def fisher_swp(t, y, p):
+        return p[0] * fisher_sw(t, y)
+    check("fused_ckdisc_grid params",
+          lambda Y, P: solve_fused_ckdisc_grid(
+              fisher_swp, (0.0, 0.5), Y, block_members=32, params=P),
+          YG, PG)
+
+    # fused forward sensitivities: variational rows from in-kernel
+    # jax.jvp of the user RHS (augmented state n*(1+k+n) = 8)
+    from extensisq_tpu.ops import solve_fused_sens, solve_fused_final
+
+    def vdp_p(t, y, p):
+        return jnp.stack([y[1], p[0] * (1 - y[0] ** 2) * y[1] - y[0]])
+
+    Y0s = np.zeros((256, 2), np.float32)
+    Y0s[:, 0] = 2.0
+    Ps = np.linspace(1.0, 2.0, 256).astype(np.float32)[:, None]
+    check("fused_sens (S_p + S_y0)", lambda Y, P: solve_fused_sens(
+        vdp_p, (0.0, 3.0), Y, params=P, sens_y0=True,
+        block_members=256)[:3], Y0s, Ps)
+    check("fused_final grad", lambda Y, P: jax.grad(
+        lambda YY, PP: jnp.sum(solve_fused_final(
+            vdp_p, (0.0, 3.0), YY, PP, None, 1e-4, 1e-6, 100_000,
+            256, False, False)[:, 0]), argnums=(0, 1))(Y, P),
+        Y0s, Ps)
 
     if FAILED:
         print("\nFAIL:", ", ".join(FAILED))
