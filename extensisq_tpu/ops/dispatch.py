@@ -58,8 +58,17 @@ def solve_fused(fun, t_span, y0_batch, method=None, layout=None,
     (the RHS and event callables gain a third argument ``p``, a
     k-tuple of per-member tiles).
     """
-    family = getattr(method, "family", "erk") if method is not None \
-        else "erk"
+    if method is None:
+        family = "erk"
+    else:
+        family = getattr(method, "family", None)
+        if family is None:
+            raise ValueError(
+                f"method {method!r} has no 'family' attribute — "
+                "custom methods must declare one (erk/ckdisc/rkn/"
+                "esdirk/adams/rkc) to route to a fused kernel; "
+                "running an unknown method through the ERK kernel "
+                "would silently produce wrong results")
 
     if family == "rkc":
         nd = np.ndim(y0_batch)
@@ -101,8 +110,6 @@ def solve_fused(fun, t_span, y0_batch, method=None, layout=None,
     if family == "esdirk":
         f = solve_fused_esdirk_grid if layout == "grid" else \
             solve_fused_esdirk
-        if layout == "grid":
-            return f(fun, t_span, y0_batch, **kw)
         return f(fun, t_span, y0_batch, method=method, **kw)
     if family == "adams":
         f = solve_fused_adams_grid if layout == "grid" else \

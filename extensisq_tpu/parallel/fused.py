@@ -70,7 +70,11 @@ def solve_fused_sharded(fun, t_span, y0_batch, mesh, axis=None,
             f"member count {B} must divide over mesh axis "
             f"{axis!r} ({ndev} devices); pad the ensemble")
 
-    is_rkc_ens = np.ndim(y0_batch) >= 3
+    # axis 0 is ALWAYS the member axis here (the function's contract),
+    # so for the RKC family the stack is an ensemble regardless of the
+    # members' grid rank — unlike ops.solve_fused's direct door, where
+    # a bare 3-D array is read as one 3-D grid unless ensemble=True.
+    is_rkc_ens = getattr(method, "family", None) == "rkc"
     if is_rkc_ens:
         kw.setdefault("ensemble", True)    # RKC member-of-grids stack
 
