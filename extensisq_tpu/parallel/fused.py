@@ -76,7 +76,20 @@ def solve_fused_sharded(fun, t_span, y0_batch, mesh, axis=None,
     # a bare 3-D array is read as one 3-D grid unless ensemble=True.
     is_rkc_ens = getattr(method, "family", None) == "rkc"
     if is_rkc_ens:
-        kw.setdefault("ensemble", True)    # RKC member-of-grids stack
+        if kw.get("ensemble") is False:
+            raise ValueError(
+                "solve_fused_sharded shards axis 0 as the member axis "
+                "by contract, so an RKC y0_batch is always an ensemble "
+                "of grids here; ensemble=False contradicts that. Drop "
+                "the flag (or use ops.solve_fused / parallel.pde for a "
+                "single grid).")
+        kw["ensemble"] = True              # RKC member-of-grids stack
+        if np.ndim(y0_batch) < 3:
+            raise ValueError(
+                "RKC ensemble members must be >= 2-D VMEM-tileable "
+                f"grids; got member shape {np.shape(y0_batch)[1:]}. "
+                "Reshape each 1-D member to (1, n) — i.e. y0_batch to "
+                f"(B, 1, {int(np.prod(np.shape(y0_batch)[1:]))}).")
 
     nq = (0 if kw.get("t_eval") is None
           else int(np.shape(kw["t_eval"])[0]))

@@ -6,11 +6,18 @@ surface as a red benchmark rather than a red test.  This harness
 closes that gap: it LOWERS AND COMPILES each kernel variant on the
 attached TPU — `jit(...).lower(...).compile()` runs the full
 XLA+Mosaic pipeline without executing — and reports PASS/FAIL per
-kernel.  Exits nonzero on any failure.
+kernel.  Exits nonzero on any failure — INCLUDING when no TPU is
+attached (a gate that silently passes when it didn't run is no gate).
+Writes the machine-checked artifact MOSAIC_SMOKE.json at the repo root
+(per-kernel pass/fail + compile seconds + the git commit it ran at),
+so "every kernel variant compiles under real Mosaic at HEAD" is a
+committed fact rather than a claim.
 
 Run (real TPU required): python validation/mosaic_smoke.py
 """
+import json
 import os
+import subprocess
 import sys
 from time import perf_counter
 
@@ -21,6 +28,7 @@ import jax
 import jax.numpy as jnp
 
 FAILED = []
+RESULTS = {}
 
 
 def check(name, fn, *args):
@@ -28,17 +36,41 @@ def check(name, fn, *args):
     print(f"....  {name}", flush=True)       # visible BEFORE a hang
     try:
         jax.jit(fn).lower(*args).compile()
-        print(f"PASS  {name}  ({perf_counter() - t0:.1f}s)",
-              flush=True)
+        dt = perf_counter() - t0
+        print(f"PASS  {name}  ({dt:.1f}s)", flush=True)
+        RESULTS[name] = {"pass": True, "compile_s": round(dt, 2)}
     except Exception as e:  # noqa: BLE001 — report and keep going
         print(f"FAIL  {name}: {type(e).__name__}: {e}", flush=True)
         FAILED.append(name)
+        RESULTS[name] = {"pass": False,
+                         "error": f"{type(e).__name__}: {e}"[:300]}
+
+
+def write_artifact():
+    root = os.path.join(os.path.dirname(__file__), "..")
+    try:
+        commit = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"], cwd=root,
+            capture_output=True, text=True).stdout.strip()
+    except Exception:  # noqa: BLE001
+        commit = "unknown"
+    out = {"commit": commit,
+           "backend": jax.default_backend(),
+           "device": str(jax.devices()[0]),
+           "n_kernels": len(RESULTS),
+           "failures": FAILED,
+           "kernels": RESULTS}
+    path = os.path.join(root, "MOSAIC_SMOKE.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(f"wrote {os.path.abspath(path)}")
 
 
 def main():
     if jax.default_backend() not in ("tpu", "axon"):
-        print("no TPU attached — Mosaic smoke test skipped")
-        return
+        print("FAIL: no TPU attached — the Mosaic smoke gate REQUIRES "
+              "a real chip (exit 1 so this can never silently pass)")
+        sys.exit(1)
 
     from extensisq_tpu.ops import (solve_fused_erk, solve_fused_rkn,
                                    solve_fused_rkc,
@@ -421,6 +453,7 @@ def main():
             256, False, False)[:, 0]), argnums=(0, 1))(Y, P),
         Y0s, Ps)
 
+    write_artifact()
     if FAILED:
         print("\nFAIL:", ", ".join(FAILED))
         sys.exit(1)
