@@ -50,7 +50,8 @@ _FAMILY_OPTIONS = {
     "rkn": {"first_step", "max_step", "rtol", "atol", "sc_params",
             "nfev_stiff_detect", "interpolant", "scale_embedded"},
     "esdirk": {"first_step", "max_step", "rtol", "atol", "sc_params",
-               "jac", "jac_sparsity", "M", "jac_each_step", "interpolant"},
+               "jac", "jac_sparsity", "M", "jac_each_step", "interpolant",
+               "bands"},
     "adams": {"first_step", "max_step", "rtol", "atol", "k_max"},
     "rkc": {"first_step", "max_step", "rtol", "atol", "const_jac",
             "rho_jac"},

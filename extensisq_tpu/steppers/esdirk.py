@@ -144,11 +144,41 @@ class ESDIRKStepper:
         sparsity = opts.pop("jac_sparsity", None)
         jac = opts.pop("jac", None)
         M = opts.pop("M", None)
+        bands = opts.pop("bands", None)
         self.options = opts
+
+        # Banded mode: the reference scales large sparse systems by
+        # switching its LU to SuperLU (common.py:1756-1776); here
+        # ``bands=(kl, ku)`` (or ``bands=True`` with ``jac_sparsity``)
+        # switches the Newton linear algebra to block-tridiagonal
+        # cyclic reduction (core/banded.py) — O(n b^2) per solve in
+        # log2(n/b) batched levels, full working precision on TPU.
+        self.banded = bands is not None
+        if self.banded:
+            from ..core import banded as _bd
+            self._bd = _bd
+            if bands is True:
+                if sparsity is None:
+                    raise ValueError(
+                        "bands=True requires jac_sparsity to derive "
+                        "the bandwidths; pass bands=(kl, ku) directly "
+                        "otherwise.")
+                bands = _bd.bands_of_sparsity(sparsity)
+            self.kl, self.ku = int(bands[0]), int(bands[1])
+            if not (0 <= self.kl < n and 0 <= self.ku < n):
+                raise ValueError(
+                    f"bands=({self.kl}, {self.ku}) out of range for "
+                    f"an {n}-state system.")
+            self._nbr = self.kl + self.ku + 1      # band rows
 
         # Jacobian setup (cf. _validate_jac, common.py:1706-1754)
         if jac is None:
-            if sparsity is not None:
+            if self.banded:
+                # banded coloring is exact with kl+ku+1 tangents and
+                # scatters straight into banded storage
+                self.jac = self._bd.banded_colored_jacfwd(
+                    fun, self.kl, self.ku, n, self.dtype)
+            elif sparsity is not None:
                 # colored forward-mode: O(colors) JVPs instead of O(n)
                 # (the reference's group_columns + num_jac FD analog)
                 from ..core.linalg import colored_jacfwd
@@ -160,15 +190,35 @@ class ESDIRKStepper:
                                           np.complexfloating))
             self.linear = False
         elif callable(jac):
-            self.jac = lambda t, y: jnp.asarray(jac(t, y), self.dtype)
+            if self.banded:
+                # a user jac may return dense (n, n) or banded
+                # (kl+ku+1, n) storage; normalize to banded
+                def _jac_banded(t, y, _jac=jac):
+                    Jr = jnp.asarray(_jac(t, y), self.dtype)
+                    if Jr.shape == (n, n):
+                        return self._bd.banded_from_dense(
+                            Jr, self.kl, self.ku)
+                    if Jr.shape != (self._nbr, n):
+                        raise ValueError(
+                            f"banded jac must return ({n}, {n}) dense "
+                            f"or ({self._nbr}, {n}) banded storage, "
+                            f"got {Jr.shape}")
+                    return Jr
+                self.jac = _jac_banded
+            else:
+                self.jac = lambda t, y: jnp.asarray(jac(t, y), self.dtype)
             self.linear = False
         else:
             Jc = np.asarray(
                 jac.toarray() if hasattr(jac, "toarray") else jac,
                 dtype=self.dtype)
-            if Jc.shape != (n, n):
+            if self.banded and Jc.shape == (n, n):
+                Jc = np.asarray(self._bd.banded_from_dense(
+                    jnp.asarray(Jc), self.kl, self.ku))
+            expect = (self._nbr, n) if self.banded else (n, n)
+            if Jc.shape != expect:
                 raise ValueError(
-                    f"`jac` is expected to have shape {(n, n)}, but "
+                    f"`jac` is expected to have shape {expect}, but "
                     f"actually has {Jc.shape}.")
             self.J_const = Jc
             self.jac = None
@@ -176,6 +226,7 @@ class ESDIRKStepper:
 
         # Mass matrix / DAE setup (cf. _handle_M, common.py:1778-1821)
         self.isDAE = False
+        self.mvec = None
         if M is None:
             self.M = None
         else:
@@ -187,25 +238,48 @@ class ESDIRKStepper:
             if M.shape != (n, n):
                 raise ValueError("M should have shape (n,) or (n, n)")
             self.M = M
+            if self.banded:
+                if np.any(M != np.diag(np.diag(M))):
+                    raise ValueError(
+                        "banded mode requires a diagonal mass matrix "
+                        "(a general M densifies M - h*d*J; use the "
+                        "dense path for non-diagonal M).")
+                self.mvec = np.diag(M).copy()
             U, sv, Vh = np.linalg.svd(M)
             cond_lim = sv[0] * n ** 2 * np.finfo(self.real_dtype).eps
             nAE = int(np.sum(sv < cond_lim))
             self.isDAE = nAE > 0
             if self.isDAE:
                 self.U, self.sv, self.Vh, self.nAE = U, sv, Vh, nAE
+                if self.banded:
+                    # for diagonal M the zero-singular-value subspace
+                    # is axis-aligned, so U diag(sc) U^T collapses to
+                    # a diagonal row scaling on exactly these rows
+                    self.alg_mask = np.abs(self.mvec) < cond_lim
 
     # -- small helpers -------------------------------------------------------
 
     def _M_mul(self, z):
         if self.M is None:
             return z
+        if self.banded:
+            return jnp.asarray(self.mvec, self.dtype) * z
         return jnp.asarray(self.M) @ z
+
+    def _sc_vec(self, h):
+        """Diagonal of U diag(sc) U^T for diagonal M: the 1/(h d)
+        rescale lands exactly on the algebraic (zero-mass) rows."""
+        alg = jnp.asarray(self.alg_mask)
+        return jnp.where(alg, 1.0 / (h * self.d),
+                         jnp.ones((), self.real_dtype))
 
     def _Sc_mul(self, h, v):
         """Scale algebraic rows by 1/(h d): Sc = U diag(sc) U^T
         (common.py:2038-2044)."""
         if not self.isDAE:
             return v
+        if self.banded:
+            return self._sc_vec(h) * v
         U = jnp.asarray(self.U)
         sc = jnp.concatenate([
             jnp.ones(self.n - self.nAE, self.real_dtype),
@@ -227,6 +301,21 @@ class ESDIRKStepper:
 
     def _factor(self, h, J):
         """LU of Sc (M - h d J)."""
+        if self.banded:
+            # J is (kl+ku+1, n) banded storage; M is diagonal or I.
+            W = -(h * self.d) * J
+            mdiag = (jnp.ones((self.n,), self.dtype) if self.M is None
+                     else jnp.asarray(self.mvec, self.dtype))
+            W = W.at[self.ku].add(mdiag)
+            if self.isDAE:
+                # row scaling in banded storage: entry (d, j) is
+                # matrix row j + d - ku
+                jj = np.arange(self.n)[None, :]
+                row = np.clip(jj + np.arange(self._nbr)[:, None]
+                              - self.ku, 0, self.n - 1)
+                W = W * self._sc_vec(h)[row].astype(self.dtype)
+            fact = self._bd.banded_factor(W, self.kl, self.ku, self.n)
+            return fact, jnp.zeros((0,), jnp.int32)
         A = (jnp.eye(self.n, dtype=self.dtype) if self.M is None
              else jnp.asarray(self.M).astype(self.dtype))
         W = A - (h * self.d) * J
@@ -241,16 +330,35 @@ class ESDIRKStepper:
         return lu, piv
 
     def _solve(self, LU, piv, b):
+        if self.banded:
+            return self._bd.banded_solve(LU, b, self.n, self.kl,
+                                         self.ku)
         x = jax.scipy.linalg.lu_solve((LU, piv),
                                       b.astype(self._lu_dtype))
         return x.astype(self.dtype)
+
+    def _jac_dense(self):
+        """A dense-J view of the (possibly banded) Jacobian for the
+        one-time init/validation paths; the per-step Newton machinery
+        never goes through this."""
+        if self.jac is None:
+            Jc = jnp.asarray(self.J_const)
+            if self.banded:
+                Jc = self._bd.dense_from_banded(Jc, self.kl, self.ku,
+                                                self.n)
+            return lambda t, y: Jc
+        if self.banded:
+            return lambda t, y: self._bd.dense_from_banded(
+                self.jac(t, y), self.kl, self.ku, self.n)
+        return self.jac
 
     def validate_problem(self, fun_np, t0, y0):
         """Host-side DAE index check (common.py:1845-1853)."""
         if not self.isDAE:
             return
-        if self.jac is not None:
-            J = np.asarray(self.jac(jnp.asarray(t0), jnp.asarray(y0)))
+        if self.jac is not None or self.banded:
+            J = np.asarray(self._jac_dense()(jnp.asarray(t0),
+                                             jnp.asarray(y0)))
         else:
             J = np.asarray(self.J_const)
         G = self.U.T @ J @ self.Vh.T
@@ -272,8 +380,7 @@ class ESDIRKStepper:
         sv = jnp.asarray(self.sv)
         nd = self.n - self.nAE
 
-        jac = self.jac if self.jac is not None \
-            else (lambda t, y: jnp.asarray(self.J_const))
+        jac = self._jac_dense()
 
         f0 = self.fun(t0, y0)
         z0 = Vh @ y0
@@ -328,6 +435,8 @@ class ESDIRKStepper:
         if self.isDAE:
             y0, yp0, J, hs_kwargs = self.consistent_ics(t0, y0, params)
             njev += 1
+            if self.banded:
+                J = self._bd.banded_from_dense(J, self.kl, self.ku)
             if first_step is None:
                 h_abs = jnp.abs(h_start(
                     self.fun, t0,
@@ -341,6 +450,10 @@ class ESDIRKStepper:
             if self.M is None:
                 yp0 = f0
                 fun_ext = self.fun
+            elif self.banded:
+                mv = jnp.asarray(self.mvec, self.dtype)
+                yp0 = f0 / mv
+                fun_ext = lambda t, y: self.fun(t, y) / mv  # noqa: E731
             else:
                 M_j = jnp.asarray(self.M).astype(self.dtype)
                 yp0 = gauss_solve(M_j, f0)
@@ -365,6 +478,13 @@ class ESDIRKStepper:
 
         z = jnp.asarray(0.0, self.real_dtype)
         i0 = jnp.asarray(0, jnp.int32)
+        if self.banded:
+            LU0 = self._bd.bcr_zero_factor(self.n, self.kl, self.ku,
+                                           self.dtype)
+            piv0 = jnp.zeros((0,), jnp.int32)
+        else:
+            LU0 = jnp.zeros((self.n, self.n), self._lu_dtype)
+            piv0 = jnp.zeros((self.n,), jnp.int32)
         return ESDIRKState(
             t=t0, y=y0, yp=yp0, h_abs=h_abs,
             status=jnp.asarray(RUNNING, jnp.int32),
@@ -372,8 +492,8 @@ class ESDIRKStepper:
             error_norm_old=jnp.asarray(1.0, self.real_dtype),
             h_previous=z, max_factor=jnp.asarray(10.0, self.real_dtype),
             J=J, current_J=jnp.asarray(True),
-            LU=jnp.zeros((self.n, self.n), self._lu_dtype),
-            piv=jnp.zeros((self.n,), jnp.int32),
+            LU=LU0,
+            piv=piv0,
             LU_valid=jnp.asarray(False), h_LU=z,
             Rate=jnp.asarray(-jnp.inf, self.real_dtype),
             Niter=i0,

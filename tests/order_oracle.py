@@ -33,11 +33,14 @@ import numpy as np
 
 
 @lru_cache(maxsize=None)
-def _trees(order, max_edge):
+def _trees(order, max_edge, min_edge=1):
     """All canonical trees of a given order.
 
     A tree is ``(k, children)`` with ``children`` a sorted tuple of
     ``(edge_weight, subtree)``.  ``max_edge`` is 1 for RK, 2 for RKN.
+    ``min_edge=2`` restricts to the special Nystrom (SN) trees of the
+    velocity-independent theory: with f = f(t, y) the first-derivative
+    (Ap) attachment never arises, so every edge doubly integrates.
     """
     if order < 1:
         return ()
@@ -51,12 +54,12 @@ def _trees(order, max_edge):
             return {()}
         out = set()
         # pick number of children is implicit: recurse on first child
-        for w in range(1, max_edge + 1):
+        for w in range(min_edge, max_edge + 1):
             for sub_order in range(1, remaining - w + 2):
                 cost = sub_order + w - 1
                 if cost > remaining:
                     continue
-                for sub in _trees(sub_order, max_edge):
+                for sub in _trees(sub_order, max_edge, min_edge):
                     for rest in attachments(remaining - cost):
                         out.add(tuple(sorted(((w, sub),) + rest)))
         return out
@@ -125,6 +128,28 @@ def rkn_residuals(order, b, beta, c, A, Ap):
         if _order(tree) != order:
             continue
         g = _g_vec(tree, c, A, Ap)
+        gam = _gamma(order, tree)
+        res_v.append(b @ g - 1.0 / gam)
+        res_u.append(beta @ g - 1.0 / ((order + 1) * gam))
+    return np.array(res_v), np.array(res_u)
+
+
+def srkn_residuals(order, b, beta, c, A):
+    """(derivative, position) residuals for STRICT (velocity-
+    independent) Nystrom methods: y'' = f(t, y) with no y' argument,
+    so the tableau has no Ap and the complete condition set runs over
+    the SN-trees (every edge a double integration).  Hairer, Norsett
+    & Wanner II.14; the reference skips these
+    (/root/reference/tests/test_rkn.py:37-39)."""
+    b = np.asarray(b, dtype=float)
+    beta = np.asarray(beta, dtype=float)
+    c = np.asarray(c, dtype=float)
+    A = np.asarray(A, dtype=float)
+    res_v, res_u = [], []
+    for tree in _trees(order, max_edge=2, min_edge=2):
+        if _order(tree) != order:
+            continue
+        g = _g_vec(tree, c, A, A)
         gam = _gamma(order, tree)
         res_v.append(b @ g - 1.0 / gam)
         res_u.append(beta @ g - 1.0 / ((order + 1) * gam))

@@ -9,7 +9,8 @@ structural identities and interpolant continuity.  Backend-independent
 import numpy as np
 import pytest
 
-from order_oracle import rk_residuals, rkn_residuals, augmented_embedded
+from order_oracle import (rk_residuals, rkn_residuals, srkn_residuals,
+                          augmented_embedded)
 
 from extensisq_tpu.methods import (
     EXPLICIT_METHODS, RKN_METHODS, ESDIRK_METHODS, CKdisc,
@@ -65,11 +66,34 @@ def test_rk_interpolant_continuity(method):
 @pytest.mark.parametrize("method", RKN_METHODS, ids=lambda m: m.name)
 def test_rkn_order_conditions(method):
     tab = method.tableau
-    if tab.velocity_independent:
-        # strict-RKN tree conditions not implemented (matches reference,
-        # test_rkn.py:37-39); structural identities still verified below
-        return
     tol = tab.n_stages * 1e-13
+    if tab.velocity_independent:
+        # strict-RKN (SN-tree) conditions — the complete set for
+        # f = f(t, y); EXCEEDS the reference, which skips these
+        # (test_rkn.py:37-39).  MR6NN mains verify to velocity order 6
+        # / position order 5, its embedded pair to 4/3.
+        for q in range(1, tab.order + 1):
+            rv, ru = srkn_residuals(q, tab.Bp, tab.B, tab.C, tab.A)
+            assert np.max(np.abs(rv)) < tol, f"velocity order {q}"
+            if q < tab.order:
+                assert np.max(np.abs(ru)) < tol, f"position order {q}"
+        s = tab.n_stages
+        E, Ep = np.asarray(tab.E, float), np.asarray(tab.Ep, float)
+        A2 = np.zeros((Ep.size, Ep.size))
+        A2[:s, :s] = tab.A
+        A2[-1, :-1] = tab.B
+        C2 = np.ones(Ep.size)
+        C2[:-1] = tab.C
+        Bh = Ep.copy()
+        Bh[:-1] += tab.Bp
+        betah = E.copy()
+        betah[:-1] += tab.B
+        for q in range(1, tab.order_secondary + 1):
+            rv, ru = srkn_residuals(q, Bh, betah, C2, A2)
+            assert np.max(np.abs(rv)) < tol, f"embedded velocity {q}"
+            if q < tab.order_secondary:
+                assert np.max(np.abs(ru)) < tol, f"embedded position {q}"
+        return
     for q in range(1, min(tab.order, 7) + 1):
         rv, ru = rkn_residuals(q, tab.Bp, tab.B, tab.C, tab.A, tab.Ap)
         assert np.max(np.abs(rv)) < tol, f"velocity order {q}"
