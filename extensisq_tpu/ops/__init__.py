@@ -45,8 +45,13 @@ remain the conformance solvers).
 * :func:`solve_fused_final` — ``jax.grad``-able y(t_f): custom_vjp
   whose backward pass is ONE fused augmented solve (value-and-grad of
   a whole parameter-sweep ensemble in two kernel launches)
+* :class:`FusedDenseSolution` — evaluable continuous dense output
+  from a fused solve (``dense=R`` on the flat ERK/ESDIRK kernels):
+  in-kernel per-step (t, y, f) recording, host-compacted into the
+  framework's unified OdeSolution anchor form
 """
 from .dispatch import solve_fused
+from .fused_dense import FusedDenseSolution, build_fused_dense
 from .fused_erk import solve_fused_erk
 from .fused_ckdisc import solve_fused_ckdisc
 from .fused_ckdisc_grid import solve_fused_ckdisc_grid
@@ -69,4 +74,5 @@ __all__ = ["solve_fused",
            "solve_fused_rkc_ensemble", "solve_fused_esdirk",
            "solve_fused_esdirk_grid", "solve_fused_adams",
            "solve_fused_adams_grid",
-           "solve_fused_sens", "solve_fused_final"]
+           "solve_fused_sens", "solve_fused_final",
+           "FusedDenseSolution", "build_fused_dense"]

@@ -18,8 +18,11 @@ tiles (``y[j]`` indexing) for the small-system kernels, (bm, n) lane
 arrays for the grid kernels — so the dispatcher cannot silently
 convert a mismatched ``fun``; it only picks the kernel.  Pass
 ``layout="flat"`` or ``layout="grid"`` to force a side; default picks
-``grid`` exactly when the (per-partition) state length is a multiple
-of 128 and above the small-kernel caps.
+``grid`` when the (per-partition) state length is a multiple of 128,
+at least 48, or above a small-kernel cap.  The grid kernels accept
+ANY n — non-aligned sizes ride inert masked lane padding
+(ops/_lane_pad.py) with the exact unpadded step sequence, so e.g. the
+reference's Medazko n=400 showcase runs fused without hand-padding.
 
 RKC dispatch is by input shape: a single (grid-shaped, >= 2-D) y0
 runs :func:`solve_fused_rkc`; an (n_members, *grid_shape) stack runs
@@ -41,6 +44,7 @@ from .fused_adams import solve_fused_adams
 from .fused_adams_grid import solve_fused_adams_grid
 
 _SMALL_CAP = {"esdirk": 8, "adams": 8}
+_GRID_MIN = 48     # smallest state the grid layout wins at (padded)
 
 
 def solve_fused(fun, t_span, y0_batch, method=None, layout=None,
@@ -83,14 +87,14 @@ def solve_fused(fun, t_span, y0_batch, method=None, layout=None,
 
     if layout is None:
         cap = _SMALL_CAP.get(family)
-        wants_grid = (n_part % 128 == 0 and n_part >= 128)
+        # the grid kernels accept ANY n (masked lane padding,
+        # ops/_lane_pad.py), so routing is a pure efficiency choice:
+        # small states run fastest with members on lanes (flat),
+        # larger states with the state on lanes (grid; below 128 the
+        # pad waste still beats unrolling >= _GRID_MIN state rows)
+        wants_grid = (n_part % 128 == 0 and n_part >= 128) \
+            or n_part >= _GRID_MIN
         if cap is not None and n_part > cap:
-            if not wants_grid:
-                raise ValueError(
-                    f"no fused {family} kernel for n={n_part}: the "
-                    f"small-system kernel caps at n<={cap} and the "
-                    "grid layout needs n % 128 == 0 (pad the system "
-                    "or use the XLA driver)")
             layout = "grid"
         else:
             layout = "grid" if wants_grid else "flat"

@@ -7,9 +7,10 @@ with only the dispatch-bound XLA path (~170 kernel launches per step,
 docs/TPU_NOTES.md).  This kernel closes that hole with the transposed
 layout:
 
-* the STATE occupies the 128-lane vector axis (n a multiple of 128 —
-  pad your system or pick a grid size accordingly; lane padding would
-  silently corrupt stencil rolls, so it is required, not faked);
+* the STATE occupies the 128-lane vector axis; any n is accepted —
+  non-multiples of 128 are zero-padded internally with INERT masked
+  lanes (ops/_lane_pad.py: sliced RHS inputs, true-n norms),
+  preserving the unpadded step sequence exactly;
 * MEMBERS occupy sublanes: each block integrates ``block_members``
   members, per-member scalars (t, h, psi, alpha, ..., k, ns) are
   (bm, 1) column tiles broadcast against (bm, n) state arrays;
@@ -38,6 +39,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..steppers.adams import AdamsStepper, _GSTR
 from ..types import IVPParams
+from . import _lane_pad as _lp
 from ._adams_common import TileOps, make_coefficients
 from .fused_erk import (_sanitize, _df_add, _hermite_tiles,
                         _make_ev_spec, _handle_events, _EVENT)
@@ -89,9 +91,11 @@ def solve_fused_adams_grid(fun, t_span, y0_batch, rtol=1e-4, atol=1e-6,
                            max_step=None, params=None):
     """Integrate a mid-size-system ensemble with SWAG in one kernel.
 
-    y0_batch: (B, n) float32 with n a MULTIPLE OF 128 (the state
-    rides the lane axis; pad your system to the next multiple — lane
-    padding inside the kernel would corrupt ``jnp.roll`` stencils).
+    y0_batch: (B, n) float32, ANY n — non-multiples of 128 are
+    zero-padded internally with inert masked lanes (ops/_lane_pad.py;
+    ``fun`` and event callables still see exactly n lanes, the step
+    sequence equals the unpadded problem's exactly; requires
+    atol > 0).
     ``fun(t, y)``: t (bm, 1), y (bm, n) -> (bm, n), vectorized over
     the member sublanes.  Returns (y_final (B, n), status (B,),
     nsteps (B,), nfev (B,)); with ``t_eval`` (increasing snapshot
@@ -108,11 +112,12 @@ def solve_fused_adams_grid(fun, t_span, y0_batch, rtol=1e-4, atol=1e-6,
     against (bm, n) arrays (host init and kernel both honour it).
     """
     y0_batch = jnp.asarray(y0_batch, jnp.float32)
-    n_total, n = y0_batch.shape
-    if n % 128:
-        raise ValueError("fused grid SWAG needs n % 128 == 0 (state "
-                         "on the lane axis); pad the system or use "
-                         "fused_adams (n <= 8) / the XLA path")
+    n_total, n_true = y0_batch.shape
+    n = _lp.pad_width(n_true)
+    if n != n_true and not atol > 0.0:
+        raise ValueError("masked lane padding (n not a multiple of "
+                         "128) requires atol > 0: pad-lane error "
+                         "weights are atol exactly")
     km = int(k_max)
     bm = block_members
     if bm % 8:
@@ -170,7 +175,7 @@ def solve_fused_adams_grid(fun, t_span, y0_batch, rtol=1e-4, atol=1e-6,
                 def fv(t, yy):
                     return fun(jnp.reshape(t, (1, 1)), yy[None, :],
                                p)[0]
-                st = AdamsStepper(fv, n, np.float32,
+                st = AdamsStepper(fv, n_true, np.float32,
                                   options={"k_max": km})
                 return st.init(t0, y, ivp_params,
                                first_step=first_step)
@@ -179,7 +184,7 @@ def solve_fused_adams_grid(fun, t_span, y0_batch, rtol=1e-4, atol=1e-6,
             def fun_vec(t, y):
                 return fun(jnp.reshape(t, (1, 1)), y[None, :])[0]
 
-            stepper = AdamsStepper(fun_vec, n, np.float32,
+            stepper = AdamsStepper(fun_vec, n_true, np.float32,
                                    options={"k_max": km})
             states0 = jax.vmap(
                 lambda y: stepper.init(t0, y, ivp_params,
@@ -187,9 +192,21 @@ def solve_fused_adams_grid(fun, t_span, y0_batch, rtol=1e-4, atol=1e-6,
                                            y0_batch)
 
     # state-sized input: [y, yp, wt, phi(km+2), qrows(nq),
-    # ev_rows(n_ev)] on lanes
-    sparts = [states0.y, states0.yp, states0.wt,
-              states0.phi.reshape(B, -1)] + [y0_batch] * (nq + n_ev)
+    # ev_rows(n_ev)] on lanes; host init ran at the TRUE width, the
+    # kernel slots are padded (inert lanes: y/yp/phi zero, wt ONE so
+    # 1/wt stays finite — pad-lane phi terms are 0 so they cannot
+    # contribute anyway; norms mask pads, ops/_lane_pad.py)
+    _pl = lambda a: _lp.pad_lanes(a, n)                  # noqa: E731
+    if n == n_true:
+        wt_pad = states0.wt
+        phi_pad = states0.phi.reshape(B, -1)
+    else:
+        wt_pad = jnp.pad(states0.wt,
+                         [(0, 0), (0, n - n_true)],
+                         constant_values=1.0)
+        phi_pad = _lp.pad_lanes(states0.phi, n).reshape(B, -1)
+    sparts = ([_pl(states0.y), _pl(states0.yp), wt_pad, phi_pad]
+              + [_pl(y0_batch)] * (nq + n_ev))
     FS0 = jnp.concatenate([p.astype(jnp.float32) for p in sparts],
                           axis=1)
     n_sslot = 3 + (km + 2) + nq + n_ev
@@ -244,8 +261,14 @@ def solve_fused_adams_grid(fun, t_span, y0_batch, rtol=1e-4, atol=1e-6,
         else:
             fun1 = fun
             wrap = lambda g: g                            # noqa: E731
+        # masked lane padding: arbitrary n rides the kernel with the
+        # EXACT unpadded step sequence (see ops/_lane_pad.py)
+        lt = _lp.lane_tools(bm, n, n_true)
+        member_norm = lt.mnorm
+        fun1 = lt.wrap_fun(fun1)
         ev_spec_k = (None if ev_spec is None else
-                     [(wrap(ge), tm, dr) for ge, tm, dr in ev_spec])
+                     [(lt.wrap_obs(wrap(ge)), tm, dr)
+                      for ge, tm, dr in ev_spec])
         szero = jnp.zeros((bm, 1), jnp.float32)
         izero = szero.astype(jnp.int32)
         fzero = szero               # TileOps zero: per-member scalars
@@ -255,10 +278,6 @@ def solve_fused_adams_grid(fun, t_span, y0_batch, rtol=1e-4, atol=1e-6,
         vtake, vitake, vput = O.vtake, O.vitake, O.vput
         ctake, cliped = O.ctake, O.cliped
         coefficients = make_coefficients(km, iqq, n_iv, O)
-
-        def member_norm(x):
-            """RMS over the lane (state) axis -> (bm, 1)."""
-            return jnp.sqrt(jnp.mean(x * x, axis=-1, keepdims=True))
 
         def fs_slot(s):
             return FS[:, s * n:(s + 1) * n]
@@ -738,11 +757,11 @@ def solve_fused_adams_grid(fun, t_span, y0_batch, rtol=1e-4, atol=1e-6,
         )(*call_args)
     y_out, status, nsteps, nfev = outs[:4]
 
-    ret = (y_out[:n_total], status[:n_total, 0],
+    ret = (y_out[:n_total, :n_true], status[:n_total, 0],
            nsteps[:n_total, 0], nfev[:n_total, 0])
     k = 4
     if nq:
-        ret = ret + (outs[k][:, :n_total],)
+        ret = ret + (outs[k][:, :n_total, :n_true],)
         k += 1
     if n_ev:
         tev, yev, fev = outs[k], outs[k + 1], outs[k + 2]
@@ -750,6 +769,6 @@ def solve_fused_adams_grid(fun, t_span, y0_batch, rtol=1e-4, atol=1e-6,
         nanv = jnp.float32(np.nan)
         t_events = jnp.where(fired != 0, tev[:, :n_total, 0], nanv)
         y_events = jnp.where((fired != 0)[:, :, None],
-                             yev[:, :n_total], nanv)
+                             yev[:, :n_total, :n_true], nanv)
         ret = ret + (t_events, y_events, fired)
     return ret

@@ -37,6 +37,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from . import _lane_pad as _lp
 from .fused_erk import _fblend, _make_ev_spec
 from .fused_ckdisc import _ck_tables, _run_ck_loop
 
@@ -49,8 +50,11 @@ def solve_fused_ckdisc_grid(fun, t_span, y0_batch, rtol=1e-4,
     """Integrate a mid-size-system ensemble with the CKdisc
     variable-order cascade in one Pallas kernel.
 
-    y0_batch: (B, n) float32 with n a MULTIPLE OF 128 (the state
-    rides the lane axis).  ``fun(t, y)``: t (bm, 1), y (bm, n) ->
+    y0_batch: (B, n) float32, ANY n — non-multiples of 128 are
+    zero-padded internally with inert masked lanes (ops/_lane_pad.py;
+    ``fun`` and event callables still see exactly n lanes, the step
+    sequence equals the unpadded problem's exactly; requires
+    atol > 0).  ``fun(t, y)``: t (bm, 1), y (bm, n) ->
     (bm, n), vectorized over the member sublanes.  Returns
     (y_final (B, n), status (B,), nsteps (B,), nfev (B,)); ``t_eval``
     appends y_eval (len(t_eval), B, n), cubic Hermite over the
@@ -66,11 +70,13 @@ def solve_fused_ckdisc_grid(fun, t_span, y0_batch, rtol=1e-4,
     tables, tab = _ck_tables()
 
     y0_batch = jnp.asarray(y0_batch, jnp.float32)
-    n_total, n = y0_batch.shape
-    if n % 128:
-        raise ValueError("fused grid CKdisc needs n % 128 == 0 (state "
-                         "on the lane axis); pad the system or use "
-                         "fused_ckdisc (small n) / the XLA path")
+    n_total, n_true = y0_batch.shape
+    n = _lp.pad_width(n_true)
+    if n != n_true and not atol > 0.0:
+        raise ValueError("masked lane padding (n not a multiple of "
+                         "128) requires atol > 0: pad-lane error "
+                         "weights are atol exactly")
+    y0_batch = _lp.pad_lanes(y0_batch, n)
     bm = block_members
     if bm % 8:
         raise ValueError("block_members must be a multiple of 8")
@@ -127,8 +133,14 @@ def solve_fused_ckdisc_grid(fun, t_span, y0_batch, rtol=1e-4,
         else:
             fun1 = fun
             wrap = lambda g: g                            # noqa: E731
+        # masked lane padding: arbitrary n rides the kernel with the
+        # EXACT unpadded step sequence (see ops/_lane_pad.py)
+        lt = _lp.lane_tools(bm, n, n_true)
+        mnorm, msum, mmin = lt.mnorm, lt.msum, lt.mmin
+        fun1 = lt.wrap_fun(fun1)
         ev_spec_k = (None if ev_spec is None else
-                     [(wrap(ge), tm, dr) for ge, tm, dr in ev_spec])
+                     [(lt.wrap_obs(wrap(ge)), tm, dr)
+                      for ge, tm, dr in ev_spec])
         # distributed-layout member-scalar zeros, derived from runtime
         # data so they cannot fold into replicated splats (fused_erk)
         fzero = y[:, :1] * 0.0
@@ -141,10 +153,6 @@ def solve_fused_ckdisc_grid(fun, t_span, y0_batch, rtol=1e-4,
         h_abs0 = sc_ref[5] + fzero
         f = fun1(t, y)
 
-        def mnorm(x):
-            """RMS over the lane (state) axis -> (bm, 1)."""
-            return jnp.sqrt(jnp.mean(x * x, axis=-1, keepdims=True))
-
         nfev0 = izero + 1
         if first_step is None:
             # in-kernel Watts h_start (steppers/ckdisc.py:96 semantics)
@@ -155,11 +163,8 @@ def solve_fused_ckdisc_grid(fun, t_span, y0_batch, rtol=1e-4,
                                      else float(max_step)))
             h_abs0 = jnp.abs(hstart_tile(
                 fun1, t, bq, y, f, tab.order_secondary, rtol_r, atol_r,
-                mnorm=mnorm,
-                msum=lambda x: jnp.sum(x, axis=-1, keepdims=True),
-                mmin=lambda x: jnp.min(x, axis=-1, keepdims=True),
-                n=n))
-            nfev0 = izero + 2 + min(n + 1, 3)
+                mnorm=mnorm, msum=msum, mmin=mmin, n=n_true))
+            nfev0 = izero + 2 + min(n_true + 1, 3)
 
         st = _run_ck_loop(
             fun1, tables, max_steps, nq, tq_vals, fzero, izero,
@@ -242,11 +247,11 @@ def solve_fused_ckdisc_grid(fun, t_span, y0_batch, rtol=1e-4,
         )(*args)
 
     y_out, status, nsteps, nfev = outs[:4]
-    ret = (y_out[:n_total], status[:n_total, 0],
+    ret = (y_out[:n_total, :n_true], status[:n_total, 0],
            nsteps[:n_total, 0], nfev[:n_total, 0])
     k = 4
     if nq:
-        ret = ret + (outs[k][:, :n_total],)
+        ret = ret + (outs[k][:, :n_total, :n_true],)
         k += 1
     if n_ev:
         tev, yev, fev = outs[k], outs[k + 1], outs[k + 2]
@@ -254,6 +259,6 @@ def solve_fused_ckdisc_grid(fun, t_span, y0_batch, rtol=1e-4,
         nanv = jnp.float32(np.nan)
         t_events = jnp.where(fired != 0, tev[:, :n_total, 0], nanv)
         y_events = jnp.where((fired != 0)[:, :, None],
-                             yev[:, :n_total], nanv)
+                             yev[:, :n_total, :n_true], nanv)
         ret = ret + (t_events, y_events, fired)
     return ret

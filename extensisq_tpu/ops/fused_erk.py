@@ -41,6 +41,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..core.controller import resolve_controller
 
 _RUNNING, _FINISHED, _TOO_SMALL, _OVERFLOW = 0, 1, 2, 3
+from .fused_dense import _REC_UNSET  # noqa: E402
 _EVENT = 8     # terminal-event truncation; matches the device
                # driver's TERMINAL_EVENT (_config.py:34)
 
@@ -265,7 +266,7 @@ def _run_erk_loop(fun, consts, cc, compensated, max_steps, nq, tq_vals,
                   fzero, izero, mnorm, split_rows,
                   t, tf_r, dir_r, rtol_r, atol_r, h_abs0, y, f,
                   ev_spec=None, join_rows=None, nfev0=None,
-                  max_step=None):
+                  max_step=None, record=None):
     """The whole adaptive ERK integration loop, LAYOUT-GENERIC.
 
     Shared by the two fused-ERK member layouts:
@@ -294,6 +295,15 @@ def _run_erk_loop(fun, consts, cc, compensated, max_steps, nq, tq_vals,
     (status 8, the driver's TERMINAL_EVENT).  ``join_rows`` inverts
     ``split_rows`` (hermite row list -> layout state array) for the
     in-bisection g evaluations.
+
+    ``record``: optional ``record(it, upd, t_out, y_out, f_new)``
+    callback invoked once per loop iteration with the SCALAR
+    iteration counter, the per-member accept mask and the post-blend
+    step endpoint — the dense-output recording hook
+    (ops/fused_dense.py).  ``f_new`` is the derivative at the
+    untruncated step end; on a terminal-event iteration the recorded
+    ``(t_out, y_out)`` is the event root, so the segment stays
+    endpoint-exact while its end slope is the step's.
     """
     A, B_w, C, E, s, fsal, h_min_a, tiny_err = consts
     n_ev = 0 if ev_spec is None else len(ev_spec)
@@ -479,6 +489,8 @@ def _run_erk_loop(fun, consts, cc, compensated, max_steps, nq, tq_vals,
             y_out = _fblend(truncn, y_trunc, y_out)
             t_out = _fblend(trunc, te, t_out)
             t_lo_out = _fblend(trunc, fzero, t_lo_out)
+        if record is not None:
+            record(st.it, upd, t_out, y_out, f_new)
         return _ES(
             it=st.it + 1,
             tf=st.tf, direction=st.direction,
@@ -532,7 +544,7 @@ def solve_fused_erk(fun, t_span, y0_batch, method=None, rtol=1e-4,
                     atol=1e-6, first_step=None, max_steps=100_000,
                     block_members=1024, interpret=False,
                     compensated=False, t_eval=None, events=None,
-                    max_step=None, params=None):
+                    max_step=None, params=None, dense=None):
     """Integrate an ensemble of small ODE systems in one Pallas kernel.
 
     y0_batch: (B, n) float32 initial states.  Returns
@@ -575,6 +587,17 @@ def solve_fused_erk(fun, t_span, y0_batch, method=None, rtol=1e-4,
     k-tuple of per-member tiles broadcastable against the rows of
     ``y`` (use ``p[j]`` like a scalar: e.g.
     ``lambda t, y, p: jnp.stack([y[1], p[0]*(1-y[0]**2)*y[1]-y[0]])``).
+
+    ``dense``: optional int ``R`` — record up to ``R`` per-step
+    ``(t, y, f)`` rows from inside the kernel and append an evaluable
+    per-member :class:`~extensisq_tpu.ops.fused_dense.
+    FusedDenseSolution` (cubic Hermite segments in the framework's
+    unified OdeSolution form, the reference's ``sol`` capability,
+    common.py:766-821) as the LAST return element.  ``R`` counts loop
+    iterations (accepted + rejected attempts); members that need more
+    get ``sol.valid[b] = False``.  The recording buffers live in VMEM
+    ((2n + 2) * R * block_members * 4 bytes) — use a smaller
+    ``block_members`` for long trajectories.
     """
     if method is None:
         from ..methods import BS5 as method
@@ -632,6 +655,18 @@ def solve_fused_erk(fun, t_span, y0_batch, method=None, rtol=1e-4,
     ev_spec = _make_ev_spec(events)
     n_ev = 0 if ev_spec is None else len(ev_spec)
 
+    n_rec = 0 if dense is None else int(dense)
+    if n_rec:
+        # (R, n, bm) rows: n on SUBLANES (pads to 8), members on the
+        # lane axis — (R, bm, n) would pad n to 128 LANES, 64x the
+        # VMEM (measured: bm=256, R=64 already blows the core)
+        vmem = (2 * -(-n // 8) * 8 + 8) * n_rec * bm * 4
+        if vmem > 6 * 2 ** 20:
+            raise ValueError(
+                f"dense={n_rec} recording needs {vmem / 2**20:.1f} MiB "
+                f"of VMEM at block_members={bm}; lower block_members "
+                "(the buffers scale with it) or record fewer rows")
+
     def kernel(sc_ref, y0_ref, *rest):
         rest = list(rest)
         par_ref = rest.pop(0) if n_par else None
@@ -640,6 +675,9 @@ def solve_fused_erk(fun, t_span, y0_batch, method=None, rtol=1e-4,
         yq_ref = rest.pop(0) if nq else None
         if n_ev:
             tev_ref, yev_ref, fev_ref = rest[:3]
+            rest = rest[3:]
+        if n_rec:
+            rect_ref, recy_ref, recf_ref, f0_ref = rest[:4]
         y = y0_ref[:].T.reshape(n, sub, 128)
         if n_par:
             pr = par_ref[:].T.reshape(n_par, sub, 128)
@@ -680,13 +718,29 @@ def solve_fused_erk(fun, t_span, y0_batch, method=None, rtol=1e-4,
                 mmin=lambda x: jnp.min(x, axis=0), n=n))
             nfev0 = izero + 2 + min(n + 1, 3)
 
+        record = None
+        if n_rec:
+            f0_ref[:] = f.reshape(n, bm).T
+            # non-accepted / never-reached rows read the sentinel
+            # (arithmetic blends forbid NaN coding: 0 * NaN = NaN)
+            rect_ref[:] = jnp.full((n_rec, 1, bm), _REC_UNSET,
+                                   jnp.float32)
+
+            def record(itv, upd, t_out, y_out, f_new):  # noqa: F811
+                @pl.when(itv < n_rec)
+                def _():
+                    rect_ref[itv] = _fblend(
+                        upd, t_out, fzero + _REC_UNSET).reshape(1, bm)
+                    recy_ref[itv] = y_out.reshape(n, bm)
+                    recf_ref[itv] = f_new.reshape(n, bm)
+
         st = _run_erk_loop(
             fun1, (A, B_w, C, E, s, fsal, h_min_a, tiny_err), cc,
             compensated, max_steps, nq, tq_vals, fzero, izero,
             _member_norm, lambda yy: [yy[j] for j in range(n)],
             t, tf_r, dir_r, rtol_r, atol_r, h_abs0, y, f,
             ev_spec=ev_spec_k, join_rows=jnp.stack, nfev0=nfev0,
-            max_step=max_step)
+            max_step=max_step, record=record)
 
         yout_ref[:] = st.y.reshape(n, bm).T
         stat_ref[:] = st.status.reshape(1, bm)
@@ -743,6 +797,23 @@ def solve_fused_erk(fun, t_span, y0_batch, method=None, rtol=1e-4,
             pl.BlockSpec((n_ev, 1, bm), lambda i: (0, 0, i),
                          memory_space=pltpu.VMEM),
         ]
+    if n_rec:
+        out_shapes += [
+            jax.ShapeDtypeStruct((n_rec, 1, n_padded), jnp.float32),
+            jax.ShapeDtypeStruct((n_rec, n, n_padded), jnp.float32),
+            jax.ShapeDtypeStruct((n_rec, n, n_padded), jnp.float32),
+            jax.ShapeDtypeStruct((n_padded, n), jnp.float32),
+        ]
+        out_specs += [
+            pl.BlockSpec((n_rec, 1, bm), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_rec, n, bm), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_rec, n, bm), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, n), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ]
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),
         pl.BlockSpec((bm, n), lambda i: (i, 0),
@@ -781,4 +852,16 @@ def solve_fused_erk(fun, t_span, y0_batch, method=None, rtol=1e-4,
         y_events = jnp.where((fired != 0)[:, :, None],
                              yev[:, :n_total], nanv)
         base = base + (t_events, y_events, fired)
+        k += 3
+    if n_rec:
+        from .fused_dense import build_fused_dense
+        rect, recy, recf, f0 = outs[k:k + 4]
+        rect = rect[:, 0, :n_total]
+        flags = (rect < 0.5 * _REC_UNSET).astype(jnp.int32)
+        sol = build_fused_dense(
+            t0, tf, y0_batch[:n_total], f0[:n_total],
+            jnp.where(flags != 0, rect, 0.0), flags,
+            jnp.swapaxes(recy[:, :, :n_total], 1, 2),
+            jnp.swapaxes(recf[:, :, :n_total], 1, 2), base[2])
+        base = base + (sol,)
     return base

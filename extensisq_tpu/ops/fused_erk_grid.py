@@ -7,9 +7,10 @@ chains, reaction networks) with only the dispatch-bound XLA device
 path.  This kernel closes that hole with the same transposed layout
 ``fused_adams_grid`` uses for multistep work:
 
-* the STATE occupies the 128-lane vector axis (n a multiple of 128 —
-  pad your system or pick a grid size accordingly; lane padding would
-  silently corrupt stencil rolls, so it is required, not faked);
+* the STATE occupies the 128-lane vector axis; any n is accepted —
+  non-multiples of 128 are zero-padded internally with INERT masked
+  lanes (ops/_lane_pad.py: masked RHS, true-n norms), preserving the
+  unpadded step sequence exactly;
 * MEMBERS occupy sublanes: each block integrates ``block_members``
   members, per-member scalars (t, h, error ratios, controller state)
   are (bm, 1) column tiles broadcast against (bm, n) state arrays;
@@ -35,6 +36,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..core.controller import resolve_controller
+from . import _lane_pad as _lp
 from .fused_erk import _fblend, _make_ev_spec, _run_erk_loop
 
 
@@ -46,9 +48,11 @@ def solve_fused_erk_grid(fun, t_span, y0_batch, method=None, rtol=1e-4,
     """Integrate a mid-size-system ensemble with an ERK pair in one
     Pallas kernel.
 
-    y0_batch: (B, n) float32 with n a MULTIPLE OF 128 (the state
-    rides the lane axis; pad your system to the next multiple — lane
-    padding inside the kernel would corrupt ``jnp.roll`` stencils).
+    y0_batch: (B, n) float32, ANY n — the state rides the lane axis;
+    when n is not a multiple of 128 it is zero-padded internally with
+    inert masked lanes (ops/_lane_pad.py): the step sequence equals
+    the unpadded problem's exactly, and ``fun`` still sees exactly n
+    lanes (inputs are sliced back to the true width before each call).
     ``fun(t, y)``: t (bm, 1), y (bm, n) -> (bm, n), vectorized over
     the member sublanes.  Returns (y_final (B, n), status (B,),
     nsteps (B,), nfev (B,)); with ``t_eval`` (increasing snapshot
@@ -84,11 +88,13 @@ def solve_fused_erk_grid(fun, t_span, y0_batch, method=None, rtol=1e-4,
     h_min_a = 10.0 * eps32 / tab.c_spacing()
 
     y0_batch = jnp.asarray(y0_batch, jnp.float32)
-    n_total, n = y0_batch.shape
-    if n % 128:
-        raise ValueError("fused grid ERK needs n % 128 == 0 (state on "
-                         "the lane axis); pad the system or use "
-                         "fused_erk (small n) / the XLA path")
+    n_total, n_true = y0_batch.shape
+    n = _lp.pad_width(n_true)
+    if n != n_true and not atol > 0.0:
+        raise ValueError("masked lane padding (n not a multiple of "
+                         "128) requires atol > 0: pad-lane error "
+                         "scales are atol exactly")
+    y0_batch = _lp.pad_lanes(y0_batch, n)
     bm = block_members
     if bm % 8:
         raise ValueError("block_members must be a multiple of 8")
@@ -145,8 +151,14 @@ def solve_fused_erk_grid(fun, t_span, y0_batch, method=None, rtol=1e-4,
         else:
             fun1 = fun
             wrap = lambda g: g                            # noqa: E731
+        # masked lane padding: arbitrary n rides the kernel with the
+        # EXACT unpadded step sequence (see ops/_lane_pad.py)
+        lt = _lp.lane_tools(bm, n, n_true)
+        mnorm, msum, mmin = lt.mnorm, lt.msum, lt.mmin
+        fun1 = lt.wrap_fun(fun1)
         ev_spec_k = (None if ev_spec is None else
-                     [(wrap(ge), tm, dr) for ge, tm, dr in ev_spec])
+                     [(lt.wrap_obs(wrap(ge)), tm, dr)
+                      for ge, tm, dr in ev_spec])
         # distributed-layout member-scalar zeros, derived from runtime
         # data so they cannot fold into replicated splats (fused_erk)
         fzero = y[:, :1] * 0.0
@@ -159,10 +171,6 @@ def solve_fused_erk_grid(fun, t_span, y0_batch, method=None, rtol=1e-4,
         h_abs0 = sc_ref[5] + fzero
         f = fun1(t, y)
 
-        def mnorm(x):
-            """RMS over the lane (state) axis -> (bm, 1)."""
-            return jnp.sqrt(jnp.mean(x * x, axis=-1, keepdims=True))
-
         nfev0 = None
         if first_step is None:
             # in-kernel Watts h_start (steppers/erk.py:129 semantics)
@@ -173,11 +181,8 @@ def solve_fused_erk_grid(fun, t_span, y0_batch, method=None, rtol=1e-4,
                                      else float(max_step)))
             h_abs0 = jnp.abs(hstart_tile(
                 fun1, t, bq, y, f, tab.order_secondary, rtol_r, atol_r,
-                mnorm=mnorm,
-                msum=lambda x: jnp.sum(x, axis=-1, keepdims=True),
-                mmin=lambda x: jnp.min(x, axis=-1, keepdims=True),
-                n=n))
-            nfev0 = izero + 2 + min(n + 1, 3)
+                mnorm=mnorm, msum=msum, mmin=mmin, n=n_true))
+            nfev0 = izero + 2 + min(n_true + 1, 3)
 
         st = _run_erk_loop(
             fun1, (A, B_w, C, E, s, fsal, h_min_a, tiny_err), cc,
@@ -262,11 +267,11 @@ def solve_fused_erk_grid(fun, t_span, y0_batch, method=None, rtol=1e-4,
         )(*args)
 
     y_out, status, nsteps, nfev = outs[:4]
-    ret = (y_out[:n_total], status[:n_total, 0],
+    ret = (y_out[:n_total, :n_true], status[:n_total, 0],
            nsteps[:n_total, 0], nfev[:n_total, 0])
     k = 4
     if nq:
-        ret = ret + (outs[k][:, :n_total],)
+        ret = ret + (outs[k][:, :n_total, :n_true],)
         k += 1
     if n_ev:
         tev, yev, fev = outs[k], outs[k + 1], outs[k + 2]
@@ -274,6 +279,6 @@ def solve_fused_erk_grid(fun, t_span, y0_batch, method=None, rtol=1e-4,
         nanv = jnp.float32(np.nan)
         t_events = jnp.where(fired != 0, tev[:, :n_total, 0], nanv)
         y_events = jnp.where((fired != 0)[:, :, None],
-                             yev[:, :n_total], nanv)
+                             yev[:, :n_total, :n_true], nanv)
         ret = ret + (t_events, y_events, fired)
     return ret

@@ -59,6 +59,7 @@ from .fused_erk import (_fblend, _iblend, _sanitize, _member_norm,
                         _make_ev_spec, _handle_events, _EVENT)
 
 _RUNNING, _FINISHED, _TOO_SMALL, _OVERFLOW = 0, 1, 2, 3
+from .fused_dense import _REC_UNSET  # noqa: E402
 
 
 def _pow(x, e):
@@ -71,7 +72,8 @@ def solve_fused_esdirk(fun, t_span, y0_batch, method=None, M=None,
                        first_step=None, max_steps=100_000,
                        block_members=1024, interpret=False,
                        compensated=False, t_eval=None, events=None,
-                       max_step=None, params=None):
+                       max_step=None, params=None, block_base=None,
+                       dense=None):
     """Integrate an ensemble of small stiff systems / index-1 DAEs in
     one TPU kernel.
 
@@ -127,6 +129,32 @@ def solve_fused_esdirk(fun, t_span, y0_batch, method=None, M=None,
     argument ``p``, a k-tuple of per-member tiles broadcastable
     against the rows of ``y`` (the Newton Jacobian JVPs differentiate
     through the parameterized RHS per member).
+
+    ``block_base``: the simultaneous-corrector mode for augmented
+    variational systems (ops/fused_sens.py).  The state is
+    ``n = block_base * n_blocks`` rows whose TRUE Jacobian is block
+    lower triangular with every diagonal block equal to the base
+    block J = df/dy (sensitivity rows are linear: s' = J s + f_p).
+    The kernel then builds W = I - h d J on the ``block_base`` x
+    ``block_base`` BASE block only and each Newton iteration solves
+    blockwise with that one factor — the classical simultaneous
+    corrector (CVODES's SIM scheme): the neglected strictly-lower
+    coupling makes the Newton error matrix nilpotent, so the
+    iteration still converges; the rate/divergence guard of
+    common.py:2183-2232 handles it like any modified-Newton lag.
+    Error control runs on the FULL augmented state (internal
+    differentiation).  Plain ODEs only (M/rot unsupported here —
+    DAE sensitivities stay on the XLA path).
+
+    ``dense``: optional int ``R`` — record up to ``R`` per-step
+    ``(t, y, y')`` rows from inside the kernel (y' is the stiffly
+    accurate last stage K_{s-1}) and append an evaluable per-member
+    :class:`~extensisq_tpu.ops.fused_dense.FusedDenseSolution` (cubic
+    Hermite segments — the reference's inter-step evaluation,
+    common.py:766-821) as the LAST return element.  ``R`` counts loop
+    iterations (accepted + rejected); overflowing members get
+    ``sol.valid[b] = False``.  For dense/hidden-M DAEs the rows are
+    un-rotated to user coordinates like every other output.
     """
     if method is None:
         from ..methods import Kv3I as method
@@ -151,9 +179,22 @@ def solve_fused_esdirk(fun, t_span, y0_batch, method=None, M=None,
 
     y0_batch = jnp.asarray(y0_batch, jnp.float32)
     n_total, n = y0_batch.shape
-    if n > 8:
-        raise ValueError("fused ESDIRK targets small systems (n <= 8); "
-                         "use the XLA path for larger states")
+    if block_base is not None:
+        nb = int(block_base)
+        if M is not None:
+            raise ValueError("block_base (simultaneous corrector) "
+                             "supports plain ODEs only — no mass "
+                             "matrix; use the XLA path for DAE "
+                             "sensitivities")
+        if n % nb or nb > 8 or n > 64:
+            raise ValueError("block_base must divide n, with "
+                             "block_base <= 8 and n <= 64")
+    else:
+        nb = n
+        if n > 8:
+            raise ValueError("fused ESDIRK targets small systems "
+                             "(n <= 8); use the XLA path for larger "
+                             "states")
     # Newton round-off floor.  The reference's sqrt(n)*eps^0.8
     # (common.py:1935) assumes the dz noise floor sits below it; in f32
     # the floor in SCALE units is ~eps32*|y|/(rtol*|y|) = eps32/rtol —
@@ -280,6 +321,18 @@ def solve_fused_esdirk(fun, t_span, y0_batch, method=None, M=None,
     ev_spec = _make_ev_spec(events)
     n_ev = 0 if ev_spec is None else len(ev_spec)
 
+    n_rec = 0 if dense is None else int(dense)
+    if n_rec:
+        # (R, n, bm) rows: n on SUBLANES, members on lanes (see
+        # fused_erk.py — the (R, bm, n) layout pads n to 128 lanes
+        # and blows VMEM 64x)
+        vmem = (2 * -(-n // 8) * 8 + 8) * n_rec * bm * 4
+        if vmem > 6 * 2 ** 20:
+            raise ValueError(
+                f"dense={n_rec} recording needs {vmem / 2**20:.1f} MiB "
+                f"of VMEM at block_members={bm}; lower block_members "
+                "(the buffers scale with it) or record fewer rows")
+
     def _rows(y):
         return [y[i] for i in range(n)]
 
@@ -320,29 +373,31 @@ def solve_fused_esdirk(fun, t_span, y0_batch, method=None, M=None,
                    for ge, term, edir in ev_spec]
 
     def _jacobian(t, y, fn):
-        """J[i][j] member tiles via n basis tangents of ONE
-        linearization (jax.linearize evaluates the primal once; n
-        separate jvp calls would re-trace it n times)."""
+        """J[i][j] member tiles via nb basis tangents of ONE
+        linearization (jax.linearize evaluates the primal once; nb
+        separate jvp calls would re-trace it nb times).  With
+        ``block_base`` only the BASE block (first nb rows/columns) is
+        formed — the simultaneous corrector's shared Newton factor."""
         _, jvp_fn = jax.linearize(lambda yy: fn(t, yy), y)
         cols = []
-        for j in range(n):
+        for j in range(nb):
             seed = jnp.stack([jnp.ones_like(y[0]) if i == j
                               else jnp.zeros_like(y[0])
                               for i in range(n)])
             cols.append(jvp_fn(seed))
-        return [[cols[j][i] for j in range(n)] for i in range(n)]
+        return [[cols[j][i] for j in range(nb)] for i in range(nb)]
 
     def _gauss(Aij, b):
-        """Solve the n x n member-tile system by unrolled elimination
+        """Solve the nb x nb member-tile system by unrolled elimination
         with bubble partial pivoting (arithmetic row blending)."""
-        Am = [[Aij[i][j] for j in range(n)] for i in range(n)]
+        Am = [[Aij[i][j] for j in range(nb)] for i in range(nb)]
         x = list(b)
-        for k in range(n):
-            for i in range(k + 1, n):
+        for k in range(nb):
+            for i in range(k + 1, nb):
                 sw = (jnp.abs(Am[i][k])
                       > jnp.abs(Am[k][k])).astype(jnp.float32)
                 ns_ = 1.0 - sw
-                for j in range(k, n):
+                for j in range(k, nb):
                     akj, aij = Am[k][j], Am[i][j]
                     Am[k][j] = sw * aij + ns_ * akj
                     Am[i][j] = sw * akj + ns_ * aij
@@ -350,17 +405,27 @@ def solve_fused_esdirk(fun, t_span, y0_batch, method=None, M=None,
                 x[k] = sw * bi + ns_ * bk
                 x[i] = sw * bk + ns_ * bi
             inv = 1.0 / Am[k][k]
-            for i in range(k + 1, n):
+            for i in range(k + 1, nb):
                 fkt = Am[i][k] * inv
-                for j in range(k + 1, n):
+                for j in range(k + 1, nb):
                     Am[i][j] = Am[i][j] - fkt * Am[k][j]
                 x[i] = x[i] - fkt * x[k]
-        for k in range(n - 1, -1, -1):
+        for k in range(nb - 1, -1, -1):
             acc = x[k]
-            for j in range(k + 1, n):
+            for j in range(k + 1, nb):
                 acc = acc - Am[k][j] * x[j]
             x[k] = acc / Am[k][k]
         return x
+
+    def _bsolve(W, rows):
+        """Solve with the nb x nb base factor, blockwise over the
+        n // nb row blocks (identity when block_base is None)."""
+        if nb == n:
+            return _gauss(W, rows)
+        out = []
+        for b in range(n // nb):
+            out.extend(_gauss(W, rows[b * nb:(b + 1) * nb]))
+        return out
 
     def kernel(sc_ref, y0_ref, yp0_ref, *rest):
         rest = list(rest)
@@ -370,6 +435,9 @@ def solve_fused_esdirk(fun, t_span, y0_batch, method=None, M=None,
         yq_ref = rest.pop(0) if nq else None
         if n_ev:
             tev_ref, yev_ref, fev_ref = rest[:3]
+            rest = rest[3:]
+        if n_rec:
+            rect_ref, recy_ref, recf_ref, f0_ref = rest[:4]
         y = y0_ref[:].T.reshape(n, sub, 128)
         if n_par:
             prt = par_ref[:].T.reshape(n_par, sub, 128)
@@ -417,6 +485,13 @@ def solve_fused_esdirk(fun, t_span, y0_batch, method=None, M=None,
                 mnorm=_member_norm,
                 msum=lambda x: jnp.sum(x, axis=0),
                 mmin=lambda x: jnp.min(x, axis=0), n=n))
+
+        if n_rec:
+            f0_ref[:] = yp.reshape(n, bm).T
+            # non-accepted / never-reached rows read the sentinel
+            # (arithmetic blends forbid NaN coding: 0 * NaN = NaN)
+            rect_ref[:] = jnp.full((n_rec, 1, bm), _REC_UNSET,
+                                   jnp.float32)
 
         class S(NamedTuple):
             it: Any
@@ -473,7 +548,7 @@ def solve_fused_esdirk(fun, t_span, y0_batch, method=None, M=None,
                         mi = float(m_diag[i]) if m_diag is not None \
                             else 1.0
                         rhs.append(h * fi - mi * z[i])
-                dz = _gauss(W, rhs)
+                dz = _bsolve(W, rhs)
                 dz_s = []
                 for i in range(n):
                     di, bi = _sanitize(dz[i])
@@ -561,9 +636,9 @@ def solve_fused_esdirk(fun, t_span, y0_batch, method=None, M=None,
             # Jacobian + Newton matrix W = Sc (M - h d J), fresh per
             # attempt (J always current; no reuse ladder)
             J = _jacobian(tc, st.y, fun1)
-            W = [[None] * n for _ in range(n)]
-            for i in range(n):
-                for j in range(n):
+            W = [[None] * nb for _ in range(nb)]
+            for i in range(nb):
+                for j in range(nb):
                     if is_alg[i]:
                         # 1/(h d) * (0 - h d J) = -J
                         W[i][j] = -J[i][j]
@@ -648,7 +723,7 @@ def solve_fused_esdirk(fun, t_span, y0_batch, method=None, M=None,
                 sc_err = [err_rows[i] * ((1.0 / (h * dd))
                                          if is_alg[i] else 1.0)
                           for i in range(n)]
-                solved = _gauss(W, sc_err)
+                solved = _bsolve(W, sc_err)
                 err_rows = [
                     (float(m_diag[i]) if m_diag is not None else 1.0)
                     * solved[i] for i in range(n)]
@@ -782,6 +857,14 @@ def solve_fused_esdirk(fun, t_span, y0_batch, method=None, M=None,
                 _iblend(rejected_b | (running & ~too_small
                                       & ~accepted),
                         izero + 1, izero))
+            if n_rec:
+                @pl.when(st.it < n_rec)
+                def _():
+                    rect_ref[st.it] = _fblend(
+                        upd, t_out_c,
+                        fzero + _REC_UNSET).reshape(1, bm)
+                    recy_ref[st.it] = y_out_c.reshape(n, bm)
+                    recf_ref[st.it] = yp_new.reshape(n, bm)
             return S(
                 it=st.it + 1,
                 tf=st.tf, direction=st.direction,
@@ -885,6 +968,23 @@ def solve_fused_esdirk(fun, t_span, y0_batch, method=None, M=None,
             pl.BlockSpec((n_ev, 1, bm), lambda i: (0, 0, i),
                          memory_space=pltpu.VMEM),
         ]
+    if n_rec:
+        out_shapes += [
+            jax.ShapeDtypeStruct((n_rec, 1, n_padded), jnp.float32),
+            jax.ShapeDtypeStruct((n_rec, n, n_padded), jnp.float32),
+            jax.ShapeDtypeStruct((n_rec, n, n_padded), jnp.float32),
+            jax.ShapeDtypeStruct((n_padded, n), jnp.float32),
+        ]
+        out_specs += [
+            pl.BlockSpec((n_rec, 1, bm), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_rec, n, bm), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_rec, n, bm), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, n), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ]
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),
         pl.BlockSpec((bm, n), lambda i: (i, 0),
@@ -936,4 +1036,27 @@ def solve_fused_esdirk(fun, t_span, y0_batch, method=None, M=None,
                              precision=jax.lax.Precision.HIGHEST)
         y_events = jnp.where((fired != 0)[:, :, None], yev, nanv)
         ret = ret + (t_events, y_events, fired)
+        k += 3
+    if n_rec:
+        from .fused_dense import build_fused_dense
+        rect, recy, recf, f0 = outs[k:k + 4]
+        rect = rect[:, 0, :n_total]
+        flags = (rect < 0.5 * _REC_UNSET).astype(jnp.int32)
+        recy = jnp.swapaxes(recy[:, :, :n_total], 1, 2)
+        recf = jnp.swapaxes(recf[:, :, :n_total], 1, 2)
+        f0 = f0[:n_total]
+        y00 = y0_batch[:n_total]
+        if rot is not None:
+            # rows were recorded in rotated coordinates: y = V w and
+            # y' = V w' (full-precision, like every other output)
+            _hi2 = jax.lax.Precision.HIGHEST
+            recy = jnp.matmul(recy, Vmat, precision=_hi2)
+            recf = jnp.matmul(recf, Vmat, precision=_hi2)
+            f0 = jnp.matmul(f0, Vmat, precision=_hi2)
+            y00 = jnp.matmul(y00, Vmat, precision=_hi2)
+        t0h, tfh = t_span
+        sol = build_fused_dense(
+            t0h, tfh, y00, f0, jnp.where(flags != 0, rect, 0.0),
+            flags, recy, recf, ret[2])
+        ret = ret + (sol,)
     return ret

@@ -12,8 +12,10 @@ coupling.
 
 Layout is the grid family's (fused_adams_grid / fused_erk_grid):
 
-* the STATE rides the 128-lane axis (n a POWER-OF-TWO multiple of
-  128: 128, 256, 512 — cyclic reduction needs the power of two);
+* the STATE rides the 128-lane axis; any n is accepted — cyclic
+  reduction needs a power-of-two multiple of 128, so other sizes are
+  zero-padded internally with INERT masked lanes (ops/_lane_pad.py;
+  strictly tridiagonal — non-periodic — Jacobians only when padded);
 * MEMBERS ride sublanes; per-member scalars are (bm, 1) columns;
 * further members run over the pallas grid dimension.
 
@@ -59,6 +61,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .._config import (NEWTON_MAXITER, MAX_RATE, MAX_FACTOR_NRF,
                        MIN_FACTOR, MAX_FACTOR, MAX_FACTOR0)
+from . import _lane_pad as _lp
 from ..core.controller import resolve_controller
 from .fused_erk import (_fblend, _iblend, _sanitize, _df_add,
                         _two_sum, _comp_wsum, _hermite_tiles,
@@ -128,7 +131,12 @@ def solve_fused_esdirk_grid(fun, t_span, y0_batch, method=None, M=None,
     """Integrate a mid-size stiff-system / index-1-DAE ensemble with
     an ESDIRK method in one TPU kernel.
 
-    y0_batch: (B, n) float32 with n a POWER-OF-TWO multiple of 128.
+    y0_batch: (B, n) float32, ANY n — non-power-of-two-multiple-of-128
+    sizes are zero-padded internally with inert masked lanes
+    (ops/_lane_pad.py; ``fun`` and event callables still see exactly n
+    lanes, the step sequence equals the unpadded problem's exactly;
+    requires atol > 0 and a STRICTLY tridiagonal — non-periodic —
+    Jacobian).
     ``fun(t, y)``: t (bm, 1), y (bm, n) -> (bm, n) — the grid-kernel
     convention (stencils via ``jnp.roll(y, s, -1)``); the Jacobian
     must be (approximately) tridiagonal with optional periodic
@@ -168,15 +176,23 @@ def solve_fused_esdirk_grid(fun, t_span, y0_batch, method=None, M=None,
     h_min_b = float(np.sqrt(np.finfo(np.float32).tiny))
 
     y0_batch = jnp.asarray(y0_batch, jnp.float32)
-    n_total, n = y0_batch.shape
-    if n % 128 or (n & (n - 1)):
-        raise ValueError("fused grid ESDIRK needs n a power-of-two "
-                         "multiple of 128 (cyclic reduction); pad the "
-                         "system or use fused_esdirk (n <= 8) / the "
-                         "XLA path")
+    n_total, n_true = y0_batch.shape
+    # cyclic reduction needs a power of two: pad any n with inert
+    # masked lanes (ops/_lane_pad.py).  The padded ring breaks at the
+    # n_true boundary, so padding supports STRICTLY tridiagonal
+    # Jacobians only — periodic (circulant-corner) problems must keep
+    # n a power-of-two multiple of 128 themselves.
+    n = _lp.pad_width(n_true, pow2=True)
+    if n != n_true and not atol > 0.0:
+        raise ValueError("masked lane padding (n not a power-of-two "
+                         "multiple of 128) requires atol > 0: "
+                         "pad-lane error scales are atol exactly")
+    y0_batch = _lp.pad_lanes(y0_batch, n)
     n_log2 = int(n).bit_length() - 1
-    # Newton round-off floor (see fused_esdirk.py's derivation)
-    tiny_err = float(np.sqrt(n) * max(eps32 ** 0.8, 4.0 * eps32 / rtol))
+    # Newton round-off floor (see fused_esdirk.py's derivation);
+    # the TRUE state size — pad lanes carry no round-off
+    tiny_err = float(np.sqrt(n_true)
+                     * max(eps32 ** 0.8, 4.0 * eps32 / rtol))
 
     if M is not None:
         M = np.asarray(M, dtype=np.float64)
@@ -186,12 +202,14 @@ def solve_fused_esdirk_grid(fun, t_span, y0_batch, method=None, M=None,
                                  "mass matrices only; dense/hidden M "
                                  "is the small-system kernel's domain")
             M = np.diag(M)
-        if M.shape != (n,):
+        if M.shape != (n_true,):
             raise ValueError("M must be (n,) or a diagonal (n, n)")
         if yp0_batch is None and np.any(M == 0.0):
             raise ValueError("DAE: pass consistent yp0_batch")
         # the mass diagonal enters as a kernel INPUT (Mosaic rejects
-        # captured float-array constants, see fused_adams.py rules)
+        # captured float-array constants, see fused_adams.py rules);
+        # pad lanes get mass ONE (differential, decoupled, inert)
+        M = np.concatenate([M, np.ones(n - n_true)])
         m_row = jnp.asarray(M, jnp.float32)[None, :]    # (1, n)
         any_alg = bool(np.any(M == 0.0))
         have_m = True
@@ -203,15 +221,16 @@ def solve_fused_esdirk_grid(fun, t_span, y0_batch, method=None, M=None,
     bm = block_members
     if bm % 8:
         raise ValueError("block_members must be a multiple of 8")
+    if yp0_batch is not None:
+        yp0_batch = _lp.pad_lanes(
+            jnp.asarray(yp0_batch, jnp.float32), n)
     pad = (-n_total) % bm
     if pad:
         y0_batch = jnp.concatenate(
             [y0_batch, jnp.tile(y0_batch[-1:], (pad, 1))])
         if yp0_batch is not None:
             yp0_batch = jnp.concatenate(
-                [jnp.asarray(yp0_batch, jnp.float32),
-                 jnp.tile(jnp.asarray(yp0_batch, jnp.float32)[-1:],
-                          (pad, 1))])
+                [yp0_batch, jnp.tile(yp0_batch[-1:], (pad, 1))])
     B = y0_batch.shape[0]
     grid = B // bm
 
@@ -268,8 +287,17 @@ def solve_fused_esdirk_grid(fun, t_span, y0_batch, method=None, M=None,
         else:
             fun1 = fun
             wrap = lambda g: g                      # noqa: E731
+        # masked lane padding: arbitrary n rides the kernel with the
+        # EXACT unpadded step sequence (see ops/_lane_pad.py); the
+        # wrapped RHS's pad-lane Jacobian rows AND columns vanish, so
+        # the PCR blocks stay decoupled (zero couplings propagate
+        # through every round)
+        lt = _lp.lane_tools(bm, n, n_true)
+        mnorm = lt.mnorm
+        fun1 = lt.wrap_fun(fun1)
         ev_spec_k = (None if ev_spec is None else
-                     [(wrap(ge), tm, dr) for ge, tm, dr in ev_spec])
+                     [(lt.wrap_obs(wrap(ge)), tm, dr)
+                      for ge, tm, dr in ev_spec])
         fzero = y[:, :1] * 0.0            # (bm, 1) member scalars
         izero = fzero.astype(jnp.int32)
         nzero = y * 0.0                   # (bm, n) state zeros
@@ -307,19 +335,11 @@ def solve_fused_esdirk_grid(fun, t_span, y0_batch, method=None, M=None,
             h_abs0 = jnp.abs(hstart_tile(
                 fun1, t, bq, y, yp,
                 min(tab.order_secondary, tab.order), rtol_r, atol_r,
-                mnorm=lambda x: jnp.sqrt(jnp.mean(
-                    x * x, axis=-1, keepdims=True)),
-                msum=lambda x: jnp.sum(x, axis=-1, keepdims=True),
-                mmin=lambda x: jnp.min(x, axis=-1, keepdims=True),
-                n=n))
+                mnorm=mnorm, msum=lt.msum, mmin=lt.mmin, n=n_true))
 
         # lane residue one-hots for the mod-4 striped Jacobian seeds
         lane = jax.lax.broadcasted_iota(jnp.int32, (bm, n), 1)
         res4 = [(lane % 4 == c).astype(jnp.float32) for c in range(4)]
-
-        def mnorm(x):
-            """RMS over the lane (state) axis -> (bm, 1)."""
-            return jnp.sqrt(jnp.mean(x * x, axis=-1, keepdims=True))
 
         def jac_bands(tt, yy):
             """(lower, diag, upper) of the circulant-pattern
@@ -731,11 +751,11 @@ def solve_fused_esdirk_grid(fun, t_span, y0_batch, method=None, M=None,
         )(*call_args)
 
     y_out, status, nsteps, nfev = outs[:4]
-    ret = (y_out[:n_total], status[:n_total, 0],
+    ret = (y_out[:n_total, :n_true], status[:n_total, 0],
            nsteps[:n_total, 0], nfev[:n_total, 0])
     k = 4
     if nq:
-        ret = ret + (outs[k][:, :n_total],)
+        ret = ret + (outs[k][:, :n_total, :n_true],)
         k += 1
     if n_ev:
         tev, yev, fev = outs[k], outs[k + 1], outs[k + 2]
@@ -743,6 +763,6 @@ def solve_fused_esdirk_grid(fun, t_span, y0_batch, method=None, M=None,
         nanv = jnp.float32(np.nan)
         t_events = jnp.where(fired != 0, tev[:, :n_total, 0], nanv)
         y_events = jnp.where((fired != 0)[:, :, None],
-                             yev[:, :n_total], nanv)
+                             yev[:, :n_total, :n_true], nanv)
         ret = ret + (t_events, y_events, fired)
     return ret

@@ -25,6 +25,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..core.controller import resolve_controller
+from . import _lane_pad as _lp
 from .fused_erk import _fblend, _make_ev_spec
 from .fused_rkn import _run_rkn_loop
 
@@ -37,8 +38,12 @@ def solve_fused_rkn_grid(acc, t_span, y0_batch, method=None, rtol=1e-4,
     """Integrate a mid-size second-order ensemble with an RKN pair in
     one Pallas kernel.
 
-    y0_batch: (B, 2n) float32 — [u, v] per member with n a MULTIPLE
-    OF 128 (each partition rides the lane axis).  ``acc(t, u, v)``:
+    y0_batch: (B, 2n) float32 — [u, v] per member, ANY n (each
+    partition rides the lane axis; non-multiples of 128 are
+    zero-padded internally with inert masked lanes, ops/_lane_pad.py —
+    ``acc`` and event callables still see exactly n lanes per
+    partition and the step sequence equals the unpadded problem's
+    exactly).  ``acc(t, u, v)``:
     t (bm, 1), u, v (bm, n) -> (bm, n).  Returns (y_final (B, 2n),
     status (B,), nsteps (B,), nfev (B,)); ``t_eval`` appends y_eval
     (len(t_eval), B, 2n) interpolated from inside the kernel
@@ -80,12 +85,14 @@ def solve_fused_rkn_grid(acc, t_span, y0_batch, method=None, rtol=1e-4,
     n_total, n2 = y0_batch.shape
     if n2 % 2:
         raise ValueError("state must be [u, v] with even length")
-    n = n2 // 2
-    if n % 128:
-        raise ValueError("fused grid RKN needs n % 128 == 0 per "
-                         "partition (u and v each ride the lane "
-                         "axis); pad the system or use fused_rkn "
-                         "(small m) / the XLA path")
+    n_true = n2 // 2
+    n = _lp.pad_width(n_true)
+    if n != n_true and not atol > 0.0:
+        raise ValueError("masked lane padding (n not a multiple of "
+                         "128) requires atol > 0: pad-lane error "
+                         "scales are atol exactly")
+    y0_batch = _lp.pad_lanes(y0_batch, n, parts=2)
+    n2 = 2 * n
     bm = block_members
     if bm % 8:
         raise ValueError("block_members must be a multiple of 8")
@@ -144,8 +151,22 @@ def solve_fused_rkn_grid(acc, t_span, y0_batch, method=None, rtol=1e-4,
         else:
             acc1 = acc
             wrap = lambda g: g                            # noqa: E731
+        # masked lane padding: arbitrary n rides the kernel with the
+        # EXACT unpadded step sequence (see ops/_lane_pad.py)
+        lt = _lp.lane_tools(bm, n, n_true)
+        mnorm, msum, mmin = lt.mnorm, lt.msum, lt.mmin
+        acc_u = acc1
+        acc1 = lambda t, uu, vv: lt.pb(                   # noqa: E731
+            acc_u(t, lt.sl(uu), lt.sl(vv)))
+
+        def _sl2(Y):
+            """Slice a joined [u, v] array back to the true widths."""
+            return jnp.concatenate([lt.sl(Y[:, :n]), lt.sl(Y[:, n:])],
+                                   axis=-1)
+
         ev_spec_k = (None if ev_spec is None else
-                     [(wrap(ge), tm, dr) for ge, tm, dr in ev_spec])
+                     [((lambda t, yy, _g=wrap(ge): _g(t, _sl2(yy))),
+                       tm, dr) for ge, tm, dr in ev_spec])
         fzero = yin[:, :1] * 0.0          # (bm, 1) member scalars
         izero = fzero.astype(jnp.int32)
         t = sc_ref[0] + fzero
@@ -155,10 +176,6 @@ def solve_fused_rkn_grid(acc, t_span, y0_batch, method=None, rtol=1e-4,
         dir_r = sc_ref[4] + fzero
         h_abs0 = sc_ref[5] + fzero
         f = acc1(t, u, v)
-
-        def mnorm(x):
-            """RMS over the lane (state) axis -> (bm, 1)."""
-            return jnp.sqrt(jnp.mean(x * x, axis=-1, keepdims=True))
 
         nfev0 = None
         if first_step is None:
@@ -177,11 +194,9 @@ def solve_fused_rkn_grid(acc, t_span, y0_batch, method=None, rtol=1e-4,
             ffull = jnp.concatenate([v, f], axis=-1)
             h_abs0 = jnp.abs(hstart_tile(
                 df_full, t, bq, yfull, ffull, tab.order_secondary,
-                rtol_r, atol_r, mnorm=mnorm,
-                msum=lambda x: jnp.sum(x, axis=-1, keepdims=True),
-                mmin=lambda x: jnp.min(x, axis=-1, keepdims=True),
-                n=n2))
-            nfev0 = izero + 2 + min(n2 + 1, 3)
+                rtol_r, atol_r, mnorm=mnorm, msum=msum, mmin=mmin,
+                n=2 * n_true))
+            nfev0 = izero + 2 + min(2 * n_true + 1, 3)
 
         st = _run_rkn_loop(
             acc1, (A, Ap, B_w, Bp, C, E, Ep, s, fsal, h_min_a,
@@ -272,11 +287,15 @@ def solve_fused_rkn_grid(acc, t_span, y0_batch, method=None, rtol=1e-4,
         )(*args)
 
     y_out, status, nsteps, nfev = outs[:4]
-    ret = (y_out[:n_total], status[:n_total, 0],
+
+    def _unpad(arr):
+        return _lp.unpad_lanes(arr, n_true, n, parts=2)
+
+    ret = (_unpad(y_out[:n_total]), status[:n_total, 0],
            nsteps[:n_total, 0], nfev[:n_total, 0])
     k = 4
     if nq:
-        ret = ret + (outs[k][:, :n_total],)
+        ret = ret + (_unpad(outs[k][:, :n_total]),)
         k += 1
     if n_ev:
         tev, yev, fev = outs[k], outs[k + 1], outs[k + 2]
@@ -284,6 +303,6 @@ def solve_fused_rkn_grid(acc, t_span, y0_batch, method=None, rtol=1e-4,
         nanv = jnp.float32(np.nan)
         t_events = jnp.where(fired != 0, tev[:, :n_total, 0], nanv)
         y_events = jnp.where((fired != 0)[:, :, None],
-                             yev[:, :n_total], nanv)
+                             _unpad(yev[:, :n_total]), nanv)
         ret = ret + (t_events, y_events, fired)
     return ret

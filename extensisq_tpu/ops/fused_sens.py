@@ -24,11 +24,19 @@ This module brings the FORWARD flavour to the fused Pallas kernels:
   scalar loss therefore costs two fused kernel launches total —
   for the whole ensemble.
 
-Flat-layout ERK kernels only (the augmented system multiplies the
-row count by 1 + k (+ n); explicit methods need no Jacobian of the
-augmented RHS).  f32 (+ the compensated mixed-precision mode);
-gradients are accurate to solver tolerance, like every
-forward-sensitivity method.
+Flat-layout kernels, ERK *and* ESDIRK: an explicit ``method`` whose
+``family`` is "esdirk" routes the augmented system through
+``solve_fused_esdirk(block_base=n)`` — the simultaneous-corrector
+scheme (CVODES SIM): the augmented Newton matrix is block lower
+triangular with every diagonal block equal to the base
+W = I - h d J, so ONE n x n factor solves all 1 + k (+ n) blocks per
+iteration and the neglected strictly-lower coupling only lags the
+(guarded) Newton rate.  This is what the reference's flagship
+sensitivity workload actually needs — ``sens_forward`` on *stiff*
+problems (/root/reference/tests/test_sens.py:8,61-70, Robertson with
+BDF/Radau) — at fused-kernel speed.  f32 (+ the compensated
+mixed-precision mode); gradients are accurate to solver tolerance,
+like every forward-sensitivity method.
 """
 from functools import partial
 
@@ -37,6 +45,19 @@ import jax.numpy as jnp
 import numpy as np
 
 from .fused_erk import solve_fused_erk
+from .fused_esdirk import solve_fused_esdirk
+
+
+def _family(method):
+    if method is None:
+        return "erk"
+    fam = getattr(method, "family", None)
+    if fam not in ("erk", "esdirk"):
+        raise ValueError(
+            f"fused sensitivities support erk/esdirk methods, not "
+            f"family {fam!r}; use sensitivity.sens_forward (XLA) for "
+            "the other families")
+    return fam
 
 
 def _aug_fun(fun, n, k, n_sens_y0, with_params):
@@ -119,11 +140,15 @@ def solve_fused_sens(fun, t_span, y0_batch, params=None, method=None,
     assert Y0.shape == (B, n_aug)
 
     aug = _aug_fun(fun, n, k, n_v, with_params=params is not None)
-    out = solve_fused_erk(
-        aug, t_span, Y0, method=method, rtol=rtol, atol=atol,
-        first_step=first_step, max_steps=max_steps,
-        block_members=block_members, interpret=interpret,
-        compensated=compensated, max_step=max_step, params=params)
+    kw = dict(method=method, rtol=rtol, atol=atol,
+              first_step=first_step, max_steps=max_steps,
+              block_members=block_members, interpret=interpret,
+              compensated=compensated, max_step=max_step,
+              params=params)
+    if _family(method) == "esdirk":
+        out = solve_fused_esdirk(aug, t_span, Y0, block_base=n, **kw)
+    else:
+        out = solve_fused_erk(aug, t_span, Y0, **kw)
     y_aug, status, nsteps, nfev = out
 
     y_f = y_aug[:, :n]
@@ -153,17 +178,21 @@ def solve_fused_final(fun, t_span, y0_batch, params, method=None,
     (t_span, y0_batch, params).
 
     The fused twin of ``sensitivity.solve_final``: the primal is one
-    fused ERK solve; the backward pass is ONE fused augmented solve
-    (forward sensitivities, :func:`solve_fused_sens`) contracted with
-    the cotangent — two kernel launches for value-and-grad of the
-    entire parameter-sweep ensemble.  ``params`` may be None (grads
-    w.r.t. t_span/y0 only).  Gradients are tolerance-accurate.
+    fused solve (ERK, or ESDIRK when ``method.family == "esdirk"`` —
+    stiff ``jax.grad`` at fused speed); the backward pass is ONE fused
+    augmented solve (forward sensitivities, :func:`solve_fused_sens`)
+    contracted with the cotangent — two kernel launches for
+    value-and-grad of the entire parameter-sweep ensemble.  ``params``
+    may be None (grads w.r.t. t_span/y0 only).  Gradients are
+    tolerance-accurate.
     """
-    out = solve_fused_erk(fun, t_span, y0_batch, method=method,
-                          rtol=rtol, atol=atol, max_steps=max_steps,
-                          block_members=block_members,
-                          interpret=interpret, compensated=compensated,
-                          params=params)
+    solver = (solve_fused_esdirk if _family(method) == "esdirk"
+              else solve_fused_erk)
+    out = solver(fun, t_span, y0_batch, method=method,
+                 rtol=rtol, atol=atol, max_steps=max_steps,
+                 block_members=block_members,
+                 interpret=interpret, compensated=compensated,
+                 params=params)
     return out[0]
 
 

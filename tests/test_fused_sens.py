@@ -112,6 +112,106 @@ def test_fused_final_grad():
                          - np.asarray(J)[0, :])) < 1e-3
 
 
+def _robertson_rows(t, y, p):
+    k1, k2, k3 = p
+    r1 = k1 * y[0]
+    r2 = k2 * y[1] * y[2]
+    r3 = k3 * y[1] * y[1]
+    return jnp.stack([-r1 + r2, r1 - r2 - r3, r3])
+
+
+# CVODES Robertson forward-sensitivity table at t = 0.4 (the
+# reference's flagship stiff-sensitivity oracle,
+# /root/reference/tests/test_sens.py:61-66)
+_CVODES_YF = np.array([9.8517e-01, 3.3864e-05, 1.4794e-02])
+_CVODES_SENS = np.array(
+    [[-3.5595e-01, 9.5428e-08, -1.5832e-11],
+     [3.9026e-04, -2.1310e-10, -5.2900e-13],
+     [3.5556e-01, -9.5215e-08, 1.6361e-11]])
+
+
+def test_fused_esdirk_sens_robertson_cvodes():
+    """Fused STIFF forward sensitivities: Robertson through the
+    simultaneous-corrector ESDIRK kernel (block_base) matches the
+    CVODES table — the reference's own stiff-sensitivity oracle — and
+    the f64 XLA sens_forward, column-scaled (f32 internal
+    differentiation at rtol 1e-4)."""
+    from extensisq_tpu.methods import TRBDF2
+    Bs = 8
+    y0b = np.tile([1.0, 0.0, 0.0], (Bs, 1)).astype(np.float32)
+    pb = np.tile([0.04, 1e4, 3e7], (Bs, 1)).astype(np.float32)
+    yf, Sp, Sy0, st, ns, nf = solve_fused_sens(
+        _robertson_rows, (0.0, 0.4), y0b, params=pb, method=TRBDF2,
+        rtol=1e-4, atol=1e-8, block_members=128, interpret=True)
+    assert np.all(np.asarray(st) == 1)
+    assert Sp.shape == (Bs, 3, 3) and Sy0 is None
+    np.testing.assert_allclose(np.asarray(yf[0]), _CVODES_YF,
+                               rtol=5e-4)
+    S = np.asarray(Sp[0])
+    # column-scaled: each dy/dp_j column spans ~11 decades across j
+    for j in range(3):
+        scale = np.abs(_CVODES_SENS[:, j]).max()
+        np.testing.assert_allclose(S[:, j] / scale,
+                                   _CVODES_SENS[:, j] / scale,
+                                   atol=2e-2)
+    # all members identical (same params)
+    assert np.max(np.abs(np.asarray(Sp) - S)) == 0.0
+
+
+def test_fused_esdirk_final_grad():
+    """jax.grad through solve_fused_final with an ESDIRK method: the
+    stiff ensemble's dL/dp and dL/dy0 from ONE fused augmented ESDIRK
+    backward solve, checked against central differences of the fused
+    primal and jacrev of the f64 XLA adjoint."""
+    from extensisq_tpu.methods import TRBDF2
+    from extensisq_tpu.ops import solve_fused_esdirk
+    Bs = 8
+    # mildly stiff parameterized problem (short-horizon Robertson is
+    # FD-unfriendly; use a stiff linear-relaxation pair instead)
+    def rows(t, y, p):
+        return jnp.stack([-p[0] * (y[0] - jnp.sin(y[1])),
+                          -y[1] + 0.1 * y[0]])
+
+    y0b = np.tile([2.0, 1.0], (Bs, 1)).astype(np.float32)
+    ks = np.linspace(50.0, 400.0, Bs).astype(np.float32)[:, None]
+
+    def loss(tsp, Y, P):
+        yf = solve_fused_final(rows, tsp, Y, P, TRBDF2, 1e-5, 1e-8,
+                               100_000, 128, True, False)
+        return jnp.sum(yf[:, 0])
+
+    val, g = jax.value_and_grad(loss, argnums=(1, 2))(
+        (0.0, 1.0), jnp.asarray(y0b), jnp.asarray(ks))
+    gy0, gp = g
+
+    eps = np.float32(0.5)
+    kw = dict(method=TRBDF2, rtol=1e-6, atol=1e-9, block_members=128,
+              interpret=True)
+    yp = solve_fused_esdirk(rows, (0.0, 1.0), y0b, params=ks + eps,
+                            **kw)[0]
+    ym = solve_fused_esdirk(rows, (0.0, 1.0), y0b, params=ks - eps,
+                            **kw)[0]
+    fd = (np.asarray(yp)[:, 0] - np.asarray(ym)[:, 0]) / (2 * eps)
+    assert np.max(np.abs(np.asarray(gp)[:, 0] - fd)) < 5e-5
+
+    k0 = float(ks[0, 0])
+    J = jax.jacrev(lambda y0: sensitivity.solve_final(
+        lambda t, y, p: jnp.stack([-p * (y[0] - jnp.sin(y[1])),
+                                   -y[1] + 0.1 * y[0]]),
+        (0.0, 1.0), y0, k0, None, 1e-9, 1e-12, 10_000))(
+            jnp.array([2.0, 1.0]))
+    assert np.max(np.abs(np.asarray(gy0)[0]
+                         - np.asarray(J)[0, :])) < 1e-4
+
+
+def test_fused_sens_rejects_unsupported_family():
+    from extensisq_tpu.methods import SSV2stab
+    Y0, mus = _setup()
+    with np.testing.assert_raises(ValueError):
+        solve_fused_sens(_vdp_rows, SPAN, Y0, params=mus,
+                         method=SSV2stab, interpret=True)
+
+
 def test_fused_sens_y0_only():
     """params=None + sens_y0=True: the pure fundamental-solution mode
     (no parameter axis), and the plain-fun (t, y) RHS signature."""

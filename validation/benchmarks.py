@@ -616,9 +616,19 @@ def config5():
     dstep = int(np.max(np.abs(nsE - nsX)))
     errE = float(np.max(np.abs(
         np.asarray(oute[0]).reshape(ME, -1) - np.asarray(outx.y))))
-    # machine-checked: fused per-member step counts track the XLA path
+    # machine-checked: fused per-member step counts track the XLA
+    # path.  The residual divergence is NOT a layout defect: the
+    # ensemble kernel is BIT-IDENTICAL to the single-grid kernel on
+    # this problem (r4 root-cause experiment + the standing bit-parity
+    # test), so what remains is f32-vs-f64 trajectory separation —
+    # this Brusselator sits in its oscillatory limit-cycle regime
+    # (B up to 3.5 > 1 + A^2), where the f32 RHS rounding (~6e-8
+    # relative per eval; the DS carry protects y, but fun sees f32
+    # arguments) is amplified exponentially over the t=4 horizon.
+    # At 32x64/4-member scale the same config measures <= 1 step /
+    # 4e-5.  Gates are measured(5 / 1.06e-3)+margin, NOT loose caps.
     assert dstep <= 6, f"fused/XLA step counts diverged: {dstep}"
-    assert errE < 5e-3, f"fused/XLA endpoint drift: {errE}"
+    assert errE < 2e-3, f"fused/XLA endpoint drift: {errE}"
     print(f"5d Brusselator ensemble x{ME} ({2*nyE*nxE} states each, "
           f"t=0..{TFE}) fused: {dte*1e3:7.1f} ms vs XLA {dtx*1e3:7.1f}"
           f" ms ({dtx/dte:4.1f}x); all ok {okE}, step max|d| {dstep}, "
@@ -640,7 +650,7 @@ def config5():
         np.asarray(outp[0]).reshape(ME, -1) - np.asarray(outx.y))))
     assert okP, "power-iteration ensemble did not finish"
     assert dstepP <= 8, f"power-rho step counts diverged: {dstepP}"
-    assert errP < 5e-3, f"power-rho endpoint drift: {errP}"
+    assert errP < 2e-3, f"power-rho endpoint drift: {errP}"
     print(f"5e same ensemble, IN-KERNEL power-iteration rho: "
           f"{dtp*1e3:7.1f} ms (max nfesig {nsigP}); step max|d| "
           f"{dstepP}, endpoint |d| {errP:.1e}")
@@ -652,13 +662,126 @@ def config5():
             "5e_step_maxd": dstepP, "5e_max_nfesig": nsigP}
 
 
+def config6():
+    """LONG-HORIZON mid-size grid kernels: the per-step asymptote.
+
+    The short-horizon grid rows (1b: 1.5x, 2d: 1.9x) are launch-bound
+    (~25-30 ms tunnel launch vs ~450-step trajectories); the per-step
+    claim in docs/PARITY.md is 5-20x.  This config integrates >= 5k
+    steps so launch overhead amortizes below 10% and the end-to-end
+    number IS the per-step ratio.  The XLA twin runs the identical
+    problem through the device driver, windowed (one jit call per
+    window, state fed forward) to stay inside the remote worker's
+    watchdog — the same pattern config2 uses for the f64 path.
+    """
+    from extensisq_tpu.ops import solve_fused_erk_grid
+    from extensisq_tpu.ops.fused_adams_grid import solve_fused_adams_grid
+
+    # 6a: advection-reaction (Fisher) n=256, BS5, t=0..30 — CFL-bound
+    # explicit stepping, ~5-6k accepted steps per member.
+    ngr, cg = 256, 1.0
+
+    def fisher_g(t, y):
+        return (-cg * (y - jnp.roll(y, 1, -1)) * ngr
+                + y * (1.0 - y))
+
+    Bg = 64
+    xg = np.linspace(0, 1, ngr, endpoint=False)
+    amps = np.linspace(0.2, 0.8, Bg)
+    YG = (0.5 + 0.4 * amps[:, None]
+          * np.sin(2 * np.pi * xg)[None, :]).astype(np.float32)
+    TF6 = 30.0
+    rung = jax.jit(lambda Y: solve_fused_erk_grid(
+        fisher_g, (0.0, TF6), Y, rtol=1e-5, atol=1e-7,
+        block_members=64, max_steps=40_000))
+    dtg, outg = time_tpu(rung, YG, reps=2)
+    assert np.all(np.asarray(outg[1]) == 1)
+    nsg = int(np.asarray(outg[2]).max())
+    assert nsg >= 5000, f"6a horizon too short to amortize: {nsg}"
+
+    nwin = 6
+
+    def xla_win(Y):
+        out = solve_windowed(fisher_g, (0.0, TF6), Y, nwin,
+                             method=BS5, ensemble=True, rtol=1e-5,
+                             atol=1e-7, max_steps=40_000)
+        assert bool(jnp.all(out.status == 1))
+        return out
+
+    xla_win(jnp.asarray(YG, jnp.float64))          # warm-up
+    t0 = time.perf_counter()
+    outx = xla_win(jnp.asarray(YG, jnp.float64))
+    np.asarray(outx.y)
+    dtx = time.perf_counter() - t0
+    dgr = float(np.max(np.abs(np.asarray(outg[0])
+                              - np.asarray(outx.y))))
+    # f32 kernel vs f64 driver over a 30-unit reaction horizon; the
+    # solution is an O(1) travelling front, drift stays ~1e-3
+    assert dgr < 5e-3, f"6a long-horizon endpoint drift: {dgr}"
+    print(f"6a advec-MoL n={ngr} BS5 x{Bg} t=0..{TF6:.0f} "
+          f"({nsg} steps): fused-grid {dtg*1e3:8.1f} ms "
+          f"({dtg / nsg * 1e6:.0f} us/step) vs XLA windowed "
+          f"{dtx*1e3:8.1f} ms ({dtx/dtg:4.1f}x); endpoint |d| "
+          f"{dgr:.1e}")
+
+    # 6b: heat MoL n=256, SWAG, t=0..6 — high-order Adams on a
+    # diffusion spectrum, >= 5k steps.
+    Dg, dxg = 0.01, 1.0 / 256
+
+    def heat_g(t, y):
+        return Dg * (jnp.roll(y, 1, -1) + jnp.roll(y, -1, -1)
+                     - 2.0 * y) / dxg ** 2
+
+    Bh = 32
+    ampsh = np.linspace(0.5, 1.5, Bh)
+    YH = (ampsh[:, None] * np.sin(2 * np.pi * xg)[None, :]
+          + 0.3 * np.cos(4 * np.pi * xg)[None, :]).astype(np.float32)
+    TH6 = 6.0
+    runh = jax.jit(lambda Y: solve_fused_adams_grid(
+        heat_g, (0.0, TH6), Y, rtol=1e-4, atol=1e-6, k_max=6,
+        block_members=32, max_steps=60_000))
+    dth, outh = time_tpu(runh, YH, reps=2)
+    assert np.all(np.asarray(outh[1]) == 1)
+    nsh = int(np.asarray(outh[2]).max())
+    assert nsh >= 5000, f"6b horizon too short to amortize: {nsh}"
+
+    def xla_winh(Y):
+        out = solve_windowed(heat_g, (0.0, TH6), Y, nwin,
+                             method=SWAG, ensemble=True, rtol=1e-4,
+                             atol=1e-6, k_max=6, max_steps=60_000)
+        assert bool(jnp.all(out.status == 1))
+        return out
+
+    xla_winh(jnp.asarray(YH, jnp.float64))         # warm-up
+    t0 = time.perf_counter()
+    outhx = xla_winh(jnp.asarray(YH, jnp.float64))
+    np.asarray(outhx.y)
+    dthx = time.perf_counter() - t0
+    dh = float(np.max(np.abs(np.asarray(outh[0])
+                             - np.asarray(outhx.y))))
+    assert dh < 1e-3, f"6b long-horizon endpoint drift: {dh}"
+    print(f"6b heat-MoL n={ngr} SWAG x{Bh} t=0..{TH6:.0f} "
+          f"({nsh} steps): fused-grid {dth*1e3:8.1f} ms "
+          f"({dth / nsh * 1e6:.0f} us/step) vs XLA windowed "
+          f"{dthx*1e3:8.1f} ms ({dthx/dth:4.1f}x); endpoint |d| "
+          f"{dh:.1e}")
+    return {"6a_long_grid_erk_fused_ms": dtg * 1e3,
+            "6a_long_grid_erk_xla_ms": dtx * 1e3,
+            "6a_long_grid_erk_speedup": dtx / dtg,
+            "6a_steps": nsg,
+            "6b_long_grid_swag_fused_ms": dth * 1e3,
+            "6b_long_grid_swag_xla_ms": dthx * 1e3,
+            "6b_long_grid_swag_speedup": dthx / dth,
+            "6b_steps": nsh}
+
+
 if __name__ == "__main__":
     import json
 
     as_json = "--json" in sys.argv
     metrics = {}
     failures = []
-    for cfg in (config1, config3, config5, config4, config2):
+    for cfg in (config1, config3, config5, config4, config2, config6):
         try:
             r = cfg()
             if isinstance(r, dict):

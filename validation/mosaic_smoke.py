@@ -434,6 +434,59 @@ def main():
               fisher_swp, (0.0, 0.5), Y, block_members=32, params=P),
           YG, PG)
 
+    # masked lane padding (ops/_lane_pad.py): arbitrary n = 200 rides
+    # every grid kernel (pads to 256; ESDIRK power-of-two 256).  The
+    # unaligned in-kernel slices/concats are the Mosaic-risk surface —
+    # interpret-mode tests cannot prove these lower.
+    npd = 200
+
+    def fisher_p200(t, y):
+        left = jnp.concatenate([jnp.zeros_like(y[:, :1]), y[:, :-1]],
+                               axis=1)
+        return -npd * 1.0 * (y - left) + y * (1.0 - y)
+
+    YP = np.tile(np.exp(-30 * (np.linspace(0, 1, npd) - 0.3) ** 2)
+                 .astype(np.float32), (32, 1))
+    check("fused_erk_grid padded n=200",
+          lambda Y: solve_fused_erk_grid(
+              fisher_p200, (0.0, 0.5), Y, block_members=32), YP)
+    check("fused_erk_grid padded t_eval+events",
+          lambda Y: solve_fused_erk_grid(
+              fisher_p200, (0.0, 0.5), Y, block_members=32,
+              t_eval=np.linspace(0.0, 0.5, 3).astype(np.float32),
+              events=ev_lane), YP)
+    check("fused_adams_grid padded n=200",
+          lambda Y: solve_fused_adams_grid(
+              fisher_p200, (0.0, 0.5), Y, k_max=6,
+              block_members=32), YP)
+    check("fused_ckdisc_grid padded n=200",
+          lambda Y: solve_fused_ckdisc_grid(
+              fisher_p200, (0.0, 0.5), Y, block_members=32), YP)
+
+    def rdiff_p200(t, y):
+        left = jnp.concatenate([jnp.zeros_like(y[:, :1]), y[:, :-1]],
+                               axis=1)
+        right = jnp.concatenate([y[:, 1:], jnp.zeros_like(y[:, :1])],
+                                axis=1)
+        return (40.0 * (left - 2.0 * y + right)
+                + y * (1.0 - y) * (y - 0.3))
+
+    check("fused_esdirk_grid padded n=200",
+          lambda Y: solve_fused_esdirk_grid(
+              rdiff_p200, (0.0, 0.2), Y, block_members=8), YP[:8])
+
+    def wave_p200(t, u, v):
+        left = jnp.concatenate([jnp.zeros_like(u[:, :1]), u[:, :-1]],
+                               axis=1)
+        right = jnp.concatenate([u[:, 1:], jnp.zeros_like(u[:, :1])],
+                                axis=1)
+        return 400.0 * (left - 2.0 * u + right)
+
+    YWP = np.concatenate([YP[:8], np.zeros_like(YP[:8])], axis=1)
+    check("fused_rkn_grid padded n=200",
+          lambda Y: solve_fused_rkn_grid(
+              wave_p200, (0.0, 0.5), Y, block_members=8), YWP)
+
     # fused forward sensitivities: variational rows from in-kernel
     # jax.jvp of the user RHS (augmented state n*(1+k+n) = 8)
     from extensisq_tpu.ops import solve_fused_sens, solve_fused_final
@@ -452,6 +505,36 @@ def main():
             vdp_p, (0.0, 3.0), YY, PP, None, 1e-4, 1e-6, 100_000,
             256, False, False)[:, 0]), argnums=(0, 1))(Y, P),
         Y0s, Ps)
+
+    # STIFF fused sensitivities: the simultaneous-corrector ESDIRK
+    # route (block_base) — blockwise Newton solves + in-kernel JVPs
+    # over the augmented state
+    def rob_p(t, y, p):
+        r1 = p[0] * y[0]
+        r2 = 1e4 * y[1] * y[2]
+        r3 = 3e7 * y[1] * y[1]
+        return jnp.stack([-r1 + r2, r1 - r2 - r3, r3])
+
+    from extensisq_tpu.methods import TRBDF2
+    Y0r = np.tile([1.0, 0.0, 0.0], (256, 1)).astype(np.float32)
+    Pr = np.full((256, 1), 0.04, np.float32)
+    check("fused_sens esdirk (Robertson)",
+          lambda Y, P: solve_fused_sens(
+              rob_p, (0.0, 0.4), Y, params=P, method=TRBDF2,
+              rtol=1e-4, atol=1e-8, block_members=256)[:2], Y0r, Pr)
+
+    # dense-output recording: dynamic-index VMEM stores at the scalar
+    # loop counter from INSIDE the while loop — the Mosaic risk
+    # surface interpret mode cannot prove
+    check("fused_erk dense recording",
+          lambda Y: solve_fused_erk(
+              vdp_p, (0.0, 3.0), Y, params=Ps, rtol=1e-4, atol=1e-6,
+              block_members=256, dense=128)[4].ts, Y0s)
+    check("fused_esdirk dense recording",
+          lambda Y, P: solve_fused_esdirk(
+              rob_p, (0.0, 0.4), Y, params=P, method=TRBDF2,
+              rtol=1e-4, atol=1e-8, block_members=256,
+              dense=128)[4].ts, Y0r, Pr)
 
     write_artifact()
     if FAILED:
