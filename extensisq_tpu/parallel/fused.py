@@ -32,6 +32,39 @@ except ImportError:                        # pragma: no cover
 
 from ..ops.dispatch import solve_fused
 
+# Compiled-callable cache: rebuilding the shard_map closure and
+# re-jitting it on EVERY call costs ~1.2 s of retrace/lowering (the
+# kernel itself runs in ~30 ms), because jax.jit's cache is keyed on
+# the function object and the closure is fresh each time.  Key on the
+# call signature instead (small arrays like t_eval hashed by content;
+# callables/method/mesh by identity — the same semantics jit itself
+# uses for static closures).  Unhashable signatures just skip the
+# cache.
+_COMPILED = {}
+
+
+def _sig_hash(v):
+    if isinstance(v, (np.ndarray, jax.Array)):
+        a = np.asarray(v)
+        return ("arr", a.shape, str(a.dtype), a.tobytes())
+    if isinstance(v, (list, tuple)):
+        return ("seq", tuple(_sig_hash(x) for x in v))
+    if isinstance(v, dict):
+        return ("map", tuple(sorted((k, _sig_hash(x))
+                                    for k, x in v.items())))
+    return v
+
+
+def _cache_key(fun, t_span, mesh, axis, method, kw, has_params):
+    try:
+        key = (fun, _sig_hash(tuple(np.asarray(t_span).ravel()
+                                    .tolist())),
+               mesh, axis, method, has_params, _sig_hash(kw))
+        hash(key)
+        return key
+    except (TypeError, ValueError):
+        return None
+
 
 def solve_fused_sharded(fun, t_span, y0_batch, mesh, axis=None,
                         method=None, **kw):
@@ -104,6 +137,12 @@ def solve_fused_sharded(fun, t_span, y0_batch, mesh, axis=None,
         operands += (np.asarray(params, np.float32),)
         in_specs += (P(axis),)
 
+    key = _cache_key(fun, t_span, mesh, axis, method, kw,
+                     params is not None)
+    hit = _COMPILED.get(key) if key is not None else None
+    if hit is not None:
+        return hit(*operands)
+
     def local(y0_block, *rest):
         kk = dict(kw)
         if rest:
@@ -135,4 +174,7 @@ def solve_fused_sharded(fun, t_span, y0_batch, mesh, axis=None,
     # cross-shard traffic for the checker to validate anyway
     run = shard_map(local, mesh=mesh, in_specs=in_specs,
                     out_specs=out_specs, check_vma=False)
-    return jax.jit(run)(*operands)
+    fn = jax.jit(run)
+    if key is not None:
+        _COMPILED[key] = fn
+    return fn(*operands)

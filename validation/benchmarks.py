@@ -775,13 +775,126 @@ def config6():
             "6b_steps": nsh}
 
 
+def config7():
+    """Differentiable + sharded fused paths: stiff fused forward
+    sensitivities (the reference's flagship sens workload,
+    /root/reference/tests/test_sens.py Robertson/CVODES), jax.grad
+    through solve_fused_final, and solve_fused_sharded counter parity
+    on a real-device mesh."""
+    from extensisq_tpu.ops.fused_sens import (solve_fused_sens,
+                                              solve_fused_final)
+    from extensisq_tpu.ops import solve_fused
+    from extensisq_tpu.parallel import solve_fused_sharded
+    from jax.sharding import Mesh
+
+    # 7a: fused STIFF forward sensitivities — a 512-member Robertson
+    # k1-sweep through the simultaneous-corrector ESDIRK kernel
+    # (block_base Newton: ONE 3x3 factor solves the 1+3 variational
+    # blocks).  Spot member 0 (nominal params) against the CVODES
+    # table, column-scaled.
+    Bs = 512
+
+    def rob_rows(t, y, p):
+        k1, k2, k3 = p
+        r1 = k1 * y[0]
+        r2 = k2 * y[1] * y[2]
+        r3 = k3 * y[1] * y[1]
+        return jnp.stack([-r1 + r2, r1 - r2 - r3, r3])
+
+    y0b = np.tile([1.0, 0.0, 0.0], (Bs, 1)).astype(np.float32)
+    pb = np.tile([0.04, 1e4, 3e7], (Bs, 1)).astype(np.float32)
+    pb[:, 0] = np.linspace(0.04, 0.05, Bs)
+    pb[0, 0] = 0.04
+    runs = jax.jit(lambda Y, P: solve_fused_sens(
+        rob_rows, (0.0, 0.4), Y, params=P, method=TRBDF2,
+        rtol=1e-4, atol=1e-8, block_members=512))
+    dts, outs = time_tpu(runs, jnp.asarray(y0b), jnp.asarray(pb),
+                         reps=3)
+    yf, Sp = np.asarray(outs[0]), np.asarray(outs[1])
+    assert np.all(np.asarray(outs[3]) == 1)
+    cv_yf = np.array([9.8517e-01, 3.3864e-05, 1.4794e-02])
+    cv_S = np.array([[-3.5595e-01, 9.5428e-08, -1.5832e-11],
+                     [3.9026e-04, -2.1310e-10, -5.2900e-13],
+                     [3.5556e-01, -9.5215e-08, 1.6361e-11]])
+    np.testing.assert_allclose(yf[0], cv_yf, rtol=5e-4)
+    for j in range(3):
+        sc7 = np.abs(cv_S[:, j]).max()
+        np.testing.assert_allclose(Sp[0, :, j] / sc7, cv_S[:, j] / sc7,
+                                   atol=2e-2)
+    print(f"7a fused stiff sens Robertson x{Bs} (TRBDF2, 3 params): "
+          f"tpu {dts*1e3:7.1f} ms; member 0 matches CVODES table")
+
+    # 7b: value-and-grad of a whole VdP mu-sweep — TWO fused kernel
+    # launches (primal + augmented backward) for dL/dy0 and dL/dmu of
+    # every member; FD spot check on the fused primal itself.
+    Bg = 1024
+
+    def vdp_rows(t, y, p):
+        return jnp.stack([y[1], p[0] * (1 - y[0] ** 2) * y[1] - y[0]])
+
+    Y0g = np.zeros((Bg, 2), np.float32)
+    Y0g[:, 0] = 2.0
+    mus = np.linspace(1.0, 2.0, Bg).astype(np.float32)[:, None]
+
+    def loss(Y, P):
+        yf7 = solve_fused_final(vdp_rows, (0.0, 3.0), Y, P, None,
+                                1e-5, 1e-8, 100_000, 1024, False,
+                                False)
+        return jnp.sum(yf7[:, 0])
+
+    rung = jax.jit(jax.value_and_grad(loss, argnums=(0, 1)))
+    dtg7, outg7 = time_tpu(rung, jnp.asarray(Y0g), jnp.asarray(mus),
+                           reps=3)
+    val7, (gy07, gp7) = outg7
+    assert np.all(np.isfinite(np.asarray(gy07)))
+    eps7 = np.float32(1e-2)
+    kwf = dict(rtol=1e-6, atol=1e-9, block_members=1024)
+    from extensisq_tpu.ops import solve_fused_erk
+    yp7 = solve_fused_erk(vdp_rows, (0.0, 3.0), Y0g,
+                          params=mus + eps7, **kwf)[0]
+    ym7 = solve_fused_erk(vdp_rows, (0.0, 3.0), Y0g,
+                          params=mus - eps7, **kwf)[0]
+    fd7 = (np.asarray(yp7)[:, 0] - np.asarray(ym7)[:, 0]) / (2 * eps7)
+    dgrad = float(np.max(np.abs(np.asarray(gp7)[:, 0] - fd7)))
+    assert dgrad < 5e-3, f"fused grad vs FD drift: {dgrad}"
+    print(f"7b value_and_grad VdP x{Bg} (2 fused launches): "
+          f"tpu {dtg7*1e3:7.1f} ms; dL/dmu vs FD |d| {dgrad:.1e}")
+
+    # 7c: solve_fused_sharded on a REAL device mesh (every attached
+    # chip) — integer outputs (status/counters) must exactly match the
+    # unsharded kernel (the same invariant the 8-device CPU dryrun
+    # pins, here on hardware).
+    devs = jax.devices()
+    mesh7 = Mesh(np.array(devs), ("m",))
+    runsh = lambda Y, P: solve_fused_sharded(
+        vdp_rows, (0.0, 3.0), Y, mesh7, params=P,
+        rtol=1e-5, atol=1e-8, block_members=1024 // len(devs))
+    dtsh, outsh = time_tpu(runsh, jnp.asarray(Y0g), jnp.asarray(mus),
+                           reps=3)
+    outu = jax.jit(lambda Y, P: solve_fused(
+        vdp_rows, (0.0, 3.0), Y, params=P, rtol=1e-5, atol=1e-8,
+        block_members=1024 // len(devs)))(jnp.asarray(Y0g),
+                                          jnp.asarray(mus))
+    assert np.array_equal(np.asarray(outsh[1]), np.asarray(outu[1]))
+    assert np.array_equal(np.asarray(outsh[2]), np.asarray(outu[2]))
+    assert np.array_equal(np.asarray(outsh[3]), np.asarray(outu[3]))
+    print(f"7c sharded fused VdP x{Bg} over {len(devs)} device(s): "
+          f"tpu {dtsh*1e3:7.1f} ms; counters exactly match unsharded")
+    return {"7a_fused_stiff_sens_ms": dts * 1e3,
+            "7b_fused_value_and_grad_ms": dtg7 * 1e3,
+            "7b_grad_vs_fd_maxd": dgrad,
+            "7c_sharded_fused_ms": dtsh * 1e3,
+            "7c_mesh_devices": len(devs)}
+
+
 if __name__ == "__main__":
     import json
 
     as_json = "--json" in sys.argv
     metrics = {}
     failures = []
-    for cfg in (config1, config3, config5, config4, config2, config6):
+    for cfg in (config1, config3, config5, config4, config2, config6,
+                config7):
         try:
             r = cfg()
             if isinstance(r, dict):
