@@ -42,6 +42,9 @@ remain the conformance solvers).
 * :func:`solve_fused_sens` — fused FORWARD SENSITIVITIES: the
   augmented variational system [y; dy/dp_j; dy/dy0_i] in one kernel,
   tangent rows from in-kernel jax.jvp of the user RHS
+* :func:`solve_fused_adjoint` — ``jax.grad``-able y(t_f) via the
+  CONTINUOUS ADJOINT through the fused forward's recorded dense
+  output: backward cost independent of the parameter count
 * :func:`solve_fused_final` — ``jax.grad``-able y(t_f): custom_vjp
   whose backward pass is ONE fused augmented solve (value-and-grad of
   a whole parameter-sweep ensemble in two kernel launches)
@@ -64,7 +67,8 @@ from .fused_esdirk import solve_fused_esdirk
 from .fused_esdirk_grid import solve_fused_esdirk_grid
 from .fused_adams import solve_fused_adams
 from .fused_adams_grid import solve_fused_adams_grid
-from .fused_sens import solve_fused_sens, solve_fused_final
+from .fused_sens import (solve_fused_sens, solve_fused_final,
+                         solve_fused_adjoint)
 
 __all__ = ["solve_fused",
            "solve_fused_erk", "solve_fused_ckdisc",
@@ -75,4 +79,5 @@ __all__ = ["solve_fused",
            "solve_fused_esdirk_grid", "solve_fused_adams",
            "solve_fused_adams_grid",
            "solve_fused_sens", "solve_fused_final",
+           "solve_fused_adjoint",
            "FusedDenseSolution", "build_fused_dense"]

@@ -45,6 +45,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .fused_erk import solve_fused_erk
+from .fused_erk_grid import solve_fused_erk_grid
 from .fused_esdirk import solve_fused_esdirk
 
 
@@ -94,11 +95,35 @@ def _aug_fun(fun, n, k, n_sens_y0, with_params):
     return aug
 
 
+def _aug_fun_grid(fun, n, k, with_params):
+    """The variational RHS in the GRID (states-on-lanes) convention:
+    t (bm, 1), Y (bm, n*(1+k)) -> (bm, n*(1+k)); blocks on the lane
+    axis [y | s_1..s_k], tangents from jax.jvp like :func:`_aug_fun`.
+    """
+    def aug(t, Y, p=()):
+        y = Y[..., :n]
+
+        def prim(yy, pp):
+            return fun(t, yy, pp) if with_params else fun(t, yy)
+
+        blocks = [prim(y, p)]
+        one = 1.0 + 0.0 * t                # runtime-anchored (bm, 1)
+        for j in range(k):
+            s = Y[..., n * (1 + j):n * (2 + j)]
+            seed = tuple(one if i == j else 0.0 * p[i]
+                         for i in range(len(p)))
+            _, fd = jax.jvp(prim, (y, p), (s, seed))
+            blocks.append(fd)
+        return jnp.concatenate(blocks, axis=-1)
+
+    return aug
+
+
 def solve_fused_sens(fun, t_span, y0_batch, params=None, method=None,
                      sens_y0=False, rtol=1e-4, atol=1e-6,
                      first_step=None, max_steps=100_000,
-                     block_members=1024, interpret=False,
-                     compensated=False, max_step=None):
+                     block_members=None, interpret=False,
+                     compensated=False, max_step=None, layout=None):
     """Fused forward sensitivities for an ensemble of small systems.
 
     ``fun(t, y, p)`` in the flat-kernel rows convention (``y[j]`` row
@@ -107,6 +132,18 @@ def solve_fused_sens(fun, t_span, y0_batch, params=None, method=None,
     sensitivities are computed w.r.t. EACH of the k parameters.
     ``sens_y0=True`` additionally carries the n initial-condition
     sensitivity blocks (the full (n, n) fundamental-solution slice).
+
+    ``layout``: "flat" (rows convention, default for small augmented
+    systems) or "grid" (ERK only — the augmented state [y | s_1..s_k]
+    rides the states-on-lanes kernel, ``fun`` in the GRID convention:
+    t (bm, 1), y (bm, n), p a k-tuple of (bm, 1) columns).  Default
+    auto-picks "grid" for ERK when the augmented width n*(1+k)
+    reaches the dispatcher's mid-size threshold, so MID-SIZE
+    parameter sweeps (MoL fields, n ~ 64-512) get fused sensitivities
+    too.  Grid ``sens_y0`` is rejected (the n*n fundamental blocks
+    exceed any lane budget — use :func:`solve_fused_adjoint` for
+    dL/dy0 at large n).  ``block_members`` defaults to 1024 (flat) /
+    32 (grid).
 
     Returns ``(y_final (B, n), S_p (B, n, k), S_y0 (B, n, n) | None,
     status (B,), nsteps (B,), nfev (B,))``.  S_p[b, m, j] =
@@ -131,6 +168,27 @@ def solve_fused_sens(fun, t_span, y0_batch, params=None, method=None,
     n_v = n if sens_y0 else 0
     n_aug = n * (1 + k + n_v)
 
+    fam = _family(method)
+    if layout is None:
+        # the dispatcher's mid-size threshold (ops/dispatch.py), on
+        # the AUGMENTED width — that's what rides the lanes
+        layout = ("grid" if fam == "erk" and not sens_y0
+                  and n_aug >= 48 else "flat")
+    if layout == "grid":
+        if fam != "erk":
+            raise ValueError(
+                "grid-layout fused sensitivities are ERK-only (the "
+                "grid ESDIRK kernel's tridiagonal Newton structure "
+                "does not extend to the augmented system); use "
+                "layout='flat' or the XLA sens_forward")
+        if sens_y0:
+            raise ValueError(
+                "sens_y0 on the grid layout would carry n*n "
+                "fundamental-solution lanes; use solve_fused_adjoint "
+                "for dL/dy0 at mid-size n")
+    if block_members is None:
+        block_members = 32 if layout == "grid" else 1024
+
     cols = [y0_batch, jnp.zeros((B, n * k), jnp.float32)]
     if sens_y0:
         eye = jnp.tile(jnp.eye(n, dtype=jnp.float32).reshape(1, n * n),
@@ -139,15 +197,19 @@ def solve_fused_sens(fun, t_span, y0_batch, params=None, method=None,
     Y0 = jnp.concatenate(cols, axis=1)
     assert Y0.shape == (B, n_aug)
 
-    aug = _aug_fun(fun, n, k, n_v, with_params=params is not None)
     kw = dict(method=method, rtol=rtol, atol=atol,
               first_step=first_step, max_steps=max_steps,
               block_members=block_members, interpret=interpret,
               compensated=compensated, max_step=max_step,
               params=params)
-    if _family(method) == "esdirk":
+    if layout == "grid":
+        aug = _aug_fun_grid(fun, n, k, with_params=params is not None)
+        out = solve_fused_erk_grid(aug, t_span, Y0, **kw)
+    elif fam == "esdirk":
+        aug = _aug_fun(fun, n, k, n_v, with_params=params is not None)
         out = solve_fused_esdirk(aug, t_span, Y0, block_base=n, **kw)
     else:
+        aug = _aug_fun(fun, n, k, n_v, with_params=params is not None)
         out = solve_fused_erk(aug, t_span, Y0, **kw)
     y_aug, status, nsteps, nfev = out
 
@@ -228,3 +290,134 @@ def _fused_final_bwd(fun, method, rtol, atol, max_steps,
 
 
 solve_fused_final.defvjp(_fused_final_fwd, _fused_final_bwd)
+
+
+# ---------------------------------------------------------------------------
+# continuous adjoint THROUGH a fused forward solve
+# ---------------------------------------------------------------------------
+#
+# solve_fused_final's backward pass is a fused FORWARD-sensitivity
+# solve: cost scales with the parameter count k (the augmented state
+# is n*(1+k+n) wide).  The classical alternative for LARGE k is the
+# continuous adjoint (what the reference's sens_adjoint_end does,
+# /root/reference/extensisq/sensitivity.py — one backward n+k system
+# regardless of k, interpolating y(t) through the forward's dense
+# output, common.py:766-821).  Round 4's fused dense-output recording
+# (ops/fused_dense.py) makes that possible through a FUSED forward:
+# the primal is one fused kernel launch; the backward integrates
+# mu' = -J^T mu, xi' = (df/dp)^T mu per member with the f64 XLA device
+# driver, reading y(t) from the recorded FusedDenseSolution — O(1)
+# memory in k on the tape side and gradient cost independent of k.
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 4, 5, 6, 7, 8, 9, 10,
+                                          11, 12, 13))
+def solve_fused_adjoint(fun, t_span, y0_batch, params, method=None,
+                        rtol=1e-4, atol=1e-6, max_steps=100_000,
+                        block_members=1024, interpret=False,
+                        dense=512, bw_method=None, bw_rtol=None,
+                        bw_atol=None):
+    """y(t_f) for a fused ensemble, differentiable via the CONTINUOUS
+    ADJOINT — gradient cost independent of the parameter count.
+
+    The fused twin of ``sensitivity.sens_adjoint_end`` /
+    ``solve_final``'s backward: the primal is ONE fused kernel launch
+    (ERK, or ESDIRK when ``method.family == "esdirk"``); under
+    ``jax.grad`` the forward additionally records per-step ``(t, y,
+    f)`` rows in-kernel (``dense=R`` capacity, ops/fused_dense.py) and
+    the backward integrates the (n + k)-dimensional adjoint system per
+    member with the f64 XLA driver, interpolating y(t) through the
+    recorded cubic-Hermite dense output.  Prefer this over
+    :func:`solve_fused_final` when k is large (forward sensitivities
+    cost a factor ~(1 + k + n) in fused state width; the adjoint is
+    flat in k).
+
+    ``fun(t, y[, p])`` in the fused rows convention; ``params`` is
+    (B, k) or None.  ``dense`` must cover the forward's loop
+    iterations — members that overflow it get NaN gradients (check
+    ``jnp.isfinite``; enlarge ``dense`` or shrink the span).
+    ``bw_method/bw_rtol/bw_atol`` control the backward XLA solve
+    (defaults: the driver default method at the forward tolerances).
+    Gradients are tolerance-accurate, like every continuous-adjoint
+    method (and the reference's).
+    """
+    solver = (solve_fused_esdirk if _family(method) == "esdirk"
+              else solve_fused_erk)
+    out = solver(fun, t_span, y0_batch, method=method, rtol=rtol,
+                 atol=atol, max_steps=max_steps,
+                 block_members=block_members, interpret=interpret,
+                 params=params)
+    return out[0]
+
+
+def _fused_adjoint_fwd(fun, t_span, y0_batch, params, method, rtol,
+                       atol, max_steps, block_members, interpret,
+                       dense, bw_method, bw_rtol, bw_atol):
+    solver = (solve_fused_esdirk if _family(method) == "esdirk"
+              else solve_fused_erk)
+    out = solver(fun, t_span, y0_batch, method=method, rtol=rtol,
+                 atol=atol, max_steps=max_steps,
+                 block_members=block_members, interpret=interpret,
+                 params=params, dense=int(dense))
+    y_f, sol = out[0], out[-1]
+    return y_f, (t_span, y0_batch, params, y_f, sol)
+
+
+def _fused_adjoint_bwd(fun, method, rtol, atol, max_steps,
+                       block_members, interpret, dense, bw_method,
+                       bw_rtol, bw_atol, residuals, ct):
+    from ..solve import solve
+    from ..core.interpolate import OdeSolution
+
+    t_span, y0_batch, params, y_f, dsol = residuals
+    t0, tf = t_span
+    n = y0_batch.shape[-1]
+    k = 0 if params is None else params.shape[-1]
+    has_p = params is not None
+    rt = rtol if bw_rtol is None else bw_rtol
+    at = atol if bw_atol is None else bw_atol
+    ct = jnp.asarray(ct, jnp.float64)
+
+    def one(ts, ta, hh, ya, Q, ct_m, p_m, valid):
+        soln = OdeSolution(ts=ts, t_anchor=ta, h=hh, y_anchor=ya,
+                           Q=Q)
+
+        def f_of(t, yy, pv):
+            if has_p:
+                return jnp.asarray(
+                    fun(t, yy, tuple(pv[j] for j in range(k))))
+            return jnp.asarray(fun(t, yy))
+
+        def fun_bw(t, z):
+            mu = z[:n]
+            y = jnp.asarray(soln(jnp.asarray(t, jnp.float32)),
+                            z.dtype)
+            _, pull = jax.vjp(lambda yy, pv: f_of(t, yy, pv), y, p_m)
+            JTmu, DTmu = pull(mu)
+            return jnp.concatenate([-JTmu, DTmu])
+
+        zf = jnp.concatenate([ct_m, jnp.zeros((k,), ct_m.dtype)])
+        bw = solve(fun_bw, (tf, t0), zf, method=bw_method, rtol=rt,
+                   atol=at, max_steps=max_steps)
+        guard = jnp.where(valid & (bw.status == 1), 1.0, jnp.nan)
+        mu0 = bw.y[:n] * guard
+        dp = -bw.y[n:] * guard
+        return mu0, dp
+
+    p_b = (jnp.asarray(params, jnp.float64) if has_p
+           else jnp.zeros((y0_batch.shape[0], 0), jnp.float64))
+    mu0, dp = jax.vmap(one)(dsol.ts, dsol.t_anchor, dsol.h,
+                            dsol.y_anchor, dsol.Q, ct, p_b,
+                            dsol.valid)
+
+    # t_span cotangents (summed over members: t_span is shared):
+    # dL/dtf = sum_b ct_b . f(tf, yf_b); dL/dt0 = -sum_b mu0_b . f(t0, y0_b)
+    f_tf = _rows_eval(fun, tf, y_f, params)
+    f_t0 = _rows_eval(fun, t0, y0_batch, params)
+    dtf = jnp.vdot(ct, jnp.asarray(f_tf, jnp.float64))
+    dt0 = -jnp.vdot(mu0, jnp.asarray(f_t0, jnp.float64))
+    y0_bar = jnp.asarray(mu0, jnp.float32)
+    p_bar = jnp.asarray(dp, jnp.float32) if has_p else None
+    return ((dt0, dtf), y0_bar, p_bar)
+
+
+solve_fused_adjoint.defvjp(_fused_adjoint_fwd, _fused_adjoint_bwd)

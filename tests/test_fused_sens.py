@@ -233,3 +233,77 @@ def test_fused_sens_y0_only():
     # and y_f == expm(A) y0
     assert np.max(np.abs(np.asarray(yf)[0] - E @ np.array([1.0, 2.0])
                          )) < 1e-5
+
+
+def test_fused_sens_grid_layout_analytic():
+    """GRID-layout fused sensitivities: the augmented [y | s] state
+    rides the states-on-lanes kernel (auto-routed at n_aug >= 48).
+    Elementwise decay has exact sensitivities: S_a = -t * y0 e^{-at}."""
+    n, Bs = 32, 8
+    rates = np.linspace(0.5, 1.5, Bs).astype(np.float32)[:, None]
+    Y0 = np.tile(np.linspace(1.0, 2.0, n, dtype=np.float32), (Bs, 1))
+
+    def dec_g(t, y, p):                  # grid convention: y (bm, n)
+        return -p[0] * y
+
+    yf, Sp, Sy0, st, ns, nf = solve_fused_sens(
+        dec_g, (0.0, 1.0), Y0, params=rates, rtol=1e-6, atol=1e-9,
+        block_members=8, interpret=True)  # layout=None -> "grid"
+    assert np.all(np.asarray(st) == 1) and Sy0 is None
+    assert Sp.shape == (Bs, n, 1)
+    ex = Y0 * np.exp(-rates)
+    np.testing.assert_allclose(np.asarray(yf), ex, rtol=5e-5)
+    np.testing.assert_allclose(np.asarray(Sp)[:, :, 0], -ex,
+                               rtol=5e-4)
+
+
+def test_fused_sens_grid_layout_fisher_fd():
+    """Nonlinear mid-size grid sensitivities (Fisher advection-
+    reaction, n = 64) match central differences of the grid kernel
+    itself across the growth-rate sweep."""
+    from extensisq_tpu.ops import solve_fused_erk_grid
+    n, Bs = 64, 8
+    x = np.linspace(0, 1, n, endpoint=False)
+    Y0 = np.tile((0.5 + 0.3 * np.sin(2 * np.pi * x))
+                 .astype(np.float32), (Bs, 1))
+    rates = np.linspace(0.8, 1.2, Bs).astype(np.float32)[:, None]
+
+    def fisher(t, y, p):
+        return -(y - jnp.roll(y, 1, -1)) * n + p[0] * y * (1.0 - y)
+
+    yf, Sp, _, st, ns, nf = solve_fused_sens(
+        fisher, (0.0, 0.25), Y0, params=rates, rtol=1e-5, atol=1e-8,
+        block_members=8, interpret=True)
+    assert np.all(np.asarray(st) == 1)
+
+    eps = np.float32(4e-3)   # small eps drowns in f32 FD noise
+    kw = dict(rtol=1e-7, atol=1e-10, block_members=8, interpret=True)
+    yp = solve_fused_erk_grid(fisher, (0.0, 0.25), Y0,
+                              params=rates + eps, **kw)[0]
+    ym = solve_fused_erk_grid(fisher, (0.0, 0.25), Y0,
+                              params=rates - eps, **kw)[0]
+    fd = (np.asarray(yp) - np.asarray(ym)) / (2 * eps)
+    scale = np.abs(fd).max()
+    # FD of an f32 primal plus the rtol-1e-5 internal-differentiation
+    # error: measured 2.9e-3 relative at eps 4e-3 (eps 1e-3 is FD-noise
+    # dominated at ~9e-3)
+    assert np.max(np.abs(np.asarray(Sp)[:, :, 0] - fd)) < 6e-3 * scale
+
+
+def test_fused_sens_grid_rejects_sens_y0_and_esdirk():
+    """Guard rails: grid sens_y0 and grid ESDIRK raise with the
+    documented redirections."""
+    import pytest
+    from extensisq_tpu.methods import TRBDF2
+    Y0 = np.ones((8, 32), np.float32)
+    P = np.ones((8, 1), np.float32)
+
+    def g(t, y, p):
+        return -p[0] * y
+
+    with pytest.raises(ValueError, match="solve_fused_adjoint"):
+        solve_fused_sens(g, (0.0, 1.0), Y0, params=P, sens_y0=True,
+                         layout="grid", interpret=True)
+    with pytest.raises(ValueError, match="ERK-only"):
+        solve_fused_sens(g, (0.0, 1.0), Y0, params=P, method=TRBDF2,
+                         layout="grid", interpret=True)
