@@ -74,7 +74,25 @@ def scipy_side(yf_tpu):
                                                    - yf_tpu[i]))))
     dt_sample = time.perf_counter() - t0
     dt_full = dt_sample * (N_MEMBERS / len(idx))
-    return dt_full, max_err
+    return dt_full, max_err, dt_sample, len(idx)
+
+
+def host_provenance():
+    """CPU model / core count of the scipy-side host: the extrapolated
+    baseline halved between rounds 3 and 4 purely from a host
+    reallocation, so the artifact must record where the baseline ran
+    (VERDICT r4 weak #6)."""
+    import os
+    model = None
+    try:
+        with open("/proc/cpuinfo") as fh:
+            for line in fh:
+                if line.lower().startswith("model name"):
+                    model = line.split(":", 1)[1].strip()
+                    break
+    except OSError:
+        pass
+    return {"cpu_model": model, "cpu_count": os.cpu_count()}
 
 
 def fused_side():
@@ -205,7 +223,7 @@ def fused_esdirk_side():
 
 def main():
     tpu_dt, total_steps, total_fev, yf = tpu_side()
-    scipy_dt, max_err = scipy_side(yf)
+    scipy_dt, max_err, scipy_raw_s, n_sample = scipy_side(yf)
     try:
         fused_dt, fused_comp_dt = fused_side()
     except Exception:
@@ -227,6 +245,11 @@ def main():
         "detail": {
             "tpu_wall_s": round(tpu_dt, 6),
             "scipy_wall_s_extrapolated": round(scipy_dt, 3),
+            "scipy_wall_s_measured_sample": round(scipy_raw_s, 3),
+            "scipy_sample_members": n_sample,
+            "scipy_extrapolation_factor": round(N_MEMBERS / n_sample,
+                                                2),
+            "baseline_host": host_provenance(),
             "steps_per_s": round(total_steps / tpu_dt, 1),
             "rhs_evals_per_s": round(total_fev / tpu_dt, 1),
             "members": N_MEMBERS,

@@ -133,17 +133,16 @@ def solve_fused_sens(fun, t_span, y0_batch, params=None, method=None,
     ``sens_y0=True`` additionally carries the n initial-condition
     sensitivity blocks (the full (n, n) fundamental-solution slice).
 
-    ``layout``: "flat" (rows convention, default for small augmented
-    systems) or "grid" (ERK only — the augmented state [y | s_1..s_k]
-    rides the states-on-lanes kernel, ``fun`` in the GRID convention:
-    t (bm, 1), y (bm, n), p a k-tuple of (bm, 1) columns).  Default
-    auto-picks "grid" for ERK when the augmented width n*(1+k)
-    reaches the dispatcher's mid-size threshold, so MID-SIZE
-    parameter sweeps (MoL fields, n ~ 64-512) get fused sensitivities
-    too.  Grid ``sens_y0`` is rejected (the n*n fundamental blocks
-    exceed any lane budget — use :func:`solve_fused_adjoint` for
-    dL/dy0 at large n).  ``block_members`` defaults to 1024 (flat) /
-    32 (grid).
+    ``layout``: "flat" (rows convention — the DEFAULT) or "grid"
+    (the augmented state [y | s_1..s_k] rides the states-on-lanes
+    kernel, ``fun`` in the GRID convention: t (bm, 1), y (bm, n), p a
+    k-tuple of (bm, 1) columns).  The two conventions hand ``fun``
+    TRANSPOSED arrays, so the layout is an API contract, never
+    inferred from the problem size: pass ``layout="grid"`` explicitly
+    for MID-SIZE parameter sweeps (MoL fields, n ~ 64-512).  Grid
+    ``sens_y0`` is rejected (the n*n fundamental blocks exceed any
+    lane budget — use :func:`solve_fused_adjoint` for dL/dy0 at large
+    n).  ``block_members`` defaults to 1024 (flat) / 32 (grid).
 
     Returns ``(y_final (B, n), S_p (B, n, k), S_y0 (B, n, n) | None,
     status (B,), nsteps (B,), nfev (B,))``.  S_p[b, m, j] =
@@ -170,10 +169,11 @@ def solve_fused_sens(fun, t_span, y0_batch, params=None, method=None,
 
     fam = _family(method)
     if layout is None:
-        # the dispatcher's mid-size threshold (ops/dispatch.py), on
-        # the AUGMENTED width — that's what rides the lanes
-        layout = ("grid" if fam == "erk" and not sens_y0
-                  and n_aug >= 48 else "flat")
+        # NEVER inferred from the problem size: the two layouts hand
+        # ``fun`` transposed arrays (rows vs (bm, n) lanes), so a
+        # silent auto-pick would compute wrong sensitivities for a
+        # shape-compatible fun written for the other convention
+        layout = "flat"
     if layout == "grid":
         if fam != "erk":
             raise ValueError(

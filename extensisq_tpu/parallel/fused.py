@@ -20,6 +20,9 @@ passes through unchanged.  Requires B % mesh.size == 0 (shard_map
 blocks must tile the member axis) — pad the ensemble like you would
 for block_members.
 """
+import hashlib
+from collections import OrderedDict
+
 import numpy as np
 
 import jax
@@ -36,17 +39,22 @@ from ..ops.dispatch import solve_fused
 # re-jitting it on EVERY call costs ~1.2 s of retrace/lowering (the
 # kernel itself runs in ~30 ms), because jax.jit's cache is keyed on
 # the function object and the closure is fresh each time.  Key on the
-# call signature instead (small arrays like t_eval hashed by content;
+# call signature instead (arrays like t_eval hashed by shape/dtype +
+# content DIGEST, never raw bytes — large grids would bloat the key;
 # callables/method/mesh by identity — the same semantics jit itself
 # uses for static closures).  Unhashable signatures just skip the
-# cache.
-_COMPILED = {}
+# cache.  Bounded LRU: long sweeps over varying signatures (different
+# t_span/t_eval/kw) must not pin compiled executables forever.
+_COMPILED = OrderedDict()
+_COMPILED_MAX = 32
 
 
 def _sig_hash(v):
     if isinstance(v, (np.ndarray, jax.Array)):
         a = np.asarray(v)
-        return ("arr", a.shape, str(a.dtype), a.tobytes())
+        return ("arr", a.shape, str(a.dtype),
+                hashlib.sha1(np.ascontiguousarray(a).tobytes())
+                .hexdigest())
     if isinstance(v, (list, tuple)):
         return ("seq", tuple(_sig_hash(x) for x in v))
     if isinstance(v, dict):
@@ -141,6 +149,7 @@ def solve_fused_sharded(fun, t_span, y0_batch, mesh, axis=None,
                      params is not None)
     hit = _COMPILED.get(key) if key is not None else None
     if hit is not None:
+        _COMPILED.move_to_end(key)         # LRU refresh
         return hit(*operands)
 
     def local(y0_block, *rest):
@@ -177,4 +186,6 @@ def solve_fused_sharded(fun, t_span, y0_batch, mesh, axis=None,
     fn = jax.jit(run)
     if key is not None:
         _COMPILED[key] = fn
+        while len(_COMPILED) > _COMPILED_MAX:
+            _COMPILED.popitem(last=False)  # evict least recently used
     return fn(*operands)

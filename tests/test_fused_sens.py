@@ -237,7 +237,8 @@ def test_fused_sens_y0_only():
 
 def test_fused_sens_grid_layout_analytic():
     """GRID-layout fused sensitivities: the augmented [y | s] state
-    rides the states-on-lanes kernel (auto-routed at n_aug >= 48).
+    rides the states-on-lanes kernel (layout="grid" is an explicit
+    API contract — the grid fun convention transposes the arrays).
     Elementwise decay has exact sensitivities: S_a = -t * y0 e^{-at}."""
     n, Bs = 32, 8
     rates = np.linspace(0.5, 1.5, Bs).astype(np.float32)[:, None]
@@ -248,7 +249,7 @@ def test_fused_sens_grid_layout_analytic():
 
     yf, Sp, Sy0, st, ns, nf = solve_fused_sens(
         dec_g, (0.0, 1.0), Y0, params=rates, rtol=1e-6, atol=1e-9,
-        block_members=8, interpret=True)  # layout=None -> "grid"
+        block_members=8, interpret=True, layout="grid")
     assert np.all(np.asarray(st) == 1) and Sy0 is None
     assert Sp.shape == (Bs, n, 1)
     ex = Y0 * np.exp(-rates)
@@ -273,7 +274,7 @@ def test_fused_sens_grid_layout_fisher_fd():
 
     yf, Sp, _, st, ns, nf = solve_fused_sens(
         fisher, (0.0, 0.25), Y0, params=rates, rtol=1e-5, atol=1e-8,
-        block_members=8, interpret=True)
+        block_members=8, interpret=True, layout="grid")
     assert np.all(np.asarray(st) == 1)
 
     eps = np.float32(4e-3)   # small eps drowns in f32 FD noise
