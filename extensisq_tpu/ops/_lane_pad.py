@@ -93,9 +93,16 @@ def unpad_lanes(arr, n_true, n_pad, parts=1):
         arr.shape[:-2] + (parts * n_true,))
 
 
-def lane_tools(bm, n_pad, n_true):
-    """Build the in-kernel :class:`LaneTools` for a (bm, n_pad) layout
-    with ``n_true`` live lanes per partition."""
+def lane_tools(bm, n_pad, n_true, parts=1):
+    """Build the in-kernel :class:`LaneTools` for a (bm, parts * n_pad)
+    layout with ``n_true`` live lanes per partition.
+
+    ``parts > 1``: the state is ``parts`` equal-width partitions
+    concatenated on the lane axis, each padded from n_true to n_pad
+    individually (the ESDIRK grid kernel's block_base simultaneous-
+    corrector layout: [y | s_1 .. s_k] blocks).  ``sl``/``pb`` then
+    slice/pad EVERY partition (static slices + concat, Mosaic-safe);
+    the reducers already accept any multiple of n_pad."""
     if n_true == n_pad:
         ident = lambda f: f                              # noqa: E731
         same = lambda x: x                               # noqa: E731
@@ -120,11 +127,21 @@ def lane_tools(bm, n_pad, n_true):
         return _masks[k], k
 
     def sl(x):
-        return x[..., :n_true]
+        if parts == 1:
+            return x[..., :n_true]
+        return jnp.concatenate(
+            [x[..., j * n_pad:j * n_pad + n_true]
+             for j in range(parts)], axis=-1)
 
     def pb(x):
         zpad = jnp.zeros(x.shape[:-1] + (n_pad - n_true,), x.dtype)
-        return jnp.concatenate([x, zpad], axis=-1)
+        if parts == 1:
+            return jnp.concatenate([x, zpad], axis=-1)
+        segs = []
+        for j in range(parts):
+            segs.append(x[..., j * n_true:(j + 1) * n_true])
+            segs.append(zpad)
+        return jnp.concatenate(segs, axis=-1)
 
     def wrap_fun(f):
         return lambda t, yy, *rest: pb(f(t, sl(yy), *rest))

@@ -37,6 +37,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..core.controller import resolve_controller
 from . import _lane_pad as _lp
+from .fused_dense import _REC_UNSET
 from .fused_erk import _fblend, _make_ev_spec, _run_erk_loop
 
 
@@ -44,7 +45,7 @@ def solve_fused_erk_grid(fun, t_span, y0_batch, method=None, rtol=1e-4,
                          atol=1e-6, first_step=None, max_steps=100_000,
                          block_members=32, interpret=False,
                          compensated=False, t_eval=None, events=None,
-                         max_step=None, params=None):
+                         max_step=None, params=None, dense=None):
     """Integrate a mid-size-system ensemble with an ERK pair in one
     Pallas kernel.
 
@@ -71,6 +72,17 @@ def solve_fused_erk_grid(fun, t_span, y0_batch, method=None, rtol=1e-4,
     when given, ``fun`` and every event callable take a third
     argument ``p``, a k-tuple of (bm, 1) member columns broadcastable
     against the (bm, n) state (``p[j]`` acts like a scalar).
+    ``dense``: optional int ``R`` — record up to ``R`` per-step
+    ``(t, y, f)`` rows from inside the kernel and append an evaluable
+    per-member :class:`~extensisq_tpu.ops.fused_dense.
+    FusedDenseSolution` as the LAST return element, exactly like
+    ``solve_fused_erk`` (the reference's ``sol`` capability,
+    common.py:766-821).  In THIS layout the state already rides the
+    lane axis, so the buffers are (R, bm, n) — no sublane transpose
+    — and VMEM costs (2n + 1) * R * block_members * 4 bytes: at
+    n = 256 use block_members = 8 and R <= ~350.  ``R`` counts loop
+    iterations (accepted + rejected attempts); members that need more
+    get ``sol.valid[b] = False``.
     """
     if method is None:
         from ..methods import BS5 as method
@@ -134,6 +146,19 @@ def solve_fused_erk_grid(fun, t_span, y0_batch, method=None, rtol=1e-4,
     ev_spec = _make_ev_spec(events)
     n_ev = 0 if ev_spec is None else len(ev_spec)
 
+    n_rec = 0 if dense is None else int(dense)
+    if n_rec:
+        # (R, bm, n) rows: the state already occupies the lane axis in
+        # this layout, so no sublane transpose and no 64x lane-pad
+        # blowup (the fused_erk lesson applies to the FLAT layout only)
+        vmem = (2 * n + 1) * n_rec * bm * 4 + bm * n * 4
+        if vmem > 6 * 2 ** 20:
+            raise ValueError(
+                f"dense={n_rec} recording needs {vmem / 2**20:.1f} MiB "
+                f"of VMEM at block_members={bm}, n={n}; lower "
+                "block_members (the buffers scale with it) or record "
+                "fewer rows")
+
     def kernel(sc_ref, y0_ref, *rest):
         rest = list(rest)
         par_ref = rest.pop(0) if n_par else None
@@ -142,6 +167,9 @@ def solve_fused_erk_grid(fun, t_span, y0_batch, method=None, rtol=1e-4,
         yq_ref = rest.pop(0) if nq else None
         if n_ev:
             tev_ref, yev_ref, fev_ref = rest[:3]
+            rest = rest[3:]
+        if n_rec:
+            rect_ref, recy_ref, recf_ref, f0_ref = rest[:4]
         y = y0_ref[:]
         if n_par:
             pv = par_ref[:]
@@ -184,13 +212,29 @@ def solve_fused_erk_grid(fun, t_span, y0_batch, method=None, rtol=1e-4,
                 mnorm=mnorm, msum=msum, mmin=mmin, n=n_true))
             nfev0 = izero + 2 + min(n_true + 1, 3)
 
+        record = None
+        if n_rec:
+            f0_ref[:] = f
+            # non-accepted / never-reached rows read the sentinel
+            # (arithmetic blends forbid NaN coding: 0 * NaN = NaN)
+            rect_ref[:] = jnp.full((n_rec, bm, 1), _REC_UNSET,
+                                   jnp.float32)
+
+            def record(itv, upd, t_out, y_out, f_new):  # noqa: F811
+                @pl.when(itv < n_rec)
+                def _():
+                    rect_ref[itv] = _fblend(upd, t_out,
+                                            fzero + _REC_UNSET)
+                    recy_ref[itv] = y_out
+                    recf_ref[itv] = f_new
+
         st = _run_erk_loop(
             fun1, (A, B_w, C, E, s, fsal, h_min_a, tiny_err), cc,
             compensated, max_steps, nq, tq_vals, fzero, izero,
             mnorm, lambda yy: [yy],
             t, tf_r, dir_r, rtol_r, atol_r, h_abs0, y, f,
             ev_spec=ev_spec_k, join_rows=lambda rows: rows[0],
-            nfev0=nfev0, max_step=max_step)
+            nfev0=nfev0, max_step=max_step, record=record)
 
         yout_ref[:] = st.y
         stat_ref[:] = st.status
@@ -244,6 +288,23 @@ def solve_fused_erk_grid(fun, t_span, y0_batch, method=None, rtol=1e-4,
             pl.BlockSpec((n_ev, bm, 1), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
         ]
+    if n_rec:
+        out_shapes += [
+            jax.ShapeDtypeStruct((n_rec, B, 1), jnp.float32),
+            jax.ShapeDtypeStruct((n_rec, B, n), jnp.float32),
+            jax.ShapeDtypeStruct((n_rec, B, n), jnp.float32),
+            jax.ShapeDtypeStruct((B, n), jnp.float32),
+        ]
+        out_specs += [
+            pl.BlockSpec((n_rec, bm, 1), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_rec, bm, n), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_rec, bm, n), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, n), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ]
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),
         pl.BlockSpec((bm, n), lambda i: (i, 0),
@@ -281,4 +342,17 @@ def solve_fused_erk_grid(fun, t_span, y0_batch, method=None, rtol=1e-4,
         y_events = jnp.where((fired != 0)[:, :, None],
                              yev[:, :n_total, :n_true], nanv)
         ret = ret + (t_events, y_events, fired)
+        k += 3
+    if n_rec:
+        from .fused_dense import build_fused_dense
+        rect, recy, recf, f0 = outs[k:k + 4]
+        rect = rect[:, :n_total, 0]
+        flags = (rect < 0.5 * _REC_UNSET).astype(jnp.int32)
+        sol = build_fused_dense(
+            t0, tf, y0_batch[:n_total, :n_true],
+            f0[:n_total, :n_true],
+            jnp.where(flags != 0, rect, 0.0), flags,
+            recy[:, :n_total, :n_true], recf[:, :n_total, :n_true],
+            ret[2])
+        ret = ret + (sol,)
     return ret

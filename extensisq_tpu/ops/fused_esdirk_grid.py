@@ -63,6 +63,7 @@ from .._config import (NEWTON_MAXITER, MAX_RATE, MAX_FACTOR_NRF,
                        MIN_FACTOR, MAX_FACTOR, MAX_FACTOR0)
 from . import _lane_pad as _lp
 from ..core.controller import resolve_controller
+from .fused_dense import _REC_UNSET
 from .fused_erk import (_fblend, _iblend, _sanitize, _df_add,
                         _two_sum, _comp_wsum, _hermite_tiles,
                         _make_ev_spec, _handle_events, _EVENT)
@@ -92,15 +93,36 @@ class _G(NamedTuple):
     ev: Any           # (gprev, fired, ev_t, ev_rows) tuples
 
 
-def _pcr_solve(wl, wd, wu, rhs, n_log2):
+def _pcr_solve(wl, wd, wu, rhs, n_log2, pos=None, nb=None):
     """Parallel cyclic reduction for a circulant-pattern tridiagonal
     system over the lane axis: (wl, wd, wu, rhs) are (bm, n) with
     wl[i] = W[i, i-1 mod n], wu[i] = W[i, i+1 mod n].  Strictly
     tridiagonal systems are the special case wl[:, 0] = wu[:, -1] = 0
     (the zeros propagate through every round, so no boundary masking
     is needed).  After log2(n) rounds each equation's remaining
-    neighbour couplings wrap onto itself: x = d / (a + b + c)."""
+    neighbour couplings wrap onto itself: x = d / (a + b + c).
+
+    BLOCK-DIAGONAL mode (``pos`` = block-local lane positions
+    ``lane % nb``, ``nb`` = the block width): solves block-diag(W, ...,
+    W) where every nb x nb diagonal block has the SAME bands — the
+    simultaneous-corrector structure (one base factor, 1 + k
+    back-solves, all performed at once over n = nb * n_blocks lanes).
+    The band arrays are nb-periodic along lanes, so every band roll is
+    already a within-block roll; only the RHS ``d`` differs per block
+    and gets block-cyclic rolls (two lane rolls + one iota blend per
+    direction per round).  Rounds count log2(nb)."""
     a, b, c, d = wl, wd, wu, rhs
+
+    def droll(x, s):
+        if pos is None:
+            return jnp.roll(x, s, -1)
+        if s >= 0:
+            return _fblend(pos < s, jnp.roll(x, s - nb, -1),
+                           jnp.roll(x, s, -1))
+        ss = -s
+        return _fblend(pos >= nb - ss, jnp.roll(x, nb - ss, -1),
+                       jnp.roll(x, -ss, -1))
+
     s = 1
     for _ in range(n_log2):
         b_m = jnp.roll(b, s, -1)
@@ -113,8 +135,7 @@ def _pcr_solve(wl, wd, wu, rhs, n_log2):
         c_new = gamma * jnp.roll(c, -s, -1)
         b_new = b + alpha * jnp.roll(c, s, -1) \
             + gamma * jnp.roll(a, -s, -1)
-        d_new = d + alpha * jnp.roll(d, s, -1) \
-            + gamma * jnp.roll(d, -s, -1)
+        d_new = d + alpha * droll(d, s) + gamma * droll(d, -s)
         a, b, c, d = a_new, b_new, c_new, d_new
         s *= 2
     den = a + b + c
@@ -127,7 +148,8 @@ def solve_fused_esdirk_grid(fun, t_span, y0_batch, method=None, M=None,
                             first_step=None, max_steps=100_000,
                             block_members=8, interpret=False,
                             compensated=False, t_eval=None,
-                            events=None, max_step=None, params=None):
+                            events=None, max_step=None, params=None,
+                            dense=None, block_base=None):
     """Integrate a mid-size stiff-system / index-1-DAE ensemble with
     an ESDIRK method in one TPU kernel.
 
@@ -156,6 +178,30 @@ def solve_fused_esdirk_grid(fun, t_span, y0_batch, method=None, M=None,
     argument ``p``, a k-tuple of (bm, 1) member columns broadcastable
     against (bm, n) arrays (the tridiagonal-band JVPs differentiate
     through the parameterized RHS per member).
+    ``dense``: optional int ``R`` — record up to ``R`` per-step
+    ``(t, y, y')`` rows in-kernel (y' = the stiffly accurate last
+    stage) and append an evaluable per-member
+    :class:`~extensisq_tpu.ops.fused_dense.FusedDenseSolution` as the
+    LAST return element, like ``solve_fused_esdirk``.  Buffers are
+    (R, bm, n) in VMEM ((2n + 1) * R * block_members * 4 bytes —
+    at n = 256 keep block_members = 8 and R <= ~350); overflowing
+    members get ``sol.valid[b] = False``.
+    ``block_base``: the SIMULTANEOUS-CORRECTOR mode (CVODES SIM — the
+    grid twin of ``solve_fused_esdirk(block_base=)``): the state is
+    ``n_blocks = n // block_base`` stacked blocks [y | s_1 .. s_k]
+    whose true Jacobian is block lower triangular with every diagonal
+    block equal to the BASE block's tridiagonal J (forward
+    sensitivities / variational systems, ops/fused_sens.py).  The
+    tridiagonal bands are extracted from the base block only (striped
+    JVP seeds restricted to its lanes) and TILED; each Newton
+    iteration solves block-diag(W, ..., W) dz = rhs in ONE
+    block-cyclic PCR pass, so the base factorization effort is shared
+    by all 1 + k blocks.  Newton residuals use the exact augmented
+    RHS, so converged results are exact; the neglected strictly-lower
+    coupling only lags the (guarded) Newton rate — the same contract
+    as the reference's modified Newton with a stale Jacobian.  Each
+    block is lane-padded individually (``atol > 0`` required when
+    padding); requires ``M=None`` (plain ODEs).
     """
     if method is None:
         from ..methods import Kv3I as method
@@ -177,18 +223,35 @@ def solve_fused_esdirk_grid(fun, t_span, y0_batch, method=None, M=None,
 
     y0_batch = jnp.asarray(y0_batch, jnp.float32)
     n_total, n_true = y0_batch.shape
+    if block_base is not None:
+        nb_true = int(block_base)
+        if M is not None:
+            raise ValueError(
+                "block_base (simultaneous corrector) requires M=None: "
+                "the tiled base bands assume identity mass on every "
+                "block")
+        if nb_true < 1 or n_true % nb_true:
+            raise ValueError(
+                f"block_base={nb_true} must divide the state width "
+                f"{n_true} into equal [y | s_j] blocks")
+        kb = n_true // nb_true
+    else:
+        nb_true = n_true
+        kb = 1
     # cyclic reduction needs a power of two: pad any n with inert
     # masked lanes (ops/_lane_pad.py).  The padded ring breaks at the
     # n_true boundary, so padding supports STRICTLY tridiagonal
     # Jacobians only — periodic (circulant-corner) problems must keep
-    # n a power-of-two multiple of 128 themselves.
-    n = _lp.pad_width(n_true, pow2=True)
-    if n != n_true and not atol > 0.0:
+    # n a power-of-two multiple of 128 themselves.  In block_base
+    # mode EACH block pads individually (PCR runs per block).
+    nb = _lp.pad_width(nb_true, pow2=True)
+    n = nb * kb
+    if nb != nb_true and not atol > 0.0:
         raise ValueError("masked lane padding (n not a power-of-two "
                          "multiple of 128) requires atol > 0: "
                          "pad-lane error scales are atol exactly")
-    y0_batch = _lp.pad_lanes(y0_batch, n)
-    n_log2 = int(n).bit_length() - 1
+    y0_batch = _lp.pad_lanes(y0_batch, nb, parts=kb)
+    n_log2 = int(nb).bit_length() - 1
     # Newton round-off floor (see fused_esdirk.py's derivation);
     # the TRUE state size — pad lanes carry no round-off
     tiny_err = float(np.sqrt(n_true)
@@ -223,7 +286,7 @@ def solve_fused_esdirk_grid(fun, t_span, y0_batch, method=None, M=None,
         raise ValueError("block_members must be a multiple of 8")
     if yp0_batch is not None:
         yp0_batch = _lp.pad_lanes(
-            jnp.asarray(yp0_batch, jnp.float32), n)
+            jnp.asarray(yp0_batch, jnp.float32), nb, parts=kb)
     pad = (-n_total) % bm
     if pad:
         y0_batch = jnp.concatenate(
@@ -268,6 +331,16 @@ def solve_fused_esdirk_grid(fun, t_span, y0_batch, method=None, M=None,
     ev_spec = _make_ev_spec(events)
     n_ev = 0 if ev_spec is None else len(ev_spec)
 
+    n_rec = 0 if dense is None else int(dense)
+    if n_rec:
+        # (R, bm, n) rows: the state already rides the lane axis here
+        vmem = (2 * n + 1) * n_rec * bm * 4 + bm * n * 4
+        if vmem > 6 * 2 ** 20:
+            raise ValueError(
+                f"dense={n_rec} recording needs {vmem / 2**20:.1f} MiB "
+                f"of VMEM at block_members={bm}, n={n}; lower "
+                "block_members or record fewer rows")
+
     def kernel(sc_ref, y0_ref, yp0_ref, *rest):
         rest = list(rest)
         m_ref = rest.pop(0) if have_m else None
@@ -277,6 +350,9 @@ def solve_fused_esdirk_grid(fun, t_span, y0_batch, method=None, M=None,
         yq_ref = rest.pop(0) if nq else None
         if n_ev:
             tev_ref, yev_ref, fev_ref = rest[:3]
+            rest = rest[3:]
+        if n_rec:
+            rect_ref, recy_ref, recf_ref, f0_ref = rest[:4]
         y = y0_ref[:]
         if n_par:
             pv = par_ref[:]
@@ -292,7 +368,7 @@ def solve_fused_esdirk_grid(fun, t_span, y0_batch, method=None, M=None,
         # wrapped RHS's pad-lane Jacobian rows AND columns vanish, so
         # the PCR blocks stay decoupled (zero couplings propagate
         # through every round)
-        lt = _lp.lane_tools(bm, n, n_true)
+        lt = _lp.lane_tools(bm, nb, nb_true, parts=kb)
         mnorm = lt.mnorm
         fun1 = lt.wrap_fun(fun1)
         ev_spec_k = (None if ev_spec is None else
@@ -337,9 +413,30 @@ def solve_fused_esdirk_grid(fun, t_span, y0_batch, method=None, M=None,
                 min(tab.order_secondary, tab.order), rtol_r, atol_r,
                 mnorm=mnorm, msum=lt.msum, mmin=lt.mmin, n=n_true))
 
+        if n_rec:
+            f0_ref[:] = yp
+            # non-accepted / never-reached rows read the sentinel
+            # (arithmetic blends forbid NaN coding: 0 * NaN = NaN)
+            rect_ref[:] = jnp.full((n_rec, bm, 1), _REC_UNSET,
+                                   jnp.float32)
+
         # lane residue one-hots for the mod-4 striped Jacobian seeds
         lane = jax.lax.broadcasted_iota(jnp.int32, (bm, n), 1)
         res4 = [(lane % 4 == c).astype(jnp.float32) for c in range(4)]
+        if kb > 1:
+            # block_base: seeds live in the BASE block only (block-0
+            # rows of the augmented Jacobian have block-0 columns
+            # only, so its bands come out uncontaminated); 4 | nb
+            # holds so lane % 4 == (lane % nb) % 4
+            base_m = (lane < nb).astype(jnp.float32)
+            pos_nb = lane % nb
+        else:
+            base_m = None
+            pos_nb = None
+
+        def pcr(l3, d3, u3, r3):
+            return _pcr_solve(l3, d3, u3, r3, n_log2, pos_nb,
+                              nb if kb > 1 else None)
 
         def jac_bands(tt, yy):
             """(lower, diag, upper) of the circulant-pattern
@@ -357,13 +454,21 @@ def solve_fused_esdirk_grid(fun, t_span, y0_batch, method=None, M=None,
             # handling into unbounded recursion (measured; bm = 8 is
             # one native sublane tile and happens to survive)
             nz = yy * 0.0
-            jv = [jvp_fn(r + nz) for r in res4]
+            seeds = (res4 if kb == 1
+                     else [r * base_m for r in res4])
+            jv = [jvp_fn(r + nz) for r in seeds]
             # J[i, i+k] = jv_{(i+k) % 4}[i]
             low = sum(((lane + 3) % 4 == c).astype(jnp.float32)
                       * jv[c] for c in range(4))
             dia = sum(res4[c] * jv[c] for c in range(4))
             upp = sum(((lane + 1) % 4 == c).astype(jnp.float32)
                       * jv[c] for c in range(4))
+            if kb > 1:
+                # tile the base-block bands to every [y | s_j] block:
+                # the simultaneous corrector's block-diag(W, ..., W)
+                low, dia, upp = (
+                    jnp.concatenate([v[..., :nb]] * kb, axis=-1)
+                    for v in (low, dia, upp))
             return low, dia, upp
 
         def newton(t_stage, z0, h, psi, y_c, W, rtol, atol):
@@ -389,7 +494,7 @@ def solve_fused_esdirk_grid(fun, t_span, y0_batch, method=None, M=None,
                     rhs = h * fs - m_lane * z
                 else:
                     rhs = h * fs - z
-                dz = _pcr_solve(W[0], W[1], W[2], rhs, n_log2)
+                dz = pcr(W[0], W[1], W[2], rhs)
                 dz, bad_d = _sanitize(dz)
                 bad = (jnp.max((bad_f | bad_d).astype(jnp.float32),
                                axis=-1, keepdims=True) > 0.0)
@@ -526,7 +631,7 @@ def solve_fused_esdirk_grid(fun, t_span, y0_batch, method=None, M=None,
                                      err * (1.0 / (h * dd)), err)
                 else:
                     sc_err = err
-                solved = _pcr_solve(wl, wd, wu, sc_err, n_log2)
+                solved = pcr(wl, wd, wu, sc_err)
                 err = (m_lane * solved if m_lane is not None
                        else solved)
             err_norm = mnorm(err / scale)
@@ -634,6 +739,13 @@ def solve_fused_esdirk_grid(fun, t_span, y0_batch, method=None, M=None,
                 _iblend(rejected_b | (running & ~too_small
                                       & ~accepted),
                         izero + 1, izero))
+            if n_rec:
+                @pl.when(st.it < n_rec)
+                def _():
+                    rect_ref[st.it] = _fblend(upd, t_out_c,
+                                              fzero + _REC_UNSET)
+                    recy_ref[st.it] = y_out_c
+                    recf_ref[st.it] = yp_new
             return _G(
                 it=st.it + 1,
                 t=t_out_c,
@@ -722,6 +834,23 @@ def solve_fused_esdirk_grid(fun, t_span, y0_batch, method=None, M=None,
             pl.BlockSpec((n_ev, bm, 1), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
         ]
+    if n_rec:
+        out_shapes += [
+            jax.ShapeDtypeStruct((n_rec, B, 1), jnp.float32),
+            jax.ShapeDtypeStruct((n_rec, B, n), jnp.float32),
+            jax.ShapeDtypeStruct((n_rec, B, n), jnp.float32),
+            jax.ShapeDtypeStruct((B, n), jnp.float32),
+        ]
+        out_specs += [
+            pl.BlockSpec((n_rec, bm, 1), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_rec, bm, n), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_rec, bm, n), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, n), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ]
     yp_in = (yp0_batch if have_yp0
              else jnp.zeros_like(y0_batch))
     in_specs = [
@@ -750,12 +879,16 @@ def solve_fused_esdirk_grid(fun, t_span, y0_batch, method=None, M=None,
             interpret=interpret,
         )(*call_args)
 
+    def _unp(a):
+        # per-block lane unpadding (plain [..., :n_true] when kb == 1)
+        return _lp.unpad_lanes(a, nb_true, nb, parts=kb)
+
     y_out, status, nsteps, nfev = outs[:4]
-    ret = (y_out[:n_total, :n_true], status[:n_total, 0],
+    ret = (_unp(y_out[:n_total]), status[:n_total, 0],
            nsteps[:n_total, 0], nfev[:n_total, 0])
     k = 4
     if nq:
-        ret = ret + (outs[k][:, :n_total, :n_true],)
+        ret = ret + (_unp(outs[k][:, :n_total]),)
         k += 1
     if n_ev:
         tev, yev, fev = outs[k], outs[k + 1], outs[k + 2]
@@ -763,6 +896,19 @@ def solve_fused_esdirk_grid(fun, t_span, y0_batch, method=None, M=None,
         nanv = jnp.float32(np.nan)
         t_events = jnp.where(fired != 0, tev[:, :n_total, 0], nanv)
         y_events = jnp.where((fired != 0)[:, :, None],
-                             yev[:, :n_total, :n_true], nanv)
+                             _unp(yev[:, :n_total]), nanv)
         ret = ret + (t_events, y_events, fired)
+        k += 3
+    if n_rec:
+        from .fused_dense import build_fused_dense
+        rect, recy, recf, f0 = outs[k:k + 4]
+        rect = rect[:, :n_total, 0]
+        flags = (rect < 0.5 * _REC_UNSET).astype(jnp.int32)
+        sol = build_fused_dense(
+            t0, tf, _unp(y0_batch[:n_total]),
+            _unp(f0[:n_total]),
+            jnp.where(flags != 0, rect, 0.0), flags,
+            _unp(recy[:, :n_total]), _unp(recf[:, :n_total]),
+            ret[2])
+        ret = ret + (sol,)
     return ret

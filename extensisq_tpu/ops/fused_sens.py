@@ -24,14 +24,17 @@ This module brings the FORWARD flavour to the fused Pallas kernels:
   scalar loss therefore costs two fused kernel launches total —
   for the whole ensemble.
 
-Flat-layout kernels, ERK *and* ESDIRK: an explicit ``method`` whose
+Both layouts, ERK *and* ESDIRK: an explicit ``method`` whose
 ``family`` is "esdirk" routes the augmented system through
-``solve_fused_esdirk(block_base=n)`` — the simultaneous-corrector
-scheme (CVODES SIM): the augmented Newton matrix is block lower
-triangular with every diagonal block equal to the base
-W = I - h d J, so ONE n x n factor solves all 1 + k (+ n) blocks per
-iteration and the neglected strictly-lower coupling only lags the
-(guarded) Newton rate.  This is what the reference's flagship
+``solve_fused_esdirk(block_base=n)`` (flat rows) or
+``solve_fused_esdirk_grid(block_base=n)`` (states-on-lanes, mid-size
+MoL sweeps) — the simultaneous-corrector scheme (CVODES SIM): the
+augmented Newton matrix is block lower triangular with every diagonal
+block equal to the base W = I - h d J, so ONE base factor (dense
+unrolled elimination on the flat kernel; tiled tridiagonal bands
+solved in one block-cyclic PCR pass on the grid kernel) solves all
+1 + k (+ n) blocks per iteration and the neglected strictly-lower
+coupling only lags the (guarded) Newton rate.  This is what the reference's flagship
 sensitivity workload actually needs — ``sens_forward`` on *stiff*
 problems (/root/reference/tests/test_sens.py:8,61-70, Robertson with
 BDF/Radau) — at fused-kernel speed.  f32 (+ the compensated
@@ -47,6 +50,7 @@ import numpy as np
 from .fused_erk import solve_fused_erk
 from .fused_erk_grid import solve_fused_erk_grid
 from .fused_esdirk import solve_fused_esdirk
+from .fused_esdirk_grid import solve_fused_esdirk_grid
 
 
 def _family(method):
@@ -175,12 +179,6 @@ def solve_fused_sens(fun, t_span, y0_batch, params=None, method=None,
         # shape-compatible fun written for the other convention
         layout = "flat"
     if layout == "grid":
-        if fam != "erk":
-            raise ValueError(
-                "grid-layout fused sensitivities are ERK-only (the "
-                "grid ESDIRK kernel's tridiagonal Newton structure "
-                "does not extend to the augmented system); use "
-                "layout='flat' or the XLA sens_forward")
         if sens_y0:
             raise ValueError(
                 "sens_y0 on the grid layout would carry n*n "
@@ -204,7 +202,15 @@ def solve_fused_sens(fun, t_span, y0_batch, params=None, method=None,
               params=params)
     if layout == "grid":
         aug = _aug_fun_grid(fun, n, k, with_params=params is not None)
-        out = solve_fused_erk_grid(aug, t_span, Y0, **kw)
+        if fam == "esdirk":
+            # simultaneous corrector on the lane layout: every
+            # diagonal block of the augmented Newton matrix is the
+            # base tridiagonal W, tiled and solved in ONE block-cyclic
+            # PCR pass (CVODES SIM; solve_fused_esdirk_grid docstring)
+            out = solve_fused_esdirk_grid(aug, t_span, Y0,
+                                          block_base=n, **kw)
+        else:
+            out = solve_fused_erk_grid(aug, t_span, Y0, **kw)
     elif fam == "esdirk":
         aug = _aug_fun(fun, n, k, n_v, with_params=params is not None)
         out = solve_fused_esdirk(aug, t_span, Y0, block_base=n, **kw)
@@ -229,6 +235,16 @@ def _rows_eval(fun, t, Y, params):
         return fun(tt, yr).T
     p = tuple(params[:, j] for j in range(params.shape[1]))
     return fun(tt, yr, p).T
+
+
+def _grid_eval(fun, t, Y, params):
+    """Evaluate the GRID-convention RHS on host-side (B, n) arrays."""
+    tt = jnp.broadcast_to(jnp.asarray(t, jnp.float32),
+                          (Y.shape[0], 1))
+    if params is None:
+        return fun(tt, Y)
+    p = tuple(params[:, j:j + 1] for j in range(params.shape[1]))
+    return fun(tt, Y, p)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(0, 4, 5, 6, 7, 8, 9, 10))
@@ -309,13 +325,21 @@ solve_fused_final.defvjp(_fused_final_fwd, _fused_final_bwd)
 # driver, reading y(t) from the recorded FusedDenseSolution — O(1)
 # memory in k on the tape side and gradient cost independent of k.
 
+def _adjoint_solver(method, layout):
+    fam = _family(method)
+    if layout == "grid":
+        return (solve_fused_esdirk_grid if fam == "esdirk"
+                else solve_fused_erk_grid)
+    return solve_fused_esdirk if fam == "esdirk" else solve_fused_erk
+
+
 @partial(jax.custom_vjp, nondiff_argnums=(0, 4, 5, 6, 7, 8, 9, 10,
-                                          11, 12, 13))
+                                          11, 12, 13, 14))
 def solve_fused_adjoint(fun, t_span, y0_batch, params, method=None,
                         rtol=1e-4, atol=1e-6, max_steps=100_000,
                         block_members=1024, interpret=False,
                         dense=512, bw_method=None, bw_rtol=None,
-                        bw_atol=None):
+                        bw_atol=None, layout="flat"):
     """y(t_f) for a fused ensemble, differentiable via the CONTINUOUS
     ADJOINT — gradient cost independent of the parameter count.
 
@@ -331,40 +355,45 @@ def solve_fused_adjoint(fun, t_span, y0_batch, params, method=None,
     cost a factor ~(1 + k + n) in fused state width; the adjoint is
     flat in k).
 
-    ``fun(t, y[, p])`` in the fused rows convention; ``params`` is
-    (B, k) or None.  ``dense`` must cover the forward's loop
-    iterations — members that overflow it get NaN gradients (check
+    ``fun(t, y[, p])`` in the fused rows convention — or the GRID
+    (states-on-lanes) convention with ``layout="grid"``: t (bm, 1),
+    y (bm, n), p a k-tuple of (bm, 1) columns, which routes the
+    primal through ``solve_fused_erk_grid`` /
+    ``solve_fused_esdirk_grid`` so MID-SIZE systems (MoL fields,
+    n ~ 64-512) get fused-speed continuous-adjoint gradients too
+    (mind the VMEM recording budget: at n = 256 use
+    ``block_members=8`` and ``dense`` <= ~350).  ``params`` is (B, k)
+    or None.  ``dense`` must cover the forward's loop iterations —
+    members that overflow it get NaN gradients (check
     ``jnp.isfinite``; enlarge ``dense`` or shrink the span).
     ``bw_method/bw_rtol/bw_atol`` control the backward XLA solve
     (defaults: the driver default method at the forward tolerances).
     Gradients are tolerance-accurate, like every continuous-adjoint
     method (and the reference's).
     """
-    solver = (solve_fused_esdirk if _family(method) == "esdirk"
-              else solve_fused_erk)
-    out = solver(fun, t_span, y0_batch, method=method, rtol=rtol,
-                 atol=atol, max_steps=max_steps,
-                 block_members=block_members, interpret=interpret,
-                 params=params)
+    out = _adjoint_solver(method, layout)(
+        fun, t_span, y0_batch, method=method, rtol=rtol,
+        atol=atol, max_steps=max_steps,
+        block_members=block_members, interpret=interpret,
+        params=params)
     return out[0]
 
 
 def _fused_adjoint_fwd(fun, t_span, y0_batch, params, method, rtol,
                        atol, max_steps, block_members, interpret,
-                       dense, bw_method, bw_rtol, bw_atol):
-    solver = (solve_fused_esdirk if _family(method) == "esdirk"
-              else solve_fused_erk)
-    out = solver(fun, t_span, y0_batch, method=method, rtol=rtol,
-                 atol=atol, max_steps=max_steps,
-                 block_members=block_members, interpret=interpret,
-                 params=params, dense=int(dense))
+                       dense, bw_method, bw_rtol, bw_atol, layout):
+    out = _adjoint_solver(method, layout)(
+        fun, t_span, y0_batch, method=method, rtol=rtol,
+        atol=atol, max_steps=max_steps,
+        block_members=block_members, interpret=interpret,
+        params=params, dense=int(dense))
     y_f, sol = out[0], out[-1]
     return y_f, (t_span, y0_batch, params, y_f, sol)
 
 
 def _fused_adjoint_bwd(fun, method, rtol, atol, max_steps,
                        block_members, interpret, dense, bw_method,
-                       bw_rtol, bw_atol, residuals, ct):
+                       bw_rtol, bw_atol, layout, residuals, ct):
     from ..solve import solve
     from ..core.interpolate import OdeSolution
 
@@ -382,6 +411,13 @@ def _fused_adjoint_bwd(fun, method, rtol, atol, max_steps,
                            Q=Q)
 
         def f_of(t, yy, pv):
+            if layout == "grid":
+                tt = jnp.reshape(jnp.asarray(t, yy.dtype), (1, 1))
+                if has_p:
+                    pt = tuple(jnp.reshape(pv[j], (1, 1))
+                               for j in range(k))
+                    return jnp.asarray(fun(tt, yy[None, :], pt))[0]
+                return jnp.asarray(fun(tt, yy[None, :]))[0]
             if has_p:
                 return jnp.asarray(
                     fun(t, yy, tuple(pv[j] for j in range(k))))
@@ -411,8 +447,9 @@ def _fused_adjoint_bwd(fun, method, rtol, atol, max_steps,
 
     # t_span cotangents (summed over members: t_span is shared):
     # dL/dtf = sum_b ct_b . f(tf, yf_b); dL/dt0 = -sum_b mu0_b . f(t0, y0_b)
-    f_tf = _rows_eval(fun, tf, y_f, params)
-    f_t0 = _rows_eval(fun, t0, y0_batch, params)
+    ev = _grid_eval if layout == "grid" else _rows_eval
+    f_tf = ev(fun, tf, y_f, params)
+    f_t0 = ev(fun, t0, y0_batch, params)
     dtf = jnp.vdot(ct, jnp.asarray(f_tf, jnp.float64))
     dt0 = -jnp.vdot(mu0, jnp.asarray(f_t0, jnp.float64))
     y0_bar = jnp.asarray(mu0, jnp.float32)

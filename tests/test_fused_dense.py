@@ -133,6 +133,58 @@ def test_fused_esdirk_dense_robertson():
     assert np.abs((fv - rv) / scale).max() < 2e-3
 
 
+def test_fused_erk_grid_dense_matches_t_eval():
+    """GRID-layout dense recording: sol(tq) must reproduce the
+    kernel's own in-kernel t_eval rows (both are cubic Hermite on the
+    same step endpoints — the only difference is f32 rounding order),
+    and the endpoint is exact."""
+    from extensisq_tpu.ops import solve_fused_erk_grid
+    n, Bs = 32, 8
+    x = np.arange(n)
+    Y0 = np.tile((1.0 + 0.3 * np.sin(2 * np.pi * x / n))
+                 .astype(np.float32), (Bs, 1))
+
+    def adv(t, y):
+        return -(y - jnp.roll(y, 1, -1)) * (0.2 * n)
+
+    tq = np.linspace(0.0, 0.5, 7)
+    yf, st, ns, nf, yev, sol = solve_fused_erk_grid(
+        adv, (0.0, 0.5), Y0, rtol=1e-5, atol=1e-8, block_members=8,
+        interpret=True, t_eval=tq, dense=128)
+    assert np.all(np.asarray(st) == 1)
+    assert bool(np.all(np.asarray(sol.valid)))
+    fv = np.asarray(sol(jnp.asarray(tq, jnp.float32)))   # (B, n, m)
+    assert np.abs(fv.transpose(2, 0, 1) - np.asarray(yev)).max() \
+        < 2e-6
+    assert np.abs(np.asarray(sol(jnp.float32(0.5)))
+                  - np.asarray(yf)).max() < 1e-6
+
+
+def test_fused_esdirk_grid_dense_matches_t_eval():
+    """GRID-layout implicit dense recording (y' = the stiffly
+    accurate last stage): sol(tq) vs the kernel's t_eval rows."""
+    from extensisq_tpu.ops import solve_fused_esdirk_grid
+    n, Bs = 32, 8
+    x = np.arange(n)
+    Y0 = np.tile((1.0 + 0.3 * np.sin(2 * np.pi * x / n))
+                 .astype(np.float32), (Bs, 1))
+
+    def heat(t, y):
+        left = jnp.concatenate([y[:, :1], y[:, :-1]], axis=1)
+        right = jnp.concatenate([y[:, 1:], y[:, -1:]], axis=1)
+        return (left - 2.0 * y + right) * 50.0
+
+    tq = np.linspace(0.0, 0.1, 5)
+    yf, st, ns, nf, yev, sol = solve_fused_esdirk_grid(
+        heat, (0.0, 0.1), Y0, rtol=1e-4, atol=1e-7, block_members=8,
+        interpret=True, t_eval=tq, dense=128)
+    assert np.all(np.asarray(st) == 1)
+    assert bool(np.all(np.asarray(sol.valid)))
+    fv = np.asarray(sol(jnp.asarray(tq, jnp.float32)))
+    assert np.abs(fv.transpose(2, 0, 1) - np.asarray(yev)).max() \
+        < 2e-5
+
+
 def test_fused_dense_inside_jit_and_grad_safe():
     """The builder and evaluation are traceable: whole pipeline under
     jit, evaluation vmapped over query points."""

@@ -291,11 +291,12 @@ def test_fused_sens_grid_layout_fisher_fd():
     assert np.max(np.abs(np.asarray(Sp)[:, :, 0] - fd)) < 6e-3 * scale
 
 
-def test_fused_sens_grid_rejects_sens_y0_and_esdirk():
-    """Guard rails: grid sens_y0 and grid ESDIRK raise with the
-    documented redirections."""
+def test_fused_sens_grid_rejects_sens_y0_and_block_m():
+    """Guard rails: grid sens_y0 raises with the documented
+    redirection; the grid kernel's block_base mode rejects mass
+    matrices (the tiled base bands assume identity mass)."""
     import pytest
-    from extensisq_tpu.methods import TRBDF2
+    from extensisq_tpu.ops import solve_fused_esdirk_grid
     Y0 = np.ones((8, 32), np.float32)
     P = np.ones((8, 1), np.float32)
 
@@ -305,6 +306,61 @@ def test_fused_sens_grid_rejects_sens_y0_and_esdirk():
     with pytest.raises(ValueError, match="solve_fused_adjoint"):
         solve_fused_sens(g, (0.0, 1.0), Y0, params=P, sens_y0=True,
                          layout="grid", interpret=True)
-    with pytest.raises(ValueError, match="ERK-only"):
-        solve_fused_sens(g, (0.0, 1.0), Y0, params=P, method=TRBDF2,
-                         layout="grid", interpret=True)
+    with pytest.raises(ValueError, match="M=None"):
+        solve_fused_esdirk_grid(lambda t, y: -y, (0.0, 1.0),
+                                np.ones((8, 64), np.float32),
+                                M=np.ones(64), block_base=32,
+                                interpret=True)
+    with pytest.raises(ValueError, match="divide"):
+        solve_fused_esdirk_grid(lambda t, y: -y, (0.0, 1.0),
+                                np.ones((8, 64), np.float32),
+                                block_base=48, interpret=True)
+
+
+def test_fused_sens_grid_esdirk_mol_sweep():
+    """GRID-layout STIFF fused sensitivities (VERDICT r4 item 3's
+    done-criterion): a reaction-diffusion k-sweep through the
+    simultaneous-corrector ESDIRK grid kernel (block_base — tiled
+    tridiagonal base bands, one block-cyclic PCR per Newton
+    iteration) matches the f64 XLA ``sens_forward`` on spot members
+    to forward-sensitivity tolerance.  n = 64 also exercises
+    PER-BLOCK lane padding (each [y | s_j] block pads 64 -> 128),
+    and k = 2 parameters make 3 blocks (non-power-of-two count)."""
+    from extensisq_tpu import sensitivity
+    from extensisq_tpu.methods import TRBDF2
+
+    n, Bs = 64, 8
+    x = np.linspace(0, 1, n)
+    Y0 = np.tile((1.0 + 0.5 * np.sin(np.pi * x)).astype(np.float32),
+                 (Bs, 1))
+    ks = np.linspace(5.0, 30.0, Bs).astype(np.float32)
+    Ds = np.full(Bs, 200.0, np.float32)
+    P = np.stack([ks, Ds], axis=1)
+
+    def rd_g(t, y, p):                   # grid convention (bm, n)
+        left = jnp.concatenate([y[:, :1], y[:, :-1]], axis=1)
+        right = jnp.concatenate([y[:, 1:], y[:, -1:]], axis=1)
+        return (left - 2.0 * y + right) * p[1] - p[0] * (y - 1.0)
+
+    yf, Sp, Sy0, st, ns, nf = solve_fused_sens(
+        rd_g, (0.0, 0.04), Y0, params=P, method=TRBDF2,
+        rtol=1e-5, atol=1e-8, block_members=8, interpret=True,
+        layout="grid")
+    assert np.all(np.asarray(st) == 1) and Sy0 is None
+    assert Sp.shape == (Bs, n, 2)
+
+    def rd_1(t, y, k, D):                # single member (n,), f64
+        left = jnp.concatenate([y[:1], y[:-1]])
+        right = jnp.concatenate([y[1:], y[-1:]])
+        return (left - 2.0 * y + right) * D - k * (y - 1.0)
+
+    for b in (0, Bs - 1):
+        ref = sensitivity.sens_forward(
+            rd_1, (0.0, 0.04), np.asarray(Y0[b], np.float64),
+            p=(float(ks[b]), float(Ds[b])), rtol=1e-9, atol=1e-12,
+            method=TRBDF2)
+        assert np.abs(np.asarray(yf[b]) - ref.yf).max() < 2e-5
+        for j in range(2):
+            sc = max(np.abs(ref.sensf[:, j]).max(), 1e-12)
+            assert np.abs(np.asarray(Sp[b, :, j])
+                          - ref.sensf[:, j]).max() < 3e-3 * sc

@@ -536,6 +536,50 @@ def main():
               rtol=1e-4, atol=1e-8, block_members=256,
               dense=128)[4].ts, Y0r, Pr)
 
+    # GRID-layout fused sensitivities: the augmented [y | s_j] blocks
+    # on the lane axis — ERK, and the ESDIRK simultaneous corrector
+    # (block_base: tiled base bands + block-cyclic PCR d-rolls)
+    def fisher_gp(t, y, p):
+        return (-1.0 * (y - jnp.roll(y, 1, -1)) * ngr
+                + p[0] * y * (1.0 - y))
+
+    PG = np.linspace(0.8, 1.2, 32).astype(np.float32)[:, None]
+    check("fused_sens grid (ERK)", lambda Y, P: solve_fused_sens(
+        fisher_gp, (0.0, 0.5), Y, params=P, rtol=1e-4, atol=1e-6,
+        block_members=32, layout="grid")[:2], YG, PG)
+
+    def rd_gp(t, y, p):
+        left = jnp.concatenate([y[:, :1], y[:, :-1]], axis=1)
+        right = jnp.concatenate([y[:, 1:], y[:, -1:]], axis=1)
+        return (left - 2.0 * y + right) * p[1] - p[0] * (y - 1.0)
+
+    PG8 = np.stack([np.linspace(5.0, 30.0, 8),
+                    np.full(8, 200.0)], axis=1).astype(np.float32)
+    check("fused_sens grid esdirk (block_base PCR)",
+          lambda Y, P: solve_fused_sens(
+              rd_gp, (0.0, 0.04), Y, params=P, method=TRBDF2,
+              rtol=1e-5, atol=1e-8, block_members=8,
+              layout="grid")[:2], YG8, PG8)
+    # per-block lane padding: n = 96 pads each [y | s_j] block to 128
+    check("fused_sens grid esdirk padded blocks (n=96)",
+          lambda Y, P: solve_fused_sens(
+              rd_gp, (0.0, 0.04), Y, params=P, method=TRBDF2,
+              rtol=1e-5, atol=1e-8, block_members=8,
+              layout="grid")[:2], np.ascontiguousarray(YG8[:, :96]),
+          PG8)
+
+    # GRID-layout dense recording: (R, bm, n) buffers, dynamic-index
+    # VMEM stores at the loop counter (the flat kernels' risk surface
+    # in the states-on-lanes layout)
+    check("fused_erk_grid dense recording",
+          lambda Y: solve_fused_erk_grid(
+              fisher_g, (0.0, 0.5), Y, block_members=8,
+              dense=128)[-1].ts, YG8)
+    check("fused_esdirk_grid dense recording",
+          lambda Y: solve_fused_esdirk_grid(
+              rdiff_g, (0.0, 0.1), Y, block_members=8,
+              dense=128)[-1].ts, YG8)
+
     write_artifact()
     if FAILED:
         print("\nFAIL:", ", ".join(FAILED))
