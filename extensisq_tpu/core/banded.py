@@ -45,6 +45,49 @@ def bands_of_sparsity(sparsity):
     return int(np.maximum(i - j, 0).max()), int(np.maximum(j - i, 0).max())
 
 
+def rcm_order(sparsity):
+    """Host-side reverse Cuthill–McKee ordering of a 0/1 sparsity
+    pattern (symmetrized).  Returns ``perm`` (int array: user index
+    for each reordered slot, so ``y_perm = y[perm]``).
+
+    The TPU-native answer to the reference's "any sparsity" SuperLU
+    route (common.py:1756-1776): an irregular pattern whose NATURAL
+    bandwidths are huge often reorders to a narrow band, which then
+    rides the block-cyclic-reduction factor/solve instead of falling
+    back to dense O(n^3).  Classic RCM: BFS from a minimum-degree
+    vertex of each connected component, neighbours visited in
+    increasing-degree order, final order reversed."""
+    if hasattr(sparsity, "toarray"):
+        sparsity = sparsity.toarray()
+    S = np.asarray(sparsity) != 0
+    n = S.shape[0]
+    S = S | S.T
+    np.fill_diagonal(S, False)
+    adj = [np.nonzero(S[i])[0] for i in range(n)]
+    deg = np.array([a.size for a in adj])
+    # pre-sort each adjacency list by degree (ties: index)
+    adj = [a[np.lexsort((a, deg[a]))] for a in adj]
+    visited = np.zeros(n, dtype=bool)
+    order = np.empty(n, dtype=np.int64)
+    k = 0
+    while k < n:
+        # next component: its minimum-degree unvisited vertex
+        rest = np.nonzero(~visited)[0]
+        start = rest[np.argmin(deg[rest])]
+        visited[start] = True
+        order[k] = start
+        head = k
+        k += 1
+        while head < k:
+            for v in adj[order[head]]:
+                if not visited[v]:
+                    visited[v] = True
+                    order[k] = v
+                    k += 1
+            head += 1
+    return order[::-1].copy()
+
+
 def banded_from_dense(A, kl, ku):
     """Pack a dense (n, n) matrix into (kl+ku+1, n) banded storage."""
     A = jnp.asarray(A)

@@ -154,21 +154,75 @@ class ESDIRKStepper:
         # cyclic reduction (core/banded.py) — O(n b^2) per solve in
         # log2(n/b) batched levels, full working precision on TPU.
         self.banded = bands is not None
+        self.perm = None
+        self.iperm = None
         if self.banded:
             from ..core import banded as _bd
             self._bd = _bd
-            if bands is True:
+            want_rcm = isinstance(bands, str) and bands == "rcm"
+            if bands is True or want_rcm:
                 if sparsity is None:
                     raise ValueError(
                         "bands=True requires jac_sparsity to derive "
                         "the bandwidths; pass bands=(kl, ku) directly "
                         "otherwise.")
-                bands = _bd.bands_of_sparsity(sparsity)
+                S = (sparsity.toarray()
+                     if hasattr(sparsity, "toarray")
+                     else np.asarray(sparsity))
+                nat = _bd.bands_of_sparsity(S)
+                if want_rcm:
+                    # bandwidth-reducing reordering: irregular
+                    # patterns ride the BCR after a host-side reverse
+                    # Cuthill-McKee permutation (the TPU-native
+                    # answer to the reference's any-sparsity splu,
+                    # common.py:1756-1776).  The permutation is an
+                    # internal linear-algebra detail: the RHS, states,
+                    # outputs and counters all stay in user order.
+                    p = _bd.rcm_order(S)
+                    red = _bd.bands_of_sparsity(S[p][:, p])
+                    if red[0] + red[1] < nat[0] + nat[1]:
+                        self.perm = p
+                        self.iperm = np.argsort(p)
+                        bands = red
+                    else:
+                        bands = nat
+                else:
+                    bands = nat
             self.kl, self.ku = int(bands[0]), int(bands[1])
             if not (0 <= self.kl < n and 0 <= self.ku < n):
                 raise ValueError(
                     f"bands=({self.kl}, {self.ku}) out of range for "
                     f"an {n}-state system.")
+            # non-diagonal M rides banded mode when M itself is banded
+            # and NONSINGULAR (FEM-style mass): W = M - h d J keeps the
+            # union bandwidths.  Singular (hidden-M DAE) stays on the
+            # dense path — its SVD rotation densifies a banded J
+            # (cf. common.py:1778-1821).
+            self._M_band = None
+            if M is not None:
+                Mp = np.asarray(
+                    M.toarray() if hasattr(M, "toarray") else M,
+                    dtype=float)
+                if Mp.ndim == 2 and np.any(Mp != np.diag(np.diag(Mp))):
+                    if self.perm is not None:
+                        raise ValueError(
+                            "bands='rcm' supports diagonal mass "
+                            "matrices only; for banded non-diagonal M "
+                            "pass bands=(kl, ku) in an order where "
+                            "both J and M are banded.")
+                    sv = np.linalg.svd(Mp, compute_uv=False)
+                    if sv[-1] < sv[0] * n ** 2 * np.finfo(
+                            self.real_dtype).eps:
+                        raise ValueError(
+                            "banded mode with a non-diagonal M "
+                            "requires M nonsingular (the hidden-M DAE "
+                            "rotation densifies a banded Jacobian; "
+                            "use the dense path).")
+                    klm, kum = _bd.bands_of_sparsity(Mp != 0)
+                    self.kl = max(self.kl, int(klm))
+                    self.ku = max(self.ku, int(kum))
+                    self._M_band = np.asarray(_bd.banded_from_dense(
+                        jnp.asarray(Mp), self.kl, self.ku))
             self._nbr = self.kl + self.ku + 1      # band rows
 
         # Jacobian setup (cf. _validate_jac, common.py:1706-1754)
@@ -176,8 +230,19 @@ class ESDIRKStepper:
             if self.banded:
                 # banded coloring is exact with kl+ku+1 tangents and
                 # scatters straight into banded storage
-                self.jac = self._bd.banded_colored_jacfwd(
-                    fun, self.kl, self.ku, n, self.dtype)
+                if self.perm is not None:
+                    # differentiate the PERMUTED map g(yp) =
+                    # P f(P^T yp): its Jacobian P J P^T is the
+                    # narrow-banded one; called with user-order y
+                    p, ip = self.perm, self.iperm
+                    g = (lambda t, yp:
+                         jnp.asarray(fun(t, yp[ip]))[p])
+                    bj = self._bd.banded_colored_jacfwd(
+                        g, self.kl, self.ku, n, self.dtype)
+                    self.jac = lambda t, y: bj(t, y[p])
+                else:
+                    self.jac = self._bd.banded_colored_jacfwd(
+                        fun, self.kl, self.ku, n, self.dtype)
             elif sparsity is not None:
                 # colored forward-mode: O(colors) JVPs instead of O(n)
                 # (the reference's group_columns + num_jac FD analog)
@@ -195,6 +260,16 @@ class ESDIRKStepper:
                 # (kl+ku+1, n) storage; normalize to banded
                 def _jac_banded(t, y, _jac=jac):
                     Jr = jnp.asarray(_jac(t, y), self.dtype)
+                    if self.perm is not None:
+                        if Jr.shape != (n, n):
+                            raise ValueError(
+                                "bands='rcm' requires jac to return "
+                                "the dense (n, n) matrix: banded "
+                                "storage would be in the internal "
+                                "permuted order")
+                        Jr = Jr[self.perm][:, self.perm]
+                        return self._bd.banded_from_dense(
+                            Jr, self.kl, self.ku)
                     if Jr.shape == (n, n):
                         return self._bd.banded_from_dense(
                             Jr, self.kl, self.ku)
@@ -213,6 +288,8 @@ class ESDIRKStepper:
                 jac.toarray() if hasattr(jac, "toarray") else jac,
                 dtype=self.dtype)
             if self.banded and Jc.shape == (n, n):
+                if self.perm is not None:
+                    Jc = Jc[self.perm][:, self.perm]
                 Jc = np.asarray(self._bd.banded_from_dense(
                     jnp.asarray(Jc), self.kl, self.ku))
             expect = (self._nbr, n) if self.banded else (n, n)
@@ -238,12 +315,7 @@ class ESDIRKStepper:
             if M.shape != (n, n):
                 raise ValueError("M should have shape (n,) or (n, n)")
             self.M = M
-            if self.banded:
-                if np.any(M != np.diag(np.diag(M))):
-                    raise ValueError(
-                        "banded mode requires a diagonal mass matrix "
-                        "(a general M densifies M - h*d*J; use the "
-                        "dense path for non-diagonal M).")
+            if self.banded and self._M_band is None:
                 self.mvec = np.diag(M).copy()
             U, sv, Vh = np.linalg.svd(M)
             cond_lim = sv[0] * n ** 2 * np.finfo(self.real_dtype).eps
@@ -263,6 +335,10 @@ class ESDIRKStepper:
         if self.M is None:
             return z
         if self.banded:
+            if self._M_band is not None:
+                return self._bd.banded_matvec(
+                    jnp.asarray(self._M_band, self.dtype), self.kl,
+                    self.ku, z)
             return jnp.asarray(self.mvec, self.dtype) * z
         return jnp.asarray(self.M) @ z
 
@@ -303,17 +379,28 @@ class ESDIRKStepper:
         """LU of Sc (M - h d J)."""
         if self.banded:
             # J is (kl+ku+1, n) banded storage; M is diagonal or I.
+            # In rcm mode J and W live in the PERMUTED order, so the
+            # mass diagonal and DAE row scaling get permuted here too.
             W = -(h * self.d) * J
-            mdiag = (jnp.ones((self.n,), self.dtype) if self.M is None
-                     else jnp.asarray(self.mvec, self.dtype))
-            W = W.at[self.ku].add(mdiag)
+            if self._M_band is not None:
+                W = W + jnp.asarray(self._M_band, self.dtype)
+            else:
+                mdiag = (jnp.ones((self.n,), self.dtype)
+                         if self.M is None
+                         else jnp.asarray(self.mvec, self.dtype))
+                if self.perm is not None and self.M is not None:
+                    mdiag = mdiag[self.perm]
+                W = W.at[self.ku].add(mdiag)
             if self.isDAE:
                 # row scaling in banded storage: entry (d, j) is
                 # matrix row j + d - ku
                 jj = np.arange(self.n)[None, :]
                 row = np.clip(jj + np.arange(self._nbr)[:, None]
                               - self.ku, 0, self.n - 1)
-                W = W * self._sc_vec(h)[row].astype(self.dtype)
+                sc = self._sc_vec(h)
+                if self.perm is not None:
+                    sc = sc[self.perm]
+                W = W * sc[row].astype(self.dtype)
             fact = self._bd.banded_factor(W, self.kl, self.ku, self.n)
             return fact, jnp.zeros((0,), jnp.int32)
         A = (jnp.eye(self.n, dtype=self.dtype) if self.M is None
@@ -331,6 +418,12 @@ class ESDIRKStepper:
 
     def _solve(self, LU, piv, b):
         if self.banded:
+            if self.perm is not None:
+                # (P W P^T)(P x) = P b: permute the rhs in, the
+                # solution back out
+                return self._bd.banded_solve(
+                    LU, b[self.perm], self.n, self.kl,
+                    self.ku)[self.iperm]
             return self._bd.banded_solve(LU, b, self.n, self.kl,
                                          self.ku)
         x = jax.scipy.linalg.lu_solve((LU, piv),
@@ -341,15 +434,20 @@ class ESDIRKStepper:
         """A dense-J view of the (possibly banded) Jacobian for the
         one-time init/validation paths; the per-step Newton machinery
         never goes through this."""
+        def _unperm(D):
+            if self.perm is not None:
+                return D[self.iperm][:, self.iperm]
+            return D
+
         if self.jac is None:
             Jc = jnp.asarray(self.J_const)
             if self.banded:
-                Jc = self._bd.dense_from_banded(Jc, self.kl, self.ku,
-                                                self.n)
+                Jc = _unperm(self._bd.dense_from_banded(
+                    Jc, self.kl, self.ku, self.n))
             return lambda t, y: Jc
         if self.banded:
-            return lambda t, y: self._bd.dense_from_banded(
-                self.jac(t, y), self.kl, self.ku, self.n)
+            return lambda t, y: _unperm(self._bd.dense_from_banded(
+                self.jac(t, y), self.kl, self.ku, self.n))
         return self.jac
 
     def validate_problem(self, fun_np, t0, y0):
@@ -451,9 +549,19 @@ class ESDIRKStepper:
                 yp0 = f0
                 fun_ext = self.fun
             elif self.banded:
-                mv = jnp.asarray(self.mvec, self.dtype)
-                yp0 = f0 / mv
-                fun_ext = lambda t, y: self.fun(t, y) / mv  # noqa: E731
+                if self._M_band is not None:
+                    MB = jnp.asarray(self._M_band, self.dtype)
+                    mf = self._bd.banded_factor(MB, self.kl, self.ku,
+                                                self.n)
+                    minv = (lambda v: self._bd.banded_solve(
+                        mf, v, self.n, self.kl, self.ku))
+                    yp0 = minv(f0)
+                    fun_ext = lambda t, y: minv(   # noqa: E731
+                        self.fun(t, y))
+                else:
+                    mv = jnp.asarray(self.mvec, self.dtype)
+                    yp0 = f0 / mv
+                    fun_ext = lambda t, y: self.fun(t, y) / mv  # noqa: E731
             else:
                 M_j = jnp.asarray(self.M).astype(self.dtype)
                 yp0 = gauss_solve(M_j, f0)

@@ -219,10 +219,105 @@ def test_banded_dae_counts_match_dense(method):
     np.testing.assert_allclose(v, u ** 2, rtol=0, atol=1e-6)
 
 
-def test_banded_rejects_nondiagonal_M():
+def test_banded_rejects_singular_nondiagonal_M():
+    """Non-diagonal SINGULAR M (hidden-M DAE) stays on the dense
+    path: its SVD rotation densifies a banded Jacobian."""
     rhs, M, y0 = _banded_dae(8)
-    Mfull = np.diag(M)
+    Mfull = np.diag(M)                 # has zero (algebraic) rows
     Mfull[0, 2] = 0.5
-    with pytest.raises(ValueError, match="diagonal mass matrix"):
+    with pytest.raises(ValueError, match="nonsingular"):
         solve_ivp(rhs, (0.0, 0.1), y0, method=TRBDF2, M=Mfull,
                   bands=(2, 2))
+
+
+def test_banded_nondiagonal_fem_mass():
+    """Non-diagonal NONSINGULAR banded M (FEM-style tridiagonal mass)
+    rides banded mode: W = M - h d J keeps the union bandwidths, and
+    counters match the dense-path solve exactly (the reference path:
+    common.py:1778-1821 handles any M; here banded+nonsingular is the
+    TPU-native cell, singular stays dense)."""
+    n = 40
+    x = np.arange(n)
+    # 1-D FEM lumped-ish mass: tridiag(1/6, 2/3, 1/6)
+    M = (np.diag(np.full(n, 2.0 / 3.0))
+         + np.diag(np.full(n - 1, 1.0 / 6.0), 1)
+         + np.diag(np.full(n - 1, 1.0 / 6.0), -1))
+
+    def rhs(t, y):
+        left = jnp.concatenate([y[:1], y[:-1]])
+        right = jnp.concatenate([y[1:], y[-1:]])
+        return 20.0 * (left - 2.0 * y + right) - y ** 3
+
+    y0 = 1.0 + 0.5 * np.sin(2 * np.pi * x / n)
+    rd = solve_ivp(rhs, (0.0, 0.5), y0, method=TRBDF2, M=M)
+    rb = solve_ivp(rhs, (0.0, 0.5), y0, method=TRBDF2, M=M,
+                   bands=(1, 1))
+    assert rb.success
+    assert (rb.nfev, rb.njev, rb.nlu, len(rb.t)) == \
+        (rd.nfev, rd.njev, rd.nlu, len(rd.t))
+    np.testing.assert_allclose(rb.y[:, -1], rd.y[:, -1],
+                               rtol=0, atol=1e-9)
+
+
+# -- bands="rcm": irregular sparsity reordered to bands (round 5) -------------
+
+def test_rcm_order_recovers_path_graph():
+    """RCM on a randomly relabeled path graph recovers bandwidth 1."""
+    n = 50
+    rng = np.random.RandomState(11)
+    sig = rng.permutation(n)
+    pos = np.argsort(sig)
+    Sc = (np.abs(np.subtract.outer(np.arange(n), np.arange(n))) <= 1)
+    S = Sc[np.ix_(pos, pos)].astype(int)
+    assert sum(bd.bands_of_sparsity(S)) > 20     # irregular as given
+    p = bd.rcm_order(S)
+    assert sorted(p) == list(range(n))
+    red = bd.bands_of_sparsity(S[p][:, p])
+    assert red[0] <= 1 and red[1] <= 1
+
+
+def test_rcm_irregular_counts_match_dense():
+    """bands='rcm': an IRREGULAR pattern (randomly relabeled diffusion
+    chain, natural bandwidths ~n) auto-reorders to a narrow band and
+    matches the dense solve's counters exactly — the reference's
+    any-sparsity splu route (common.py:1756-1776) TPU-natively."""
+    n = 60
+    rng = np.random.RandomState(3)
+    sig = np.asarray(rng.permutation(n))
+    pos = np.argsort(sig)
+    lam = 1.0 + np.linspace(0.0, 1.0, n)
+
+    def rhs(t, y):
+        w = y[sig]                               # chain-ordered
+        left = jnp.concatenate([w[:1], w[:-1]])
+        right = jnp.concatenate([w[1:], w[-1:]])
+        gw = 30.0 * (left - 2.0 * w + right) - jnp.asarray(lam) * w
+        return gw[pos]
+
+    Sc = (np.abs(np.subtract.outer(np.arange(n), np.arange(n))) <= 1)
+    S = Sc[np.ix_(pos, pos)].astype(int)
+
+    y0 = 1.0 + 0.1 * np.sin(np.arange(n))
+    rd = solve_ivp(rhs, (0.0, 0.5), y0, method=TRBDF2)
+    rr = solve_ivp(rhs, (0.0, 0.5), y0, method=TRBDF2, bands="rcm",
+                   jac_sparsity=S)
+    assert rr.success
+    assert (rr.nfev, rr.njev, rr.nlu, len(rr.t)) == \
+        (rd.nfev, rd.njev, rd.nlu, len(rd.t))
+    np.testing.assert_allclose(rr.y[:, -1], rd.y[:, -1],
+                               rtol=0, atol=1e-9)
+
+
+def test_rcm_already_banded_equals_bands_true():
+    """bands='rcm' on an already-banded pattern (Medazko) keeps the
+    natural order (no permutation can narrow it) and reproduces the
+    bands=True run exactly."""
+    P = medazko(40)
+    rt = solve_ivp(P.rhs, P.t_span, P.y0, method=TRBDF2, bands=True,
+                   jac_sparsity=P.jac_sparsity)
+    rr = solve_ivp(P.rhs, P.t_span, P.y0, method=TRBDF2, bands="rcm",
+                   jac_sparsity=P.jac_sparsity)
+    assert rr.success
+    assert (rr.nfev, rr.njev, rr.nlu, len(rr.t)) == \
+        (rt.nfev, rt.njev, rt.nlu, len(rt.t))
+    np.testing.assert_array_equal(rr.y[:, -1], rt.y[:, -1])
