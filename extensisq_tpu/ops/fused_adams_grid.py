@@ -41,6 +41,7 @@ from ..steppers.adams import AdamsStepper, _GSTR
 from ..types import IVPParams
 from . import _lane_pad as _lp
 from ._adams_common import TileOps, make_coefficients
+from .fused_dense import _REC_UNSET
 from .fused_erk import (_sanitize, _df_add, _hermite_tiles,
                         _make_ev_spec, _handle_events, _EVENT)
 
@@ -88,7 +89,7 @@ def solve_fused_adams_grid(fun, t_span, y0_batch, rtol=1e-4, atol=1e-6,
                            first_step=None, k_max=12,
                            max_steps=200_000, block_members=32,
                            interpret=False, t_eval=None, events=None,
-                           max_step=None, params=None):
+                           max_step=None, params=None, dense=None):
     """Integrate a mid-size-system ensemble with SWAG in one kernel.
 
     y0_batch: (B, n) float32, ANY n — non-multiples of 128 are
@@ -110,6 +111,16 @@ def solve_fused_adams_grid(fun, t_span, y0_batch, rtol=1e-4, atol=1e-6,
     when given, ``fun`` and every event callable take a third
     argument ``p``, a k-tuple of (bm, 1) member columns broadcastable
     against (bm, n) arrays (host init and kernel both honour it).
+    ``dense``: optional int ``R`` — record up to ``R`` per-step
+    ``(t, y, y')`` rows in-kernel and append an evaluable per-member
+    :class:`~extensisq_tpu.ops.fused_dense.FusedDenseSolution` as the
+    LAST return element.  NOTE the recorded interpolant is the
+    unified cubic Hermite on step endpoints — NOT SWAG's own order-k
+    polynomial (between-point accuracy is O(h^4) of the ACCEPTED
+    steps, the same convention as every fused kernel's dense); the
+    f64 XLA path keeps the conformance dense output.  Buffers are
+    (R, bm, n) in VMEM; overflowing members get
+    ``sol.valid[b] = False``.
     """
     y0_batch = jnp.asarray(y0_batch, jnp.float32)
     n_total, n_true = y0_batch.shape
@@ -155,6 +166,15 @@ def solve_fused_adams_grid(fun, t_span, y0_batch, rtol=1e-4, atol=1e-6,
 
     ev_spec = _make_ev_spec(events)
     n_ev = 0 if ev_spec is None else len(ev_spec)
+
+    n_rec = 0 if dense is None else int(dense)
+    if n_rec:
+        vmem = (2 * n + 1) * n_rec * bm * 4 + bm * n * 4
+        if vmem > 6 * 2 ** 20:
+            raise ValueError(
+                f"dense={n_rec} recording needs {vmem / 2**20:.1f} MiB "
+                f"of VMEM at block_members={bm}, n={n}; lower "
+                "block_members or record fewer rows")
 
     # initial state via the XLA stepper (h_start etc.); its RHS takes
     # (n,) vectors — adapt the (bm, n) kernel convention
@@ -250,6 +270,9 @@ def solve_fused_adams_grid(fun, t_span, y0_batch, rtol=1e-4, atol=1e-6,
         yq_ref = rest.pop(0) if nq else None
         if n_ev:
             tev_ref, yev_ref, fev_ref = rest[:3]
+            rest = rest[3:]
+        if n_rec:
+            rect_ref, recy_ref, recf_ref = rest[:3]
         FS = fs_ref[:]
         FC = fc_ref[:]
         IC = ic_ref[:]
@@ -618,6 +641,16 @@ def solve_fused_adams_grid(fun, t_span, y0_batch, rtol=1e-4, atol=1e-6,
             y_out, _ = _sanitize(y_out)
             yp_out = fb(ok, yp_new, st.yp)
             yp_out, _ = _sanitize(yp_out)
+            if n_rec:
+                t_rec = fb(trunc, te, fb(extrap, tfs,
+                                         fb(ok, t_new, st.t)))
+
+                @pl.when(st.it < n_rec)
+                def _():
+                    rect_ref[st.it] = fb(ok | extrap, t_rec,
+                                         szero + _REC_UNSET)
+                    recy_ref[st.it] = y_out
+                    recf_ref[st.it] = yp_out
             h_out = fb(ok, h_next, fb(extrap, st.h, h_fail))
             h_out = fb(attempted | extrap, h_out, st.h)
             h_out, _ = _sanitize(h_out)
@@ -675,6 +708,11 @@ def solve_fused_adams_grid(fun, t_span, y0_batch, rtol=1e-4, atol=1e-6,
             SA2, FA2, IA2 = pack(st2)
             return SA2, FA2, IA2, st2.it
 
+        if n_rec:
+            # non-accepted / never-reached rows read the sentinel
+            # (arithmetic blends forbid NaN coding: 0 * NaN = NaN)
+            rect_ref[:] = jnp.full((n_rec, bm, 1), _REC_UNSET,
+                                   jnp.float32)
         SA0, FA0, IA0 = pack(st_init)
         SAf, FAf, IAf, _ = jax.lax.while_loop(
             cond_loop, body, (SA0, FA0, IA0,
@@ -733,6 +771,20 @@ def solve_fused_adams_grid(fun, t_span, y0_batch, rtol=1e-4, atol=1e-6,
             pl.BlockSpec((n_ev, bm, 1), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
         ]
+    if n_rec:
+        out_shapes += [
+            jax.ShapeDtypeStruct((n_rec, B, 1), jnp.float32),
+            jax.ShapeDtypeStruct((n_rec, B, n), jnp.float32),
+            jax.ShapeDtypeStruct((n_rec, B, n), jnp.float32),
+        ]
+        out_specs += [
+            pl.BlockSpec((n_rec, bm, 1), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_rec, bm, n), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_rec, bm, n), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+        ]
     in_specs = [
         pl.BlockSpec((bm, n_sslot * n), lambda i: (i, 0),
                      memory_space=pltpu.VMEM),
@@ -771,4 +823,20 @@ def solve_fused_adams_grid(fun, t_span, y0_batch, rtol=1e-4, atol=1e-6,
         y_events = jnp.where((fired != 0)[:, :, None],
                              yev[:, :n_total, :n_true], nanv)
         ret = ret + (t_events, y_events, fired)
+        k += 3
+    if n_rec:
+        from .fused_dense import build_fused_dense
+        rect, recy, recf = outs[k:k + 3]
+        rect = rect[:, :n_total, 0]
+        flags = (rect < 0.5 * _REC_UNSET).astype(jnp.int32)
+        # f0 comes from the HOST init (states0.yp is yp(t0) at the
+        # true width, before padding)
+        sol = build_fused_dense(
+            jnp.float32(t0), jnp.float32(tf),
+            y0_batch[:n_total, :n_true],
+            states0.yp[:n_total, :n_true],
+            jnp.where(flags != 0, rect, 0.0), flags,
+            recy[:, :n_total, :n_true], recf[:, :n_total, :n_true],
+            ret[2])
+        ret = ret + (sol,)
     return ret

@@ -61,7 +61,8 @@ def _run_rkn_loop(acc, consts, cc, compensated, max_steps, nq, tq_vals,
                   fzero, izero, mnorm, cat,
                   t, tf_r, dir_r, rtol_r, atol_r, h_abs0, u, v, f,
                   ev_spec=None, split_part=None, join_rows=None,
-                  unsplit=None, nfev0=None, max_step=None):
+                  unsplit=None, nfev0=None, max_step=None,
+                  record=None):
     """The whole adaptive RKN integration loop, LAYOUT-GENERIC.
 
     Shared by the two fused-RKN member layouts (the fused-ERK split,
@@ -78,6 +79,10 @@ def _run_rkn_loop(acc, consts, cc, compensated, max_steps, nq, tq_vals,
     (A, Ap, B_w, Bp, C, E, Ep, s, fsal, h_min_a, tiny_err).
     Returns the final ``_RS`` carry.
 
+    ``record``: optional ``record(it, upd, t_out, u_out, v_out,
+    f_out)`` in-kernel dense-recording hook, called once per loop
+    iteration with the committed carry values (the cubic Hermite of
+    [u, v] with derivative [v, a] is this family's interpolant).
     ``ev_spec``: None or the static (g, terminal, direction) event
     triples from fused_erk._make_ev_spec.  The partitioned state
     plugs into the shared ``_handle_events`` as-is: the cubic Hermite
@@ -289,6 +294,9 @@ def _run_rkn_loop(acc, consts, cc, compensated, max_steps, nq, tq_vals,
             v_out = _fblend(truncm, v_te, v_out)
             t_out = _fblend(trunc, te, t_out)
             t_lo_out = _fblend(trunc, fzero, t_lo_out)
+        if record is not None:
+            record(st.it, upd, t_out, u_out, v_out,
+                   _fblend(updm, f_new, st.f))
         return _RS(
             it=st.it + 1,
             tf=st.tf, direction=st.direction,

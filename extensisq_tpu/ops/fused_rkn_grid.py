@@ -26,6 +26,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..core.controller import resolve_controller
 from . import _lane_pad as _lp
+from .fused_dense import _REC_UNSET
 from .fused_erk import _fblend, _make_ev_spec
 from .fused_rkn import _run_rkn_loop
 
@@ -34,7 +35,7 @@ def solve_fused_rkn_grid(acc, t_span, y0_batch, method=None, rtol=1e-4,
                          atol=1e-6, first_step=None, max_steps=100_000,
                          block_members=32, interpret=False,
                          compensated=False, t_eval=None, events=None,
-                         max_step=None, params=None):
+                         max_step=None, params=None, dense=None):
     """Integrate a mid-size second-order ensemble with an RKN pair in
     one Pallas kernel.
 
@@ -61,6 +62,14 @@ def solve_fused_rkn_grid(acc, t_span, y0_batch, method=None, rtol=1e-4,
     when given, ``acc`` is called as ``acc(t, u, v, p)`` and every
     event callable as ``g(t, y, p)`` with ``p`` a k-tuple of (bm, 1)
     member columns broadcastable against (bm, n) arrays.
+    ``dense``: optional int ``R`` — record up to ``R`` per-step
+    ``(t, [u, v], [v, a])`` rows in-kernel and append an evaluable
+    per-member :class:`~extensisq_tpu.ops.fused_dense.
+    FusedDenseSolution` over the FULL 2n-wide state as the LAST
+    return element (the partitioned cubic Hermite this family's
+    t_eval/events already use).  Buffers are (R, bm, 2n) in VMEM
+    ((4n + 1) * R * block_members * 4 bytes); overflowing members get
+    ``sol.valid[b] = False``.
     """
     if method is None:
         from ..methods import Fi5N as method
@@ -132,6 +141,15 @@ def solve_fused_rkn_grid(acc, t_span, y0_batch, method=None, rtol=1e-4,
     ev_spec = _make_ev_spec(events)
     n_ev = 0 if ev_spec is None else len(ev_spec)
 
+    n_rec = 0 if dense is None else int(dense)
+    if n_rec:
+        vmem = (2 * n2 + 1) * n_rec * bm * 4 + bm * n2 * 4
+        if vmem > 6 * 2 ** 20:
+            raise ValueError(
+                f"dense={n_rec} recording needs {vmem / 2**20:.1f} MiB "
+                f"of VMEM at block_members={bm}, 2n={n2}; lower "
+                "block_members or record fewer rows")
+
     def kernel(sc_ref, y0_ref, *rest):
         rest = list(rest)
         par_ref = rest.pop(0) if n_par else None
@@ -140,6 +158,9 @@ def solve_fused_rkn_grid(acc, t_span, y0_batch, method=None, rtol=1e-4,
         yq_ref = rest.pop(0) if nq else None
         if n_ev:
             tev_ref, yev_ref, fev_ref = rest[:3]
+            rest = rest[3:]
+        if n_rec:
+            rect_ref, recy_ref, recf_ref, f0_ref = rest[:4]
         yin = y0_ref[:]
         u = yin[:, :n]
         v = yin[:, n:]
@@ -198,6 +219,25 @@ def solve_fused_rkn_grid(acc, t_span, y0_batch, method=None, rtol=1e-4,
                 n=2 * n_true))
             nfev0 = izero + 2 + min(2 * n_true + 1, 3)
 
+        record = None
+        if n_rec:
+            f0_ref[:] = jnp.concatenate([v, f], axis=-1)
+            # non-accepted / never-reached rows read the sentinel
+            # (arithmetic blends forbid NaN coding: 0 * NaN = NaN)
+            rect_ref[:] = jnp.full((n_rec, bm, 1), _REC_UNSET,
+                                   jnp.float32)
+
+            def record(itv, upd, t_out, u_out, v_out,  # noqa: F811
+                       f_out):
+                @pl.when(itv < n_rec)
+                def _():
+                    rect_ref[itv] = _fblend(upd, t_out,
+                                            fzero + _REC_UNSET)
+                    recy_ref[itv] = jnp.concatenate([u_out, v_out],
+                                                    axis=-1)
+                    recf_ref[itv] = jnp.concatenate([v_out, f_out],
+                                                    axis=-1)
+
         st = _run_rkn_loop(
             acc1, (A, Ap, B_w, Bp, C, E, Ep, s, fsal, h_min_a,
                    tiny_err), cc, compensated, max_steps, nq, tq_vals,
@@ -208,7 +248,7 @@ def solve_fused_rkn_grid(acc, t_span, y0_batch, method=None, rtol=1e-4,
             split_part=lambda arr: [arr],
             join_rows=lambda rows: jnp.concatenate(rows, axis=-1),
             unsplit=lambda rows: (rows[0], rows[1]),
-            nfev0=nfev0, max_step=max_step)
+            nfev0=nfev0, max_step=max_step, record=record)
 
         yout_ref[:] = jnp.concatenate([st.u, st.v], axis=-1)
         stat_ref[:] = st.status
@@ -265,6 +305,23 @@ def solve_fused_rkn_grid(acc, t_span, y0_batch, method=None, rtol=1e-4,
             pl.BlockSpec((n_ev, bm, 1), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
         ]
+    if n_rec:
+        out_shapes += [
+            jax.ShapeDtypeStruct((n_rec, B, 1), jnp.float32),
+            jax.ShapeDtypeStruct((n_rec, B, n2), jnp.float32),
+            jax.ShapeDtypeStruct((n_rec, B, n2), jnp.float32),
+            jax.ShapeDtypeStruct((B, n2), jnp.float32),
+        ]
+        out_specs += [
+            pl.BlockSpec((n_rec, bm, 1), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_rec, bm, n2), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_rec, bm, n2), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, n2), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ]
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),
         pl.BlockSpec((bm, n2), lambda i: (i, 0),
@@ -305,4 +362,17 @@ def solve_fused_rkn_grid(acc, t_span, y0_batch, method=None, rtol=1e-4,
         y_events = jnp.where((fired != 0)[:, :, None],
                              _unpad(yev[:, :n_total]), nanv)
         ret = ret + (t_events, y_events, fired)
+        k += 3
+    if n_rec:
+        from .fused_dense import build_fused_dense
+        rect, recy, recf, f0 = outs[k:k + 4]
+        rect = rect[:, :n_total, 0]
+        flags = (rect < 0.5 * _REC_UNSET).astype(jnp.int32)
+        sol = build_fused_dense(
+            t0, tf, _unpad(y0_batch[:n_total]),
+            _unpad(f0[:n_total]),
+            jnp.where(flags != 0, rect, 0.0), flags,
+            _unpad(recy[:, :n_total]), _unpad(recf[:, :n_total]),
+            ret[2])
+        ret = ret + (sol,)
     return ret

@@ -11,12 +11,15 @@ the Hermite truncation on each problem.  All runs interpret mode
 (the conftest forces CPU).
 """
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
 from extensisq_tpu import solve_ivp, BS5
 from extensisq_tpu.methods import TRBDF2
 from extensisq_tpu.ops import solve_fused_erk, solve_fused_esdirk
+
+pytestmark = pytest.mark.slow  # interpret-mode fused kernels: multi-minute
 
 B = 128
 
@@ -43,6 +46,7 @@ def test_fused_erk_dense_vdp():
     r = solve_ivp(_vdp_host, (0.0, 10.0), np.array([2.0, 0.0]),
                   method=BS5, rtol=1e-8, atol=1e-11,
                   dense_output=True)
+
     nsteps = int(ns[0])
     ts0 = np.asarray(sol.ts[0])[:nsteps + 1]
     # strictly monotone real nodes, then the inert tail
@@ -207,3 +211,57 @@ def test_fused_dense_inside_jit_and_grad_safe():
                       -np.sin(tq) + 0.5 * np.cos(tq)])
     # Hermite truncation at BS5's ~0.5 steps on cos: (1/384) h^4
     assert np.abs(vals[0] - exact).max() < 1e-3
+
+
+def test_fused_rkn_grid_dense_matches_t_eval():
+    """GRID-layout RKN dense recording over the FULL [u, v] state:
+    sol(tq) vs the kernel's own in-kernel t_eval rows (both are the
+    partitioned cubic Hermite on the same step endpoints)."""
+    from extensisq_tpu.ops import solve_fused_rkn_grid
+    n, Bs = 32, 8
+    x = np.arange(n)
+    U0 = np.tile(np.sin(2 * np.pi * x / n).astype(np.float32),
+                 (Bs, 1))
+    Y0 = np.concatenate([U0, np.zeros_like(U0)], axis=1)
+
+    def wave(t, u, v):
+        return (jnp.roll(u, 1, -1) - 2.0 * u
+                + jnp.roll(u, -1, -1)) * (0.5 * n * n)
+
+    tq = np.linspace(0.0, 0.5, 6)
+    yf, st, ns, nf, yev, sol = solve_fused_rkn_grid(
+        wave, (0.0, 0.5), Y0, rtol=1e-5, atol=1e-8, block_members=8,
+        interpret=True, t_eval=tq, dense=256)
+    assert np.all(np.asarray(st) == 1)
+    assert bool(np.all(np.asarray(sol.valid)))
+    fv = np.asarray(sol(jnp.asarray(tq, jnp.float32)))   # (B, 2n, m)
+    assert np.abs(fv.transpose(2, 0, 1) - np.asarray(yev)).max() \
+        < 2e-5
+    assert np.abs(np.asarray(sol(jnp.float32(0.5)))
+                  - np.asarray(yf)).max() < 1e-6
+
+
+def test_fused_adams_grid_dense_matches_t_eval():
+    """GRID-layout SWAG dense recording: sol(tq) vs the kernel's
+    t_eval rows (both cubic Hermite on accepted-step endpoints; the
+    solver's own order-k interpolant stays on the XLA path)."""
+    from extensisq_tpu.ops import solve_fused_adams_grid
+    n, Bs = 32, 8
+    x = np.arange(n)
+    Y0 = np.tile((1.0 + 0.3 * np.sin(2 * np.pi * x / n))
+                 .astype(np.float32), (Bs, 1))
+
+    def adv(t, y):
+        return -(y - jnp.roll(y, 1, -1)) * (0.2 * n)
+
+    tq = np.linspace(0.0, 1.0, 6)
+    yf, st, ns, nf, yev, sol = solve_fused_adams_grid(
+        adv, (0.0, 1.0), Y0, rtol=1e-5, atol=1e-8, block_members=8,
+        interpret=True, t_eval=tq, dense=256)
+    assert np.all(np.asarray(st) == 1)
+    assert bool(np.all(np.asarray(sol.valid)))
+    fv = np.asarray(sol(jnp.asarray(tq, jnp.float32)))
+    assert np.abs(fv.transpose(2, 0, 1) - np.asarray(yev)).max() \
+        < 5e-5
+    assert np.abs(np.asarray(sol(jnp.float32(1.0)))
+                  - np.asarray(yf)).max() < 1e-6

@@ -2,10 +2,13 @@
 path runs on TPU hardware)."""
 import jax
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from extensisq_tpu.ops import solve_fused_erk
 from extensisq_tpu import BS5, CK5, solve_ensemble
+
+pytestmark = pytest.mark.slow  # interpret-mode fused kernels: multi-minute
 
 
 def vdp(t, y):
@@ -40,6 +43,7 @@ def test_fused_nonfsal_method():
     y, status, nsteps, nfev = solve_fused_erk(
         linear, (0.0, 3.14159265), Y0, method=CK5, rtol=1e-5, atol=1e-7,
         block_members=128, interpret=True)
+
     assert np.all(np.asarray(status) == 1)
     # rotate by pi: (x, v) -> (-x, -v) approximately
     exact = -np.asarray(Y0)
@@ -2110,3 +2114,35 @@ def test_fused_ckdisc_grid_dispatch_and_params():
     # and the routing really picked the grid layout: lanes of one
     # member agree (diagonal dynamics preserve lane independence)
     assert y.shape == (B, n)
+
+
+def test_fused_erk_complex_rotation_decay():
+    """Complex fused ERK (blocked [Re | Im] real-pair encoding): the
+    decaying rotation z' = (i w - a) z has the exact solution
+    z0 e^{(iw-a)t}; per-member w sweep via params, t_eval midpoints,
+    and n = 24 exercises the joint-state lane padding."""
+    from extensisq_tpu.ops import solve_fused_erk_complex, cmul
+
+    Bs, n = 8, 24
+    rng = np.random.RandomState(5)
+    z0 = (rng.randn(Bs, n) + 1j * rng.randn(Bs, n)).astype(np.complex64)
+    ws = np.linspace(1.0, 3.0, Bs).astype(np.float32)[:, None]
+    a = 0.3
+
+    def rot(t, re, im, p):
+        # (iw - a) z  via the real-pair product helper
+        return cmul(re, im, 0.0 * re - a, p[0] + 0.0 * re)
+
+    tq = np.linspace(0.0, 2.0, 5)
+    zf, st, ns, nf, zev = solve_fused_erk_complex(
+        rot, (0.0, 2.0), z0, params=ws, rtol=1e-6, atol=1e-9,
+        block_members=8, interpret=True, t_eval=tq)
+    assert np.all(np.asarray(st) == 1)
+    assert zf.dtype == np.complex64
+    lam = (-a + 1j * ws[:, 0]).astype(np.complex64)
+    ex = z0 * np.exp(lam * 2.0)[:, None]
+    sc = np.abs(z0).max()
+    assert np.abs(np.asarray(zf) - ex).max() < 5e-5 * sc
+    for q, tv in enumerate(tq):
+        exq = z0 * np.exp(lam * tv)[:, None]
+        assert np.abs(np.asarray(zev)[q] - exq).max() < 1e-4 * sc

@@ -22,6 +22,8 @@ from extensisq_tpu.ops.fused_adams_grid import solve_fused_adams_grid
 from extensisq_tpu.ops.fused_esdirk_grid import solve_fused_esdirk_grid
 from extensisq_tpu.ops.fused_rkn_grid import solve_fused_rkn_grid
 
+pytestmark = pytest.mark.slow  # interpret-mode fused kernels: multi-minute
+
 B = 128
 
 
@@ -48,6 +50,7 @@ def test_fused_erk_params_bit_exact_vs_baked():
                              Y0[i:i + 1].repeat(128, 0), method=BS5,
                              rtol=1e-4, atol=1e-6, block_members=128,
                              interpret=True)
+
         assert np.array_equal(np.asarray(o2[0][0]), np.asarray(y[i]))
         assert int(np.asarray(o2[2][0])) == int(np.asarray(ns[i]))
         assert int(np.asarray(o2[3][0])) == int(np.asarray(nf[i]))

@@ -15,6 +15,8 @@ from extensisq_tpu.ops import solve_fused
 from extensisq_tpu.parallel import solve_fused_sharded
 from extensisq_tpu import BS5, SSV2stab
 
+pytestmark = pytest.mark.slow  # interpret-mode fused kernels: multi-minute
+
 
 def _mesh():
     return Mesh(np.array(jax.devices()), ("m",))
@@ -43,6 +45,7 @@ def test_fused_sharded_erk_matches_unsharded():
     assert len(out) == len(ref) == 8  # y,st,ns,nf,y_eval,t_ev,y_ev,n_ev
     names = ["y", "status", "nsteps", "nfev", "y_eval",
              "t_events", "y_events", "n_events"]
+
     for nm, a, b in zip(names, out, ref):
         a, b = np.asarray(a), np.asarray(b)
         assert a.shape == b.shape, nm

@@ -51,6 +51,8 @@ def test_pad_unpad_roundtrip():
     np.testing.assert_array_equal(np.asarray(unpad_lanes(p, 6, 16, 2)),
                                   np.asarray(y))
 
+pytestmark = pytest.mark.slow  # interpret-mode fused kernels: multi-minute
+
 
 # -- padded kernels match the XLA path's exact step sequence -----------------
 
