@@ -71,18 +71,21 @@ class CKdiscStepper:
         cdiff = tableau.c_spacing()
         self.h_min_a = 10.0 * consts["epsneg"] / cdiff
         self.h_min_b = consts["sqrt_tiny"]
-        self.A = np.asarray(tableau.A)
-        self.B = np.asarray(tableau.B)
-        self.C = np.asarray(tableau.C)
-        self.E = np.asarray(tableau.E)
+        # tables in real_dtype so f32 states do not silently promote
+        # (a no-op for the f64 conformance path)
+        rd = self.real_dtype
+        self.A = np.asarray(tableau.A, rd)
+        self.B = np.asarray(tableau.B, rd)
+        self.C = np.asarray(tableau.C, rd)
+        self.E = np.asarray(tableau.E, rd)
         self.s = tableau.n_stages
         opts = dict(options or {})
         data = opts.pop("ckdisc")
-        self.B_assess = np.asarray(data["B_assess"])
-        self.E_assess = np.asarray(data["E_assess"])
-        self.C_fallback = np.asarray(data["C_fallback"])
-        self.B_fallback = np.asarray(data["B_fallback"])
-        self.E_fallback = np.asarray(data["E_fallback"])
+        self.B_assess = np.asarray(data["B_assess"], rd)
+        self.E_assess = np.asarray(data["E_assess"], rd)
+        self.C_fallback = np.asarray(data["C_fallback"], rd)
+        self.B_fallback = np.asarray(data["B_fallback"], rd)
+        self.E_fallback = np.asarray(data["E_fallback"], rd)
         self.options = opts
 
     def init(self, t0, y0, params, first_step=None):
@@ -127,12 +130,18 @@ class CKdiscStepper:
         split = (d < 2.0 * h_abs) & (d > h_abs)
         h_abs = jnp.where(split, jnp.maximum(0.5 * d, min_step),
                           jnp.where(d <= h_abs, d, h_abs))
-        return h_abs, min_step
+        # t_bound/max_step are strong f64; keep the carried step size
+        # in the state dtype (no-op for f64 solves)
+        return (jnp.asarray(h_abs, self.real_dtype),
+                jnp.asarray(min_step, self.real_dtype))
 
     def _attempt(self, params, t, y, f, c):
         """One E1/E2/E4 cascade attempt (cash.py:253-394); shared by
         step and step_flat."""
-        h = c.h_abs * params.direction
+        # params.direction is strong f64; keep h in the state's real
+        # dtype so f32 solves don't promote mid-cascade (cond branches
+        # must agree on E2/E4 dtypes)
+        h = jnp.asarray(c.h_abs * params.direction, self.real_dtype)
         rows = [f]
         nfev = c.nfev
 
@@ -309,7 +318,9 @@ class CKdiscStepper:
 
         d = jnp.abs(params.t_bound - t)
         is_last = ok & (jnp.abs(c.h_used) >= d)
-        t_new = jnp.where(is_last, params.t_bound, t + c.h_used)
+        t_new = jnp.asarray(
+            jnp.where(is_last, params.t_bound, t + c.h_used),
+            self.real_dtype)
 
         # endpoint derivative for the next step / interpolation
         f_new = jax.lax.cond(
@@ -376,7 +387,9 @@ class CKdiscStepper:
 
         d = jnp.abs(params.t_bound - t)
         is_last = ok & (jnp.abs(c.h_used) >= d)
-        t_new = jnp.where(is_last, params.t_bound, t + c.h_used)
+        t_new = jnp.asarray(
+            jnp.where(is_last, params.t_bound, t + c.h_used),
+            self.real_dtype)
 
         f_new = jax.lax.cond(
             ok, lambda _: self.fun(t_new, c.y_new), lambda _: f,

@@ -130,10 +130,12 @@ def config1():
                             - np.asarray(outcx.nsteps))))
     dyc = float(np.max(np.abs(np.asarray(outc[0])
                               - np.asarray(outcx.y))))
-    # f32 kernel vs f64 driver at rtol 1e-4 on a sign-switching RHS:
-    # the 2e-3 gate was an interpret-mode calibration; real Mosaic
-    # (different fma contraction) measures 3.2e-3 — still inside the
-    # ~50 * rtol accumulation this 34-sign-flip horizon implies.
+    # Root-caused (validation/ckdisc_drift.py, hw 2026-08-21): the
+    # f64-conformance XLA stepper merely run in f32 drifts 3.21e-3 on
+    # this problem — the same magnitude as the fused kernel's 3.15e-3
+    # — and hw blocks of 128 vs 1024 members are BIT-identical.  The
+    # drift is the f32 resolution floor of the sign-switching cascade
+    # at rtol 1e-4, not a Mosaic/fma artifact; gate = measured+1.6x.
     assert dyc < 5e-3, f"fused CKdisc endpoint drift: {dyc}"
     print(f"1c non-smooth CKdisc x{Bc}: fused {dtc*1e3:7.1f} ms vs "
           f"XLA device path {dtcx*1e3:7.1f} ms ({dtcx/dtc:4.1f}x); "

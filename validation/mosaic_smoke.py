@@ -579,6 +579,14 @@ def main():
           lambda Y: solve_fused_esdirk_grid(
               rdiff_g, (0.0, 0.1), Y, block_members=8,
               dense=128)[-1].ts, YG8)
+    check("fused_rkn_grid dense recording",
+          lambda Y: solve_fused_rkn_grid(
+              wave_g, (0.0, 1.0), Y, block_members=8,
+              dense=128)[-1].ts, YW)
+    check("fused_adams_grid dense recording",
+          lambda Y: solve_fused_adams_grid(
+              heat_g, (0.0, 0.2), Y, k_max=6, block_members=32,
+              dense=128)[-1].ts, YG)
 
     write_artifact()
     if FAILED:
