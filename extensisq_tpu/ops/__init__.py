@@ -48,10 +48,16 @@ remain the conformance solvers).
 * :func:`solve_fused_final` — ``jax.grad``-able y(t_f): custom_vjp
   whose backward pass is ONE fused augmented solve (value-and-grad of
   a whole parameter-sweep ensemble in two kernel launches)
+* :func:`solve_fused_erk_complex` — COMPLEX ensembles on the fused
+  path: blocked [Re | Im] real-pair encoding riding the unchanged
+  real ERK kernels (either layout); ``cmul``/``conj_mul`` helpers
+  for split-real RHS products (the reference's support_complex cell,
+  common.py:193; design in docs/TPU_NOTES.md)
 * :class:`FusedDenseSolution` — evaluable continuous dense output
-  from a fused solve (``dense=R`` on the flat ERK/ESDIRK kernels):
-  in-kernel per-step (t, y, f) recording, host-compacted into the
-  framework's unified OdeSolution anchor form
+  from a fused solve (``dense=R`` on the ERK/ESDIRK/RKN/SWAG kernels
+  in BOTH layouts): in-kernel per-step (t, y, f) recording,
+  host-compacted into the framework's unified OdeSolution anchor
+  form
 """
 from .dispatch import solve_fused
 from .fused_dense import FusedDenseSolution, build_fused_dense
@@ -69,6 +75,7 @@ from .fused_adams import solve_fused_adams
 from .fused_adams_grid import solve_fused_adams_grid
 from .fused_sens import (solve_fused_sens, solve_fused_final,
                          solve_fused_adjoint)
+from .fused_complex import solve_fused_erk_complex, cmul, conj_mul
 
 __all__ = ["solve_fused",
            "solve_fused_erk", "solve_fused_ckdisc",
@@ -80,4 +87,5 @@ __all__ = ["solve_fused",
            "solve_fused_adams_grid",
            "solve_fused_sens", "solve_fused_final",
            "solve_fused_adjoint",
+           "solve_fused_erk_complex", "cmul", "conj_mul",
            "FusedDenseSolution", "build_fused_dense"]

@@ -40,6 +40,7 @@ from .fused_erk import (_fblend, _iblend, _sanitize, _df_add, _two_sum,
                         _hermite_tiles, _make_ev_spec, _handle_events,
                         _EVENT)
 from ._adams_common import TileOps, make_coefficients
+from .fused_dense import _REC_UNSET
 
 _RUNNING, _FINISHED, _TOO_SMALL, _OVERFLOW = 0, 1, 2, 3
 
@@ -86,7 +87,7 @@ def solve_fused_adams(fun, t_span, y0_batch, rtol=1e-4, atol=1e-6,
                       first_step=None, k_max=12, max_steps=200_000,
                       block_members=1024, interpret=False,
                       compensated=False, t_eval=None, events=None,
-                      max_step=None, params=None):
+                      max_step=None, params=None, dense=None):
     """Integrate an ensemble with SWAG entirely in one TPU kernel.
 
     y0_batch: (B, n) float32, n <= 8.  Returns (y_final (B, n),
@@ -131,6 +132,14 @@ def solve_fused_adams(fun, t_span, y0_batch, rtol=1e-4, atol=1e-6,
     when given, ``fun`` and every event callable take a third
     argument ``p``, a k-tuple of per-member tiles broadcastable
     against the rows of ``y`` (host init and kernel both honour it).
+
+    ``dense``: optional int ``R`` — record up to ``R`` per-step
+    ``(t, y, yp)`` rows in-kernel and append the evaluable per-member
+    :class:`~extensisq_tpu.ops.fused_dense.FusedDenseSolution` as the
+    LAST return element.  NOTE the recorded interpolant is CUBIC
+    HERMITE on accepted-step endpoints (the fused t_eval convention),
+    NOT SWAG's order-k polynomial; ``f0`` comes from the host init.
+    The f64 XLA path keeps the conformance dense output.
     """
     y0_batch = jnp.asarray(y0_batch, jnp.float32)
     n_total, n = y0_batch.shape
@@ -179,6 +188,17 @@ def solve_fused_adams(fun, t_span, y0_batch, rtol=1e-4, atol=1e-6,
 
     ev_spec = _make_ev_spec(events)
     n_ev = 0 if ev_spec is None else len(ev_spec)
+
+    n_rec = 0 if dense is None else int(dense)
+    if n_rec:
+        # (R, n, bm) rows: n on SUBLANES (pads to 8), members on the
+        # lane axis — same budget rule as the flat ERK recorder
+        vmem = (2 * -(-n // 8) * 8 + 8) * n_rec * bm * 4
+        if vmem > 6 * 2 ** 20:
+            raise ValueError(
+                f"dense={n_rec} recording needs {vmem / 2**20:.1f} MiB "
+                f"of VMEM at block_members={bm}; lower block_members "
+                "(the buffers scale with it) or record fewer rows")
 
     # initial state via the XLA stepper (h_start etc.), then packed
     # into one f32 and one i32 row array
@@ -263,6 +283,9 @@ def solve_fused_adams(fun, t_span, y0_batch, rtol=1e-4, atol=1e-6,
         yq_ref = rest.pop(0) if nq else None
         if n_ev:
             tev_ref, yev_ref, fev_ref = rest[:3]
+            rest = rest[3:]
+        if n_rec:
+            rect_ref, recy_ref, recf_ref = rest[:3]
         F_in = F_ref[:].reshape(f_rows, sub, 128)
         I_in = I_ref[:].reshape(i_rows, sub, 128)
         if n_par:
@@ -690,6 +713,17 @@ def solve_fused_adams(fun, t_span, y0_batch, rtol=1e-4, atol=1e-6,
                 val = fb(ok, yp_new[j], st.yp[j])
                 val, _ = _sanitize(val)
                 yp_out.append(val)
+            if n_rec:
+                t_rec = fb(trunc, te, fb(extrap, tfs,
+                                         fb(ok, t_new, st.t)))
+
+                @pl.when(st.it < n_rec)
+                def _():
+                    rect_ref[st.it] = fb(
+                        ok | extrap, t_rec,
+                        fzero + _REC_UNSET).reshape(1, bm)
+                    recy_ref[st.it] = jnp.stack(y_out).reshape(n, bm)
+                    recf_ref[st.it] = jnp.stack(yp_out).reshape(n, bm)
             h_out = fb(ok, h_next, fb(extrap, st.h, h_fail))
             h_out = fb(attempted | extrap, h_out, st.h)
             h_out, _ = _sanitize(h_out)
@@ -748,6 +782,11 @@ def solve_fused_adams(fun, t_span, y0_batch, rtol=1e-4, atol=1e-6,
             F2, I2 = pack(st2)
             return F2, I2, st2.it
 
+        if n_rec:
+            # non-accepted / never-reached rows read the sentinel
+            # (arithmetic blends forbid NaN coding: 0 * NaN = NaN)
+            rect_ref[:] = jnp.full((n_rec, 1, bm), _REC_UNSET,
+                                   jnp.float32)
         Ff, If, _ = jax.lax.while_loop(
             cond_loop, body,
             (F_in, I_in, jnp.zeros((), jnp.int32)))
@@ -808,6 +847,20 @@ def solve_fused_adams(fun, t_span, y0_batch, rtol=1e-4, atol=1e-6,
             pl.BlockSpec((n_ev, 1, bm), lambda i: (0, 0, i),
                          memory_space=pltpu.VMEM),
         ]
+    if n_rec:
+        out_shapes += [
+            jax.ShapeDtypeStruct((n_rec, 1, B), jnp.float32),
+            jax.ShapeDtypeStruct((n_rec, n, B), jnp.float32),
+            jax.ShapeDtypeStruct((n_rec, n, B), jnp.float32),
+        ]
+        out_specs += [
+            pl.BlockSpec((n_rec, 1, bm), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_rec, n, bm), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_rec, n, bm), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+        ]
     in_specs = [
         pl.BlockSpec((f_rows, bm), lambda i: (0, i),
                      memory_space=pltpu.VMEM),
@@ -845,4 +898,18 @@ def solve_fused_adams(fun, t_span, y0_batch, rtol=1e-4, atol=1e-6,
         y_events = jnp.where((fired != 0)[:, :, None],
                              yev[:, :n_total], nanv)
         ret = ret + (t_events, y_events, fired)
+        k += 3
+    if n_rec:
+        from .fused_dense import build_fused_dense
+        rect, recy, recf = outs[k:k + 3]
+        rect = rect[:, 0, :n_total]
+        flags = (rect < 0.5 * _REC_UNSET).astype(jnp.int32)
+        # f0 comes from the HOST init (states0.yp is yp(t0))
+        sol = build_fused_dense(
+            jnp.float32(t0), jnp.float32(tf), y0_batch[:n_total],
+            states0.yp[:n_total],
+            jnp.where(flags != 0, rect, 0.0), flags,
+            jnp.swapaxes(recy[:, :, :n_total], 1, 2),
+            jnp.swapaxes(recf[:, :, :n_total], 1, 2), ret[2])
+        ret = ret + (sol,)
     return ret

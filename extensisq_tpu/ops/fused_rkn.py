@@ -26,6 +26,7 @@ from .fused_erk import (_RUNNING, _FINISHED, _TOO_SMALL, _OVERFLOW,
                         _EVENT, _fblend, _iblend, _sanitize,
                         _member_norm, _two_sum, _comp_wsum, _df_add,
                         _hermite_tiles, _make_ev_spec, _handle_events)
+from .fused_dense import _REC_UNSET
 
 
 class _RS(NamedTuple):
@@ -354,7 +355,7 @@ def solve_fused_rkn(acc, t_span, y0_batch, method=None, rtol=1e-4,
                     atol=1e-6, first_step=None, max_steps=100_000,
                     block_members=1024, interpret=False,
                     compensated=False, t_eval=None, events=None,
-                    max_step=None, params=None):
+                    max_step=None, params=None, dense=None):
     """Integrate an ensemble of small 2nd-order systems in one kernel.
 
     y0_batch: (B, 2m) float32 — [u, v] per member.  Returns
@@ -378,6 +379,16 @@ def solve_fused_rkn(acc, t_span, y0_batch, method=None, rtol=1e-4,
     when given, ``acc`` is called as ``acc(t, u, v, p)`` and every
     event callable as ``g(t, y, p)`` with ``p`` a k-tuple of
     per-member tiles broadcastable against the state rows.
+
+    ``dense``: optional int ``R`` — record up to ``R`` per-step
+    ``(t, [u, v], [v, a])`` rows in-kernel and append the evaluable
+    per-member :class:`~extensisq_tpu.ops.fused_dense.
+    FusedDenseSolution` as the LAST return element.  The recorded
+    interpolant is CUBIC HERMITE on accepted-step endpoints with the
+    partitioned derivative ([v, a] — u rows interpolate with slope v,
+    v rows with the acceleration), the same convention as
+    ``solve_fused_rkn_grid``; the f64 XLA path keeps the conformance
+    (Nyström/quintic) dense output.
     """
     if method is None:
         from ..methods import Fi5N as method
@@ -442,6 +453,17 @@ def solve_fused_rkn(acc, t_span, y0_batch, method=None, rtol=1e-4,
     ev_spec = _make_ev_spec(events)
     n_ev = 0 if ev_spec is None else len(ev_spec)
 
+    n_rec = 0 if dense is None else int(dense)
+    if n_rec:
+        # (R, n, bm) rows: n on SUBLANES (pads to 8), members on the
+        # lane axis — same budget rule as the flat ERK recorder
+        vmem = (2 * -(-n // 8) * 8 + 8) * n_rec * bm * 4
+        if vmem > 6 * 2 ** 20:
+            raise ValueError(
+                f"dense={n_rec} recording needs {vmem / 2**20:.1f} MiB "
+                f"of VMEM at block_members={bm}; lower block_members "
+                "(the buffers scale with it) or record fewer rows")
+
     def kernel(sc_ref, y0_ref, *rest):
         rest = list(rest)
         par_ref = rest.pop(0) if n_par else None
@@ -450,6 +472,9 @@ def solve_fused_rkn(acc, t_span, y0_batch, method=None, rtol=1e-4,
         yq_ref = rest.pop(0) if nq else None
         if n_ev:
             tev_ref, yev_ref, fev_ref = rest[:3]
+            rest = rest[3:]
+        if n_rec:
+            rect_ref, recy_ref, recf_ref, f0_ref = rest[:4]
         yin = y0_ref[:].T.reshape(n, sub, 128)
         u = yin[:m]
         v = yin[m:]
@@ -495,6 +520,25 @@ def solve_fused_rkn(acc, t_span, y0_batch, method=None, rtol=1e-4,
                 mmin=lambda x: jnp.min(x, axis=0), n=n))
             nfev0 = izero + 2 + min(n + 1, 3)
 
+        record = None
+        if n_rec:
+            f0_ref[:] = jnp.concatenate([v, f]).reshape(n, bm).T
+            # non-accepted / never-reached rows read the sentinel
+            # (arithmetic blends forbid NaN coding: 0 * NaN = NaN)
+            rect_ref[:] = jnp.full((n_rec, 1, bm), _REC_UNSET,
+                                   jnp.float32)
+
+            def record(itv, upd, t_out, u_out, v_out,  # noqa: F811
+                       f_out):
+                @pl.when(itv < n_rec)
+                def _():
+                    rect_ref[itv] = _fblend(
+                        upd, t_out, fzero + _REC_UNSET).reshape(1, bm)
+                    recy_ref[itv] = jnp.concatenate(
+                        [u_out, v_out]).reshape(n, bm)
+                    recf_ref[itv] = jnp.concatenate(
+                        [v_out, f_out]).reshape(n, bm)
+
         st = _run_rkn_loop(
             acc1, (A, Ap, B_w, Bp, C, E, Ep, s, fsal, h_min_a,
                    tiny_err), cc, compensated, max_steps, nq, tq_vals,
@@ -506,7 +550,7 @@ def solve_fused_rkn(acc, t_span, y0_batch, method=None, rtol=1e-4,
             join_rows=jnp.stack,
             unsplit=lambda rows: (jnp.stack(rows[:m]),
                                   jnp.stack(rows[m:])),
-            nfev0=nfev0, max_step=max_step)
+            nfev0=nfev0, max_step=max_step, record=record)
 
         yout_ref[:] = jnp.concatenate([st.u, st.v]).reshape(n, bm).T
         stat_ref[:] = st.status.reshape(1, bm)
@@ -564,6 +608,23 @@ def solve_fused_rkn(acc, t_span, y0_batch, method=None, rtol=1e-4,
             pl.BlockSpec((n_ev, 1, bm), lambda i: (0, 0, i),
                          memory_space=pltpu.VMEM),
         ]
+    if n_rec:
+        out_shapes += [
+            jax.ShapeDtypeStruct((n_rec, 1, n_padded), jnp.float32),
+            jax.ShapeDtypeStruct((n_rec, n, n_padded), jnp.float32),
+            jax.ShapeDtypeStruct((n_rec, n, n_padded), jnp.float32),
+            jax.ShapeDtypeStruct((n_padded, n), jnp.float32),
+        ]
+        out_specs += [
+            pl.BlockSpec((n_rec, 1, bm), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_rec, n, bm), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_rec, n, bm), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, n), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ]
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),
         pl.BlockSpec((bm, n), lambda i: (i, 0),
@@ -600,4 +661,16 @@ def solve_fused_rkn(acc, t_span, y0_batch, method=None, rtol=1e-4,
         y_events = jnp.where((fired != 0)[:, :, None],
                              yev[:, :n_total], nanv)
         ret = ret + (t_events, y_events, fired)
+        k += 3
+    if n_rec:
+        from .fused_dense import build_fused_dense
+        rect, recy, recf, f0 = outs[k:k + 4]
+        rect = rect[:, 0, :n_total]
+        flags = (rect < 0.5 * _REC_UNSET).astype(jnp.int32)
+        sol = build_fused_dense(
+            t0, tf, y0_batch[:n_total], f0[:n_total],
+            jnp.where(flags != 0, rect, 0.0), flags,
+            jnp.swapaxes(recy[:, :, :n_total], 1, 2),
+            jnp.swapaxes(recf[:, :, :n_total], 1, 2), ret[2])
+        ret = ret + (sol,)
     return ret

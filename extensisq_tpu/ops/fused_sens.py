@@ -325,27 +325,56 @@ solve_fused_final.defvjp(_fused_final_fwd, _fused_final_bwd)
 # driver, reading y(t) from the recorded FusedDenseSolution — O(1)
 # memory in k on the tape side and gradient cost independent of k.
 
-def _adjoint_solver(method, layout):
-    fam = _family(method)
+def _adjoint_family(method):
+    """Adjoint routing accepts more families than the forward-sens
+    augmentation: the backward only needs the recorded dense output,
+    which every fused family can produce."""
+    if method is None:
+        return "erk"
+    fam = getattr(method, "family", None)
+    if fam not in ("erk", "esdirk", "rkn", "adams"):
+        raise ValueError(
+            f"solve_fused_adjoint supports erk/esdirk/rkn/adams "
+            f"methods, not family {fam!r}; use "
+            "sensitivity.sens_adjoint_end (XLA) for the others")
+    return fam
+
+
+def _adjoint_solver(method, layout, k_max=12):
+    fam = _adjoint_family(method)
+    if fam == "adams":
+        # SWAG kernels take no method= kwarg (one method per family);
+        # k_max bounds the unrolled order machinery (trace cost)
+        from .fused_adams import solve_fused_adams
+        from .fused_adams_grid import solve_fused_adams_grid
+        base = (solve_fused_adams_grid if layout == "grid"
+                else solve_fused_adams)
+        return lambda *a, method=None, **kw: base(*a, k_max=k_max,
+                                                  **kw)
+    if fam == "rkn":
+        from .fused_rkn import solve_fused_rkn
+        from .fused_rkn_grid import solve_fused_rkn_grid
+        return (solve_fused_rkn_grid if layout == "grid"
+                else solve_fused_rkn)
     if layout == "grid":
         return (solve_fused_esdirk_grid if fam == "esdirk"
                 else solve_fused_erk_grid)
     return solve_fused_esdirk if fam == "esdirk" else solve_fused_erk
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(0, 4, 5, 6, 7, 8, 9, 10,
-                                          11, 12, 13, 14))
 def solve_fused_adjoint(fun, t_span, y0_batch, params, method=None,
                         rtol=1e-4, atol=1e-6, max_steps=100_000,
                         block_members=1024, interpret=False,
                         dense=512, bw_method=None, bw_rtol=None,
-                        bw_atol=None, layout="flat"):
+                        bw_atol=None, layout="flat", k_max=12):
     """y(t_f) for a fused ensemble, differentiable via the CONTINUOUS
     ADJOINT — gradient cost independent of the parameter count.
 
     The fused twin of ``sensitivity.sens_adjoint_end`` /
     ``solve_final``'s backward: the primal is ONE fused kernel launch
-    (ERK, or ESDIRK when ``method.family == "esdirk"``); under
+    (routed by ``method.family``: ERK, ESDIRK, RKN or Adams/SWAG —
+    matching the reference's any-solver adjoint,
+    sensitivity.py:220-387); under
     ``jax.grad`` the forward additionally records per-step ``(t, y,
     f)`` rows in-kernel (``dense=R`` capacity, ops/fused_dense.py) and
     the backward integrates the (n + k)-dimensional adjoint system per
@@ -357,9 +386,12 @@ def solve_fused_adjoint(fun, t_span, y0_batch, params, method=None,
 
     ``fun(t, y[, p])`` in the fused rows convention — or the GRID
     (states-on-lanes) convention with ``layout="grid"``: t (bm, 1),
-    y (bm, n), p a k-tuple of (bm, 1) columns, which routes the
-    primal through ``solve_fused_erk_grid`` /
-    ``solve_fused_esdirk_grid`` so MID-SIZE systems (MoL fields,
+    y (bm, n), p a k-tuple of (bm, 1) columns.  For an RKN method
+    ``fun`` is the ACCELERATION ``acc(t, u, v[, p])`` in the same
+    convention (``y0_batch`` is [u, v]; the backward differentiates
+    the full-state form [v, a] automatically).  The grid layout
+    routes the primal through the grid kernels so MID-SIZE systems
+    (MoL fields,
     n ~ 64-512) get fused-speed continuous-adjoint gradients too
     (mind the VMEM recording budget: at n = 256 use
     ``block_members=8`` and ``dense`` <= ~350).  ``params`` is (B, k)
@@ -367,11 +399,54 @@ def solve_fused_adjoint(fun, t_span, y0_batch, params, method=None,
     members that overflow it get NaN gradients (check
     ``jnp.isfinite``; enlarge ``dense`` or shrink the span).
     ``bw_method/bw_rtol/bw_atol`` control the backward XLA solve
-    (defaults: the driver default method at the forward tolerances).
+    (defaults: the driver default method at the forward tolerances);
+    ``k_max`` bounds the SWAG order machinery on Adams routes
+    (ignored otherwise).
     Gradients are tolerance-accurate, like every continuous-adjoint
     method (and the reference's).
+
+    Adams/SWAG routes require a STATIC ``t_span`` (the multistep
+    kernels bake the horizon into the host init) and therefore carry
+    no t_span gradients — matching the reference, whose adjoint has
+    none for any solver; the other families also differentiate
+    (t0, tf).
     """
-    out = _adjoint_solver(method, layout)(
+    args = (fun, t_span, y0_batch, params, method, rtol, atol,
+            max_steps, block_members, interpret, dense, bw_method,
+            bw_rtol, bw_atol, layout, k_max)
+    if _adjoint_family(method) == "adams":
+        try:
+            ts = (float(t_span[0]), float(t_span[1]))
+        except (TypeError, jax.errors.ConcretizationTypeError) as e:
+            raise ValueError(
+                "Adams/SWAG fused adjoint needs a static t_span "
+                "(concrete floats): the multistep host init bakes "
+                "the horizon in") from e
+        return _fused_adjoint_static_t(fun, ts, *args[2:])
+    return _fused_adjoint_diff_t(*args)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 4, 5, 6, 7, 8, 9, 10,
+                                          11, 12, 13, 14, 15))
+def _fused_adjoint_diff_t(fun, t_span, y0_batch, params, method,
+                          rtol, atol, max_steps, block_members,
+                          interpret, dense, bw_method, bw_rtol,
+                          bw_atol, layout, k_max):
+    out = _adjoint_solver(method, layout, k_max)(
+        fun, t_span, y0_batch, method=method, rtol=rtol,
+        atol=atol, max_steps=max_steps,
+        block_members=block_members, interpret=interpret,
+        params=params)
+    return out[0]
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 4, 5, 6, 7, 8, 9, 10,
+                                          11, 12, 13, 14, 15))
+def _fused_adjoint_static_t(fun, t_span, y0_batch, params, method,
+                            rtol, atol, max_steps, block_members,
+                            interpret, dense, bw_method, bw_rtol,
+                            bw_atol, layout, k_max):
+    out = _adjoint_solver(method, layout, k_max)(
         fun, t_span, y0_batch, method=method, rtol=rtol,
         atol=atol, max_steps=max_steps,
         block_members=block_members, interpret=interpret,
@@ -381,8 +456,9 @@ def solve_fused_adjoint(fun, t_span, y0_batch, params, method=None,
 
 def _fused_adjoint_fwd(fun, t_span, y0_batch, params, method, rtol,
                        atol, max_steps, block_members, interpret,
-                       dense, bw_method, bw_rtol, bw_atol, layout):
-    out = _adjoint_solver(method, layout)(
+                       dense, bw_method, bw_rtol, bw_atol, layout,
+                       k_max):
+    out = _adjoint_solver(method, layout, k_max)(
         fun, t_span, y0_batch, method=method, rtol=rtol,
         atol=atol, max_steps=max_steps,
         block_members=block_members, interpret=interpret,
@@ -393,7 +469,8 @@ def _fused_adjoint_fwd(fun, t_span, y0_batch, params, method, rtol,
 
 def _fused_adjoint_bwd(fun, method, rtol, atol, max_steps,
                        block_members, interpret, dense, bw_method,
-                       bw_rtol, bw_atol, layout, residuals, ct):
+                       bw_rtol, bw_atol, layout, k_max, residuals,
+                       ct):
     from ..solve import solve
     from ..core.interpolate import OdeSolution
 
@@ -405,22 +482,38 @@ def _fused_adjoint_bwd(fun, method, rtol, atol, max_steps,
     rt = rtol if bw_rtol is None else bw_rtol
     at = atol if bw_atol is None else bw_atol
     ct = jnp.asarray(ct, jnp.float64)
+    fam = _adjoint_family(method)
+    m = n // 2   # RKN: y = [u, v]
 
     def one(ts, ta, hh, ya, Q, ct_m, p_m, valid):
         soln = OdeSolution(ts=ts, t_anchor=ta, h=hh, y_anchor=ya,
                            Q=Q)
 
         def f_of(t, yy, pv):
+            pt_flat = (tuple(pv[j] for j in range(k)) if has_p
+                       else None)
             if layout == "grid":
                 tt = jnp.reshape(jnp.asarray(t, yy.dtype), (1, 1))
+                Y = yy[None, :]
+                pt = (tuple(jnp.reshape(pv[j], (1, 1))
+                            for j in range(k)) if has_p else None)
+                if fam == "rkn":
+                    # fun is acc(t, u, v[, p]); full-state derivative
+                    # for the adjoint vjp is [v, a]
+                    u, v = Y[:, :m], Y[:, m:]
+                    a = jnp.asarray(fun(tt, u, v, pt) if has_p
+                                    else fun(tt, u, v))
+                    return jnp.concatenate([v, a], axis=-1)[0]
                 if has_p:
-                    pt = tuple(jnp.reshape(pv[j], (1, 1))
-                               for j in range(k))
-                    return jnp.asarray(fun(tt, yy[None, :], pt))[0]
-                return jnp.asarray(fun(tt, yy[None, :]))[0]
+                    return jnp.asarray(fun(tt, Y, pt))[0]
+                return jnp.asarray(fun(tt, Y))[0]
+            if fam == "rkn":
+                u, v = yy[:m], yy[m:]
+                a = jnp.asarray(fun(t, u, v, pt_flat) if has_p
+                                else fun(t, u, v))
+                return jnp.concatenate([v, a])
             if has_p:
-                return jnp.asarray(
-                    fun(t, yy, tuple(pv[j] for j in range(k))))
+                return jnp.asarray(fun(t, yy, pt_flat))
             return jnp.asarray(fun(t, yy))
 
         def fun_bw(t, z):
@@ -448,8 +541,20 @@ def _fused_adjoint_bwd(fun, method, rtol, atol, max_steps,
     # t_span cotangents (summed over members: t_span is shared):
     # dL/dtf = sum_b ct_b . f(tf, yf_b); dL/dt0 = -sum_b mu0_b . f(t0, y0_b)
     ev = _grid_eval if layout == "grid" else _rows_eval
-    f_tf = ev(fun, tf, y_f, params)
-    f_t0 = ev(fun, t0, y0_batch, params)
+    if fam == "rkn":
+        # the full-state derivative [v, a] of the acceleration form
+        if layout == "grid":
+            def eval_fun(t, y, *p):
+                a = jnp.asarray(fun(t, y[..., :m], y[..., m:], *p))
+                return jnp.concatenate([y[..., m:], a], axis=-1)
+        else:
+            def eval_fun(t, y, *p):
+                a = jnp.asarray(fun(t, y[:m], y[m:], *p))
+                return jnp.concatenate([y[m:], a])
+    else:
+        eval_fun = fun
+    f_tf = ev(eval_fun, tf, y_f, params)
+    f_t0 = ev(eval_fun, t0, y0_batch, params)
     dtf = jnp.vdot(ct, jnp.asarray(f_tf, jnp.float64))
     dt0 = -jnp.vdot(mu0, jnp.asarray(f_t0, jnp.float64))
     y0_bar = jnp.asarray(mu0, jnp.float32)
@@ -457,4 +562,30 @@ def _fused_adjoint_bwd(fun, method, rtol, atol, max_steps,
     return ((dt0, dtf), y0_bar, p_bar)
 
 
-solve_fused_adjoint.defvjp(_fused_adjoint_fwd, _fused_adjoint_bwd)
+_fused_adjoint_diff_t.defvjp(_fused_adjoint_fwd, _fused_adjoint_bwd)
+
+
+def _fused_adjoint_static_fwd(fun, t_span, y0_batch, params, method,
+                              rtol, atol, max_steps, block_members,
+                              interpret, dense, bw_method, bw_rtol,
+                              bw_atol, layout, k_max):
+    y_f, res = _fused_adjoint_fwd(
+        fun, t_span, y0_batch, params, method, rtol, atol, max_steps,
+        block_members, interpret, dense, bw_method, bw_rtol, bw_atol,
+        layout, k_max)
+    return y_f, res[1:]          # t_span is static: not a residual
+
+
+def _fused_adjoint_static_bwd(fun, t_span, method, rtol, atol,
+                              max_steps, block_members, interpret,
+                              dense, bw_method, bw_rtol, bw_atol,
+                              layout, k_max, residuals, ct):
+    _, y0_bar, p_bar = _fused_adjoint_bwd(
+        fun, method, rtol, atol, max_steps, block_members, interpret,
+        dense, bw_method, bw_rtol, bw_atol, layout, k_max,
+        (t_span,) + tuple(residuals), ct)
+    return y0_bar, p_bar
+
+
+_fused_adjoint_static_t.defvjp(_fused_adjoint_static_fwd,
+                               _fused_adjoint_static_bwd)

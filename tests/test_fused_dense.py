@@ -265,3 +265,58 @@ def test_fused_adams_grid_dense_matches_t_eval():
         < 5e-5
     assert np.abs(np.asarray(sol(jnp.float32(1.0)))
                   - np.asarray(yf)).max() < 1e-6
+
+
+def test_fused_rkn_flat_dense_matches_t_eval():
+    """FLAT-layout RKN dense recording (member-tile rows): sol(tq) vs
+    the kernel's own in-kernel t_eval rows (both the partitioned cubic
+    Hermite on accepted-step endpoints), endpoint exact."""
+    from extensisq_tpu.ops import solve_fused_rkn
+    Bs = 128
+    # harmonic oscillator [u, v], omega member-constant
+    Y0 = np.tile([1.0, 0.0], (Bs, 1)).astype(np.float32)
+
+    def acc(t, u, v):
+        return -4.0 * u
+
+    tq = np.linspace(0.0, 3.0, 6)
+    yf, st, ns, nf, yev, sol = solve_fused_rkn(
+        acc, (0.0, 3.0), Y0, rtol=1e-5, atol=1e-8,
+        block_members=128, interpret=True, t_eval=tq, dense=128)
+    assert np.all(np.asarray(st) == 1)
+    assert bool(np.all(np.asarray(sol.valid)))
+    fv = np.asarray(sol(jnp.asarray(tq, jnp.float32)))   # (B, 2, m)
+    assert np.abs(fv.transpose(2, 0, 1) - np.asarray(yev)).max() \
+        < 2e-5
+    assert np.abs(np.asarray(sol(jnp.float32(3.0)))
+                  - np.asarray(yf)).max() < 1e-6
+    # node-accuracy check against the closed form at the query points
+    exact = np.stack([np.cos(2.0 * tq), -2.0 * np.sin(2.0 * tq)])
+    assert np.abs(fv[0].T - exact.T).max() < 5e-4
+
+
+def test_fused_adams_flat_dense_matches_t_eval():
+    """FLAT-layout SWAG dense recording: sol(tq) vs the kernel's own
+    in-kernel t_eval rows (both cubic Hermite on accepted-step
+    endpoints; f0 anchors from the host init), endpoint exact."""
+    from extensisq_tpu.ops import solve_fused_adams
+    Bs = 128
+    Y0 = np.tile([1.0, 0.5], (Bs, 1)).astype(np.float32)
+
+    def rows(t, y):
+        return jnp.stack([y[1], -y[0]])
+
+    tq = np.linspace(0.0, 4.0, 6)
+    yf, st, ns, nf, yev, sol = solve_fused_adams(
+        rows, (0.0, 4.0), Y0, rtol=1e-5, atol=1e-8, k_max=6,
+        block_members=128, interpret=True, t_eval=tq, dense=256)
+    assert np.all(np.asarray(st) == 1)
+    assert bool(np.all(np.asarray(sol.valid)))
+    fv = np.asarray(sol(jnp.asarray(tq, jnp.float32)))   # (B, 2, m)
+    assert np.abs(fv.transpose(2, 0, 1) - np.asarray(yev)).max() \
+        < 5e-5
+    assert np.abs(np.asarray(sol(jnp.float32(4.0)))
+                  - np.asarray(yf)).max() < 1e-6
+    exact = np.stack([np.cos(tq) + 0.5 * np.sin(tq),
+                      -np.sin(tq) + 0.5 * np.cos(tq)])
+    assert np.abs(fv[0].T - exact.T).max() < 1e-3

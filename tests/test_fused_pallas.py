@@ -2146,3 +2146,30 @@ def test_fused_erk_complex_rotation_decay():
     for q, tv in enumerate(tq):
         exq = z0 * np.exp(lam * tv)[:, None]
         assert np.abs(np.asarray(zev)[q] - exq).max() < 1e-4 * sc
+
+
+def test_fused_erk_complex_flat_small():
+    """Flat-layout complex fused ERK (explicit layout, n = 2 rides the
+    member-tile kernel): z' = i z rotation preserves |z| and matches
+    the closed form; conj_mul helper sanity."""
+    from extensisq_tpu.ops import solve_fused_erk_complex, conj_mul
+
+    Bs, n = 128, 2
+    rng = np.random.RandomState(7)
+    z0 = (rng.randn(Bs, n) + 1j * rng.randn(Bs, n)).astype(np.complex64)
+
+    def rot(t, re, im):
+        # i z: (re, im) -> (-im, re)
+        return -im, re
+
+    zf, st, ns, nf = solve_fused_erk_complex(
+        rot, (0.0, 1.5), z0, layout="flat", rtol=1e-6, atol=1e-9,
+        block_members=128, interpret=True)
+    assert np.all(np.asarray(st) == 1)
+    ex = z0 * np.exp(1j * np.float32(1.5))
+    assert np.abs(np.asarray(zf) - ex).max() < 5e-5 * np.abs(z0).max()
+    # conj(a)*a is |a|^2 (pure real); f32 product rounding ~eps*|z|^2
+    cr, ci = conj_mul(z0.real, z0.imag, z0.real, z0.imag)
+    zsq = np.abs(z0).max() ** 2
+    assert np.abs(cr - np.abs(z0) ** 2).max() < 4e-6 * zsq
+    assert np.abs(ci).max() < 4e-6 * zsq

@@ -138,6 +138,9 @@ def main():
     check("fused_rkn events", lambda Y: solve_fused_rkn(
         acc2, (0.0, 3.0), Y, method=Fi5N, block_members=256,
         events=ev_u0), Y4)
+    check("fused_rkn dense recording", lambda Y: solve_fused_rkn(
+        acc2, (0.0, 3.0), Y, method=Fi5N, block_members=256,
+        dense=128)[-1].ts, Y4)
 
     ny, nx = 16, 128
     dx = 1.0 / nx
@@ -244,6 +247,8 @@ def main():
         vdp, (0.0, 2.0), Y, block_members=256, t_eval=tq), Y2)
     check("fused_adams events", lambda Y: solve_fused_adams(
         vdp, (0.0, 2.0), Y, block_members=256, events=ev_row), Y2)
+    check("fused_adams dense recording", lambda Y: solve_fused_adams(
+        vdp, (0.0, 2.0), Y, block_members=256, dense=128)[-1].ts, Y2)
 
     # mid-size layout: states on lanes, members on sublanes
     ngr = 128
@@ -579,6 +584,32 @@ def main():
           lambda Y: solve_fused_esdirk_grid(
               rdiff_g, (0.0, 0.1), Y, block_members=8,
               dense=128)[-1].ts, YG8)
+    # complex ensembles: blocked [Re | Im] real-pair encoding on the
+    # unchanged real ERK kernels (both layouts; grid exercises the
+    # joint-2n lane padding).  The complex arrays close over as HOST
+    # numpy (split_output=True keeps the jitted program all-real —
+    # the axon backend cannot hold complex buffers at all)
+    from extensisq_tpu.ops import solve_fused_erk_complex, cmul
+
+    Zs = (np.random.RandomState(3).randn(256, 2)
+          + 1j * np.random.RandomState(4).randn(256, 2)
+          ).astype(np.complex64)
+    check("fused_erk complex flat",
+          lambda: solve_fused_erk_complex(
+              lambda t, re, im: (-im - 0.1 * re, re - 0.1 * im),
+              (0.0, 1.0), Zs, layout="flat", block_members=256,
+              split_output=True)[0])
+    Zg = (np.random.RandomState(5).randn(8, 24)
+          + 1j * np.random.RandomState(6).randn(8, 24)
+          ).astype(np.complex64)
+    Wg = np.linspace(1.0, 3.0, 8).astype(np.float32)[:, None]
+    check("fused_erk complex grid padded+params",
+          lambda W: solve_fused_erk_complex(
+              lambda t, re, im, p: cmul(re, im, 0.0 * re - 0.3,
+                                        p[0] + 0.0 * re),
+              (0.0, 1.0), Zg, layout="grid", params=W,
+              block_members=8, split_output=True)[0], Wg)
+
     check("fused_rkn_grid dense recording",
           lambda Y: solve_fused_rkn_grid(
               wave_g, (0.0, 1.0), Y, block_members=8,
