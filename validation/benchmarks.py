@@ -907,6 +907,102 @@ def config7():
             "7c_single_device_degenerate": degen}
 
 
+def config7d():
+    """Grid-layout continuous adjoint at MoL scale: jax.grad of an
+    objective over a 128-state reaction-diffusion ensemble through the
+    fused GRID forward (in-kernel dense recording) + the f64 XLA
+    backward — the PDE-constrained-optimization gradient workload
+    (reference sensitivity.py:220-387 at MoL width)."""
+    from extensisq_tpu.ops import solve_fused_adjoint
+
+    ngr, Bg = 128, 8
+    x = np.linspace(0, 1, ngr, endpoint=False)
+    Y0 = np.tile((0.5 + 0.3 * np.sin(2 * np.pi * x))
+                 .astype(np.float32), (Bg, 1))
+    rates = np.linspace(0.8, 1.6, Bg).astype(np.float32)[:, None]
+    D = 0.02 * ngr * ngr
+
+    def fisher_g(t, y, p):
+        return (jnp.roll(y, 1, -1) - 2.0 * y
+                + jnp.roll(y, -1, -1)) * D + p[0] * y * (1.0 - y)
+
+    def loss(Y, P):
+        yf = solve_fused_adjoint(fisher_g, (0.0, 0.25), Y, P, None,
+                                 1e-5, 1e-8, 100_000, 8, False, 400,
+                                 None, None, None, "grid")
+        return jnp.sum(jnp.mean(yf, axis=1))
+
+    gfn = jax.grad(loss, argnums=(0, 1))
+    dt, (gy0, gp) = time_tpu(lambda Y: gfn(Y, jnp.asarray(rates)),
+                             jnp.asarray(Y0), reps=2)
+    assert bool(np.all(np.isfinite(np.asarray(gy0))))
+    # dL/dr sanity vs central FD of the fused grid primal
+    from extensisq_tpu.ops import solve_fused_erk_grid
+    eps = np.float32(2e-3)
+    kw = dict(rtol=1e-7, atol=1e-10, block_members=8)
+    yp = solve_fused_erk_grid(fisher_g, (0.0, 0.25), Y0,
+                              params=rates + eps, **kw)[0]
+    ym = solve_fused_erk_grid(fisher_g, (0.0, 0.25), Y0,
+                              params=rates - eps, **kw)[0]
+    fd = (np.asarray(yp).mean(1) - np.asarray(ym).mean(1)) / (2 * eps)
+    dgr = float(np.abs(np.asarray(gp)[:, 0] - fd).max()
+                / max(np.abs(fd).max(), 1e-12))
+    assert dgr < 5e-3, f"grid adjoint grad vs FD rel drift: {dgr}"
+    print(f"7d grid adjoint n={ngr} x{Bg}: value+grad {dt*1e3:7.1f} "
+          f"ms; dL/dr vs FD rel |d| {dgr:.1e}")
+    return {"7d_grid_adjoint_ms": dt * 1e3}
+
+
+def config8():
+    """Banded vs dense ESDIRK Newton linear algebra at scale
+    (VERDICT r4 item 4a; reference splu route common.py:1756-1776):
+    Medazko reaction-transport at n = 512/1024/2048 through the
+    device driver, KC4I, bands=True (block cyclic reduction, true
+    f64) vs the dense path.  Gates are measured-with-margin from the
+    2026-08-21 v5e calibration: 2.06x @ 512, 3.74x @ 1024 (warm
+    wall), counters identical."""
+    from extensisq_tpu.methods import KC4I
+    from extensisq_tpu.problems import medazko
+
+    out = {}
+    gates = {512: 1.6, 1024: 2.8, 2048: 3.0}
+    for N in (256, 512, 1024):
+        P = medazko(N)
+        n = 2 * N
+
+        def run_one(kw):
+            run = jax.jit(lambda y0: solve(
+                P.rhs, (0.0, 20.0), y0, method=KC4I, rtol=1e-3,
+                atol=1e-6, max_steps=400,
+                jac_sparsity=P.jac_sparsity, **kw))
+            y0 = jnp.asarray(P.y0)
+            r = run(y0); np.asarray(r.y)          # compile + load
+            t0 = time.perf_counter()
+            r = run(y0); np.asarray(r.y)
+            return time.perf_counter() - t0, r
+
+        tb, rb = run_one(dict(bands=True))
+        td, rd = run_one({})
+        assert int(rb.status) == 1 and int(rd.status) == 1
+        ds = abs(int(rb.nsteps) - int(rd.nsteps))
+        assert ds <= (0 if n <= 512 else 1),             f"banded vs dense step drift at n={n}: {ds}"
+        dy = float(np.max(np.abs(np.asarray(rb.y, np.float64)
+                                 - np.asarray(rd.y, np.float64))))
+        # BCR and dense LU round differently; with identical step
+        # sequences both land within the solve tolerance (atol 1e-6;
+        # measured 1.1e-7 @ 512, 1.6e-6 @ 1024 on v5e)
+        assert dy < 1e-5, f"banded vs dense endpoint at n={n}: {dy}"
+        sp = td / tb
+        assert sp > gates[n],             f"banded speedup at n={n}: {sp:.2f} < {gates[n]}"
+        print(f"8 Medazko n={n} KC4I: banded {tb:5.2f} s vs dense "
+              f"{td:5.2f} s ({sp:4.2f}x); steps {int(rb.nsteps)}, "
+              f"endpoint |d| {dy:.1e}")
+        out[f"8_banded_n{n}_s"] = tb
+        out[f"8_dense_n{n}_s"] = td
+        out[f"8_banded_n{n}_speedup"] = sp
+    return out
+
+
 if __name__ == "__main__":
     import json
 
@@ -914,7 +1010,7 @@ if __name__ == "__main__":
     metrics = {}
     failures = []
     for cfg in (config1, config3, config5, config4, config2, config6,
-                config7):
+                config7, config7d, config8):
         try:
             r = cfg()
             if isinstance(r, dict):
