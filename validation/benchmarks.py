@@ -1020,7 +1020,18 @@ if __name__ == "__main__":
             print(f"{cfg.__name__} FAILED: {type(e).__name__}: {e}")
             failures.append(f"{cfg.__name__}: {type(e).__name__}: {e}")
     if as_json:
-        out = {"metrics": metrics, "failures": failures}
+        import subprocess
+        from datetime import date
+        try:
+            commit = subprocess.run(
+                ["git", "rev-parse", "--short", "HEAD"],
+                cwd=os.path.dirname(__file__), capture_output=True,
+                text=True).stdout.strip()
+        except Exception:  # noqa: BLE001
+            commit = "unknown"
+        out = {"commit": commit, "date": date.today().isoformat(),
+               "device": str(jax.devices()[0]),
+               "metrics": metrics, "failures": failures}
         path = os.path.join(os.path.dirname(__file__), "..",
                             "BENCH_full.json")
         with open(path, "w") as fh:
