@@ -1752,13 +1752,17 @@ def test_solve_fused_dispatcher():
                                 block_members=128, interpret=True)
     assert np.all(np.asarray(st) == 1)
 
-    # esdirk beyond both kernels' shapes raises with guidance
-    def rob(t, y):
-        return -y
-    import pytest
-    with pytest.raises(ValueError, match="no fused esdirk kernel"):
-        solve_fused(rob, (0.0, 1.0), np.ones((128, 9), np.float32),
-                    method=Kv3I, interpret=True)
+    # esdirk beyond the flat kernel's n <= 8 cap routes to the GRID
+    # kernel via masked lane padding (ops/_lane_pad.py; since r4 ANY
+    # n rides the grid kernels — the flat kernel alone would raise)
+    def dec_g(t, y):
+        return -y                      # grid convention (bm, n)
+
+    yf9, st9 = solve_fused(dec_g, (0.0, 1.0),
+                           np.ones((32, 9), np.float32),
+                           method=Kv3I, interpret=True)[:2]
+    assert np.all(np.asarray(st9) == 1)
+    assert np.abs(np.asarray(yf9) - np.exp(-1.0)).max() < 1e-4
 
     # rkc routes by input shape: single grid vs member stack
     dx = 1.0 / 128
